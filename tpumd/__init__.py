@@ -1,0 +1,20 @@
+"""tpu-md: a TPU-native molecular-dynamics engine (JAX/XLA/Pallas).
+
+A from-scratch reimplementation of the capabilities of LAMMPS
+(reference: HPC-AI-Team/lammps-fugaku-threadpool) designed TPU-first:
+
+- atom state lives in fixed-capacity SoA ``jnp`` arrays resident in HBM
+- neighbor lists are fixed-width padded matrices built by a jitted
+  binned cell-list kernel (reference: src/neighbor.cpp, src/npair_*.cpp)
+- pair forces are i-centric full-list kernels with masked accumulation
+  (replacing the reference's half-list + scatter and the fork's per-thread
+  force-replica OpenMP model, src/OPENMP/thr_omp.h)
+- the timestep loop is a single compiled ``lax.scan`` with rebuild
+  decisions under ``lax.cond`` (reference: src/verlet.cpp)
+- multi-chip runs shard atoms over a ``jax.sharding.Mesh`` (replacing
+  MPI brick decomposition, src/comm_brick.cpp)
+"""
+
+__version__ = "0.1.0"
+
+from tpumd.utils.units import Units, get_units  # noqa: F401

@@ -1,0 +1,101 @@
+"""Core simulation state pytrees.
+
+TPU-native replacement for the reference's Atom/Domain data model
+(src/atom.h:40-230, src/domain.h): per-atom quantities are fixed-capacity
+SoA ``jnp`` arrays living in HBM; the box is a small struct carried in the
+same pytree so barostats can update it under jit.
+
+All arrays are padded to a static capacity ``N`` with a validity count
+``nlocal`` (scalar). For single-chip runs capacity == natoms.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class Box:
+    """Orthogonal (optionally tilted) periodic simulation box.
+
+    lo, hi: (3,) box bounds. tilt: (3,) = (xy, xz, yz) for triclinic;
+    zeros for orthogonal (reference: src/domain.h).
+    """
+
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+    tilt: jnp.ndarray
+
+    @property
+    def lengths(self) -> jnp.ndarray:
+        return self.hi - self.lo
+
+    @property
+    def volume(self) -> jnp.ndarray:
+        ell = self.lengths
+        return ell[0] * ell[1] * ell[2]
+
+    @staticmethod
+    def orthogonal(lo, hi, dtype=None):
+        lo = jnp.asarray(lo, dtype=dtype)
+        hi = jnp.asarray(hi, dtype=dtype)
+        return Box(lo=lo, hi=hi, tilt=jnp.zeros((3,), dtype=lo.dtype))
+
+
+@struct.dataclass
+class MDState:
+    """Per-atom dynamical state + box (the integration variables)."""
+
+    x: jnp.ndarray       # (N, 3) positions
+    v: jnp.ndarray       # (N, 3) velocities
+    f: jnp.ndarray       # (N, 3) forces
+    type: jnp.ndarray    # (N,) int32, 1-based type ids (0 = padding)
+    tag: jnp.ndarray     # (N,) int32 global atom ids (1-based; 0 = padding)
+    image: jnp.ndarray   # (N, 3) int32 periodic image flags
+    box: Box
+    nlocal: jnp.ndarray  # scalar int32: number of valid atoms
+    # optional per-atom fields (None when the atom style doesn't carry them)
+    q: jnp.ndarray | None = None         # charge
+    molecule: jnp.ndarray | None = None  # molecule id
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+
+def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
+               dtype=jnp.float64) -> MDState:
+    """Build an MDState from host arrays (no padding)."""
+    n = x.shape[0]
+    x = jnp.asarray(x, dtype=dtype)
+    v = jnp.asarray(v, dtype=dtype)
+    if tags is None:
+        tags = np.arange(1, n + 1, dtype=np.int32)
+    return MDState(
+        x=x,
+        v=v,
+        f=jnp.zeros_like(x),
+        type=jnp.asarray(types, dtype=jnp.int32),
+        tag=jnp.asarray(tags, dtype=jnp.int32),
+        image=jnp.zeros((n, 3), dtype=jnp.int32),
+        box=Box(lo=box.lo.astype(dtype), hi=box.hi.astype(dtype),
+                tilt=box.tilt.astype(dtype)),
+        nlocal=jnp.asarray(n, dtype=jnp.int32),
+        q=None if q is None else jnp.asarray(q, dtype=dtype),
+        molecule=None if molecule is None else jnp.asarray(molecule, dtype=jnp.int32),
+    )
+
+
+def wrap_pbc(state: MDState) -> MDState:
+    """Remap atoms into the periodic box, updating image flags.
+
+    Equivalent of Domain::pbc (src/domain.cpp) for orthogonal boxes, called
+    at reneighbor steps.
+    """
+    ell = state.box.lengths
+    rel = (state.x - state.box.lo) / ell
+    shift = jnp.floor(rel).astype(jnp.int32)
+    x = state.x - shift * ell
+    return state.replace(x=x, image=state.image + shift)

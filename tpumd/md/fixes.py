@@ -1,0 +1,60 @@
+"""Fixes: per-timestep state transforms around the force stage.
+
+The reference's Fix hook pipeline (src/fix.h:147-229, dispatched per phase
+by Modify, src/modify.h:33-41) becomes a list of pure ``(state, fix_state)
+-> (state, fix_state)`` transforms invoked at fixed phases of the compiled
+step:
+
+    initial_integrate -> [post_integrate] -> (reneighbor?) -> force eval ->
+    post_force -> final_integrate -> end_of_step
+
+Fix objects are host-side static configs; any per-step mutable data lives
+in a ``fix_state`` pytree carried through ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class Fix:
+    name = "fix"
+    dof_removed = 0          # dof this fix removes from the group (e.g. shake)
+    thermo_scalar = False    # contributes a scalar energy (fix_modify energy)
+
+    def init_state(self, s, ctx):
+        return ()
+
+    def initial_integrate(self, s, fstate, ctx):
+        return s, fstate
+
+    def post_integrate(self, s, fstate, ctx):
+        return s, fstate
+
+    def post_force(self, s, fstate, ctx):
+        return s, fstate
+
+    def final_integrate(self, s, fstate, ctx):
+        return s, fstate
+
+    def end_of_step(self, s, fstate, ctx):
+        return s, fstate
+
+
+class FixNVE(Fix):
+    """Velocity-Verlet kick-drift / kick (src/fix_nve.cpp:64-143)."""
+
+    name = "nve"
+
+    def initial_integrate(self, s, fstate, ctx):
+        m = ctx.mass_per_atom(s)
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        v = s.v + dtf * s.f / m[:, None]
+        x = s.x + ctx.dt * v
+        return s.replace(x=x, v=v), fstate
+
+    def final_integrate(self, s, fstate, ctx):
+        m = ctx.mass_per_atom(s)
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        v = s.v + dtf * s.f / m[:, None]
+        return s.replace(v=v), fstate

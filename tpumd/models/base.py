@@ -1,0 +1,73 @@
+"""Pair-style base classes.
+
+The reference dispatches through virtual Pair::compute with a factory
+built from style_pair.h (src/force.cpp:237-254).  Here a pair style is a
+host-side config object holding per-type coefficient tables as numpy
+arrays; ``compute`` is pure and traceable.  Pairwise-additive styles only
+define ``pair_fn``; many-body styles (EAM, SW, Tersoff) override
+``compute`` wholesale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpumd.ops.pairwise import pair_sums
+
+
+class PairStyle:
+    """Base pair style. Coeffs as (ntypes+1, ntypes+1) tables, 1-based."""
+
+    name = "none"
+    # does this style need a full neighbor list wider than its own cutoff?
+    writedata = True
+
+    def __init__(self, ntypes: int):
+        self.ntypes = ntypes
+        self.shift = False      # pair_modify shift
+        self.mix = self.default_mix()
+        self._setflag = np.zeros((ntypes + 1, ntypes + 1), dtype=bool)
+
+    # -- lifecycle (settings/coeff/init), mirroring the reference contract --
+    def default_mix(self) -> str:
+        return "geometric"
+
+    def settings(self, *args):
+        raise NotImplementedError
+
+    def coeff(self, itypes, jtypes, *args):
+        raise NotImplementedError
+
+    def init(self):
+        """Fill unset i-j coeffs by mixing; compute derived tables."""
+        raise NotImplementedError
+
+    @property
+    def max_cutoff(self) -> float:
+        raise NotImplementedError
+
+    def mix_energy(self, e1, e2, s1, s2) -> float:
+        # Pair::mix_energy (src/pair.cpp:705-723)
+        if self.mix == "sixthpower":
+            return (2.0 * np.sqrt(e1 * e2) * s1**3 * s2**3) / (s1**6 + s2**6)
+        return np.sqrt(e1 * e2)
+
+    def mix_distance(self, s1, s2) -> float:
+        if self.mix == "geometric":
+            return np.sqrt(s1 * s2)
+        if self.mix == "sixthpower":
+            return (0.5 * (s1**6 + s2**6)) ** (1.0 / 6.0)
+        return 0.5 * (s1 + s2)  # arithmetic
+
+    # -- compute ---------------------------------------------------------
+    def pair_fn(self, r2, itype, jtype):
+        raise NotImplementedError
+
+    def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
+                eflag: bool, vflag: bool, q=None):
+        return pair_sums(x, type_, box, idx, sbits, self.pair_fn,
+                         special_lj, special_coul, eflag, vflag)
+
+    def table(self, arr, dtype):
+        return jnp.asarray(arr, dtype=dtype)

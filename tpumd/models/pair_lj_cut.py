@@ -1,0 +1,101 @@
+"""lj/cut pair style: 12-6 Lennard-Jones with cutoff.
+
+Physics per the reference kernel (src/pair_lj_cut.cpp:69-140, init_one
+mixing at :580-610): forcelj = r^-6 (lj1 r^-6 - lj2), fpair = forcelj/r^2,
+energy = r^-6 (lj3 r^-6 - lj4) - offset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpumd.models.base import PairStyle
+from tpumd.models.registry import register_pair
+
+
+@register_pair("lj/cut")
+class PairLJCut(PairStyle):
+    name = "lj/cut"
+
+    def __init__(self, ntypes: int):
+        super().__init__(ntypes)
+        shape = (ntypes + 1, ntypes + 1)
+        self.epsilon = np.zeros(shape)
+        self.sigma = np.zeros(shape)
+        self.cut = np.zeros(shape)
+        self.cut_global = 0.0
+        self._tables = None
+
+    def settings(self, cut_global):
+        self.cut_global = float(cut_global)
+
+    def coeff(self, ilo, ihi, jlo, jhi, epsilon, sigma, cut=None):
+        cut = self.cut_global if cut is None else float(cut)
+        for i in range(ilo, ihi + 1):
+            for j in range(max(jlo, i), jhi + 1):
+                self.epsilon[i, j] = epsilon
+                self.sigma[i, j] = sigma
+                self.cut[i, j] = cut
+                self._setflag[i, j] = True
+
+    def init(self):
+        nt = self.ntypes
+        for i in range(1, nt + 1):
+            for j in range(i, nt + 1):
+                if not self._setflag[i, j]:
+                    if not (self._setflag[i, i] and self._setflag[j, j]):
+                        raise ValueError(f"All pair coeffs are not set ({i},{j})")
+                    self.epsilon[i, j] = self.mix_energy(
+                        self.epsilon[i, i], self.epsilon[j, j],
+                        self.sigma[i, i], self.sigma[j, j])
+                    self.sigma[i, j] = self.mix_distance(
+                        self.sigma[i, i], self.sigma[j, j])
+                    self.cut[i, j] = self.mix_distance(
+                        self.cut[i, i], self.cut[j, j])
+                # symmetrize
+                for arr in (self.epsilon, self.sigma, self.cut):
+                    arr[j, i] = arr[i, j]
+
+        eps, sig, cut = self.epsilon, self.sigma, self.cut
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sr6 = np.where(cut > 0, (sig / np.where(cut > 0, cut, 1)) ** 6, 0.0)
+        self.lj1 = 48.0 * eps * sig**12
+        self.lj2 = 24.0 * eps * sig**6
+        self.lj3 = 4.0 * eps * sig**12
+        self.lj4 = 4.0 * eps * sig**6
+        if self.shift:
+            self.offset = np.where(cut > 0, 4.0 * eps * (sr6 * sr6 - sr6), 0.0)
+        else:
+            self.offset = np.zeros_like(eps)
+        self.cutsq = cut * cut
+        self._tables = None
+
+    @property
+    def max_cutoff(self) -> float:
+        return float(self.cut[1:, 1:].max())
+
+    def _get_tables(self, dtype):
+        # constants lifted at trace time; never cache device arrays on self
+        # (caching would leak tracers across jit traces)
+        return tuple(
+            jnp.asarray(a, dtype=dtype)
+            for a in (self.lj1, self.lj2, self.lj3, self.lj4,
+                      self.offset, self.cutsq)
+        )
+
+    def pair_fn(self, r2, itype, jtype):
+        lj1, lj2, lj3, lj4, offset, cutsq = self._get_tables(r2.dtype)
+        c2 = cutsq[itype, jtype]
+        inside = r2 < c2
+        r2inv = jnp.where(inside, 1.0 / r2, 0.0)
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = r6inv * (lj1[itype, jtype] * r6inv - lj2[itype, jtype])
+        fpair = forcelj * r2inv
+        evdwl = jnp.where(
+            inside,
+            r6inv * (lj3[itype, jtype] * r6inv - lj4[itype, jtype])
+            - offset[itype, jtype],
+            0.0,
+        )
+        return fpair, evdwl, None, None

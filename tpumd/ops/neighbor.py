@@ -1,0 +1,244 @@
+"""Binned Verlet neighbor lists as fixed-width padded matrices.
+
+TPU-native redesign of the reference neighbor subsystem (src/neighbor.cpp,
+src/nbin_standard.cpp, src/npair_half_bin_newton.cpp): instead of paged
+jagged half lists built rank-local against ghost atoms, we build a dense
+**full** neighbor matrix ``idx[N, K]`` (self-index used as padding) with a
+single jitted pass:
+
+1. bin atoms into cells of edge >= cutneigh (scatter by within-cell rank),
+2. per atom, gather the 27-cell stencil's candidates,
+3. distance-filter and compact each row to K slots via a masked
+   cumsum-scatter (no sort).
+
+Full (i-centric) lists trade 2x the pair FLOPs for scatter-free force
+accumulation — on TPU the deterministic masked segment-sum beats the
+reference's "newton on" half-list + per-thread force replicas
+(src/OPENMP/thr_omp.h:188) because there is no reduction tree and no
+atomics; this is the TPU analog of the fork's thread-pool force
+decomposition.
+
+Rebuild triggering mirrors Neighbor::decide (src/neighbor.cpp:2293-2360):
+``ago``-based every/delay scheduling plus the half-skin displacement check.
+
+Special-bond weight codes (0=none,1=1-2,2=1-3,3=1-4) are carried in a
+parallel ``sbits[N, K]`` int32 matrix, replacing the reference's packing of
+the weight index into the top bits of the neighbor index
+(src/npair_half_bin_newton.cpp:114, SBBITS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tpumd.core.state import Box
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborConfig:
+    """Static (trace-time) neighbor-list configuration."""
+
+    cutneigh: float           # max force cutoff + skin
+    skin: float
+    nx: int                   # cells per dim (cell edge >= cutneigh)
+    ny: int
+    nz: int
+    cell_cap: int             # max atoms per cell
+    kmax: int                 # neighbor slots per atom
+    block: int                # atoms per build chunk (memory bound)
+    every: int = 1
+    delay: int = 0
+    check: bool = True
+    # special-bond exclusion data present?
+    has_special: bool = False
+
+    @property
+    def ncells(self) -> int:
+        return self.nx * self.ny * self.nz
+
+
+@struct.dataclass
+class NeighborState:
+    idx: jnp.ndarray        # (N, K) int32 neighbor indices; padding = own index
+    sbits: jnp.ndarray      # (N, K) int32 special-bond weight code (0 if none)
+    xhold: jnp.ndarray      # (N, 3) positions at last build
+    ago: jnp.ndarray        # int32 steps since last build
+    nbuilds: jnp.ndarray    # int32 total builds
+    overflow: jnp.ndarray   # bool: K or cell_cap exceeded at some build
+    max_count: jnp.ndarray  # int32 max neighbors seen in last build
+
+
+def choose_config(
+    box: Box,
+    cutneigh: float,
+    skin: float,
+    natoms: int,
+    *,
+    every: int = 1,
+    delay: int = 0,
+    check: bool = True,
+    kmax: int | None = None,
+    has_special: bool = False,
+    box_margin: float = 1.0,
+) -> NeighborConfig:
+    """Pick cell counts and capacities from box geometry and density.
+
+    box_margin > 1 reserves room for box shrinkage under a barostat (cells
+    must stay >= cutneigh wide at every rebuild).
+    """
+    ell = np.asarray(jax.device_get(box.lengths), dtype=np.float64)
+    if (ell < 2.0 * cutneigh).any():
+        # minimum-image convention: each pair must have a unique nearest image
+        # (the reference instead replicates ghosts multiple hops,
+        # src/comm_brick.cpp maxneed)
+        raise ValueError(
+            f"box lengths {ell} must be >= 2*cutneigh ({2 * cutneigh:.3f})")
+    nx, ny, nz = [max(1, int(np.floor(L / (cutneigh * box_margin)))) for L in ell]
+    ncells = nx * ny * nz
+    density = natoms / float(np.prod(ell))
+    mean_per_cell = natoms / ncells
+    cell_cap = int(np.ceil(mean_per_cell * 1.8 + 8))
+    cell_cap = int(np.ceil(cell_cap / 8) * 8)
+    if kmax is None:
+        mean_neigh = density * 4.0 / 3.0 * np.pi * cutneigh**3
+        kmax = int(np.ceil((mean_neigh * 1.35 + 8) / 8) * 8)
+    # chunk size: keep the (block, 27*cell_cap) candidate tensors ~tens of MB
+    block = 1024
+    while block * 2 <= natoms and block * 27 * cell_cap <= 4 * 1024 * 1024:
+        block *= 2
+    return NeighborConfig(
+        cutneigh=float(cutneigh), skin=float(skin), nx=nx, ny=ny, nz=nz,
+        cell_cap=cell_cap, kmax=int(kmax), block=block,
+        every=every, delay=delay, check=check, has_special=has_special,
+    )
+
+
+def _cell_index(x, box: Box, cfg: NeighborConfig):
+    """Per-atom flat cell id, clamped into range."""
+    ell = box.lengths
+    dims = jnp.array([cfg.nx, cfg.ny, cfg.nz])
+    rel = (x - box.lo) / ell * dims
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, dims - 1)
+    return (ci[:, 2] * cfg.ny + ci[:, 1]) * cfg.nx + ci[:, 0], ci
+
+
+def stencil_offsets(cfg: NeighborConfig) -> list[tuple[int, int, int]]:
+    """Per-dim stencil offsets; dims with <3 cells get deduplicated offsets
+    (with n==2 cells, -1 and +1 alias mod n and would double-count pairs)."""
+    def offs(n):
+        return (-1, 0, 1) if n >= 3 else ((0, -1) if n == 2 else (0,))
+    return [(dx, dy, dz)
+            for dz in offs(cfg.nz) for dy in offs(cfg.ny) for dx in offs(cfg.nx)]
+
+
+def _stencil_cells(ci, cfg: NeighborConfig):
+    """(N, S) flat ids of the periodic cell stencil around each atom."""
+    offs = jnp.array(stencil_offsets(cfg), dtype=jnp.int32)  # (S, 3)
+    dims = jnp.array([cfg.nx, cfg.ny, cfg.nz], dtype=jnp.int32)
+    nb = (ci[:, None, :] + offs[None, :, :]) % dims
+    return (nb[:, :, 2] * cfg.ny + nb[:, :, 1]) * cfg.nx + nb[:, :, 0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_neighbors(
+    x: jnp.ndarray,
+    box: Box,
+    cfg: NeighborConfig,
+    special_tags: jnp.ndarray | None = None,
+    special_codes: jnp.ndarray | None = None,
+    tag: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build the padded neighbor matrix.
+
+    x must be wrapped into the box. Returns (idx, sbits, max_count, overflow).
+    special_tags: (N, S) int32 global tags of special neighbors of each atom
+    (0-padded); special_codes: (N, S) their weight codes (1/2/3).
+    """
+    n = x.shape[0]
+    cell_id, ci = _cell_index(x, box, cfg)
+
+    # --- bin atoms into (ncells, cap) tables, padding = n (out of range) ---
+    order = jnp.argsort(cell_id)
+    sorted_cid = cell_id[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    cell_over = jnp.max(rank) >= cfg.cell_cap
+    rank_c = jnp.minimum(rank, cfg.cell_cap - 1)  # overflow drops atoms; flagged
+    cells = jnp.full((cfg.ncells, cfg.cell_cap), n, dtype=jnp.int32)
+    cells = cells.at[sorted_cid, rank_c].set(order.astype(jnp.int32), mode="drop")
+
+    stencil = _stencil_cells(ci, cfg)  # (N, S)
+    nsten = stencil.shape[1]
+    cut2 = jnp.asarray(cfg.cutneigh * cfg.cutneigh, dtype=x.dtype)
+    ell = box.lengths
+    nblocks = -(-n // cfg.block)
+    npad = nblocks * cfg.block
+
+    xp = jnp.concatenate([x, jnp.full((1, 3), 2 * cfg.cutneigh, x.dtype) + box.hi])
+    self_pad = jnp.arange(npad, dtype=jnp.int32)  # row's own index = padding value
+
+    def build_block(args):
+        sten_b, xi_b, self_b = args  # (B,27), (B,3), (B,)
+        cand = cells[sten_b].reshape(sten_b.shape[0], -1)  # (B, 27*cap)
+        xj = xp[cand]  # sentinel n -> far-away point
+        d = xi_b[:, None, :] - xj
+        d = d - ell * jnp.round(d / ell)  # minimum image (orthogonal)
+        r2 = jnp.sum(d * d, axis=-1)
+        ok = (r2 < cut2) & (cand != self_b[:, None]) & (cand < n)
+        pos = jnp.cumsum(ok, axis=1) - 1
+        count = jnp.sum(ok, axis=1)
+        col = jnp.where(ok, jnp.minimum(pos, cfg.kmax), cfg.kmax)
+        row_idx = jnp.broadcast_to(self_b[:, None], cand.shape)
+        out = jnp.broadcast_to(self_b[:, None], (sten_b.shape[0], cfg.kmax + 1))
+        out = out.at[
+            jnp.broadcast_to(jnp.arange(sten_b.shape[0])[:, None], cand.shape), col
+        ].set(jnp.where(ok, cand, row_idx))
+        return out[:, : cfg.kmax], count.astype(jnp.int32)
+
+    pad = npad - n
+    sten_p = jnp.pad(stencil, ((0, pad), (0, 0)))
+    xi_p = jnp.pad(x, ((0, pad), (0, 0)))
+    idx, counts = jax.lax.map(
+        build_block,
+        (
+            sten_p.reshape(nblocks, cfg.block, nsten),
+            xi_p.reshape(nblocks, cfg.block, 3),
+            self_pad.reshape(nblocks, cfg.block),
+        ),
+    )
+    idx = idx.reshape(npad, cfg.kmax)[:n]
+    counts = counts.reshape(npad)[:n]
+    max_count = jnp.max(counts)
+    overflow = cell_over | (max_count > cfg.kmax)
+
+    # --- special-bond weight codes -------------------------------------
+    if cfg.has_special and special_tags is not None:
+        jtags = tag[idx]  # (N, K) global tags of neighbors
+        # code for pair (i, j): match j's tag against i's special list
+        match = jtags[:, :, None] == special_tags[:, None, :]  # (N, K, S)
+        code = jnp.max(
+            jnp.where(match, special_codes[:, None, :], 0), axis=-1
+        ).astype(jnp.int32)
+        sbits = jnp.where(idx == jnp.arange(n)[:, None], 0, code)
+    else:
+        sbits = jnp.zeros_like(idx)
+
+    return idx, sbits, max_count, overflow
+
+
+def displacement_exceeded(x, xhold, box: Box, skin: float) -> jnp.ndarray:
+    """Half-skin trigger check (Neighbor::check_distance,
+    src/neighbor.cpp:2322-2360)."""
+    d = x - xhold
+    # account for possible wrap between build steps via minimum image
+    ell = box.lengths
+    d = d - ell * jnp.round(d / ell)
+    rsq = jnp.sum(d * d, axis=-1)
+    delta = 0.5 * skin
+    return jnp.max(rsq) > delta * delta

@@ -1,0 +1,79 @@
+"""Generic pairwise force/energy/virial driver over padded neighbor matrices.
+
+The TPU replacement for the reference's virtual Pair::compute half-list
+loops (src/pair_lj_cut.cpp:69-140) and its ev_tally/virial machinery
+(src/pair.cpp:893-1360): one vectorized i-centric pass over the (N, K)
+neighbor matrix; forces come from a masked sum over the K axis (no
+scatter), energies and the 6-component virial from masked reductions with
+the 1/2 double-count factor of full lists.  Energy/virial work is gated by
+trace-time flags, matching the reference's eflag/vflag template dispatch.
+
+A pair style plugs in a ``pair_fn(r2, itype, jtype) -> (fpair, evdwl,
+ecoul, fcoul)`` operating on safe (masked) squared distances; ``fpair`` is
+the LAMMPS convention force prefactor f_ij = fpair * (x_i - x_j).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def minimum_image(d, box):
+    ell = box.lengths
+    return d - ell * jnp.round(d / ell)
+
+
+def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
+              eflag: bool, vflag: bool):
+    """Compute (f, evdwl, ecoul, virial6) for a pairwise-additive style.
+
+    special_lj/special_coul: (4,) weight tables indexed by sbits code
+    (code 0 => weight 1.0), or None when no molecular topology exists.
+    """
+    n, k = idx.shape
+    self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+    mask = idx != self_idx
+
+    xj = x[idx]                      # (N, K, 3)
+    d = x[:, None, :] - xj
+    d = minimum_image(d, box)
+    r2 = jnp.sum(d * d, axis=-1)
+    r2safe = jnp.where(mask, r2, jnp.ones_like(r2))
+
+    itype = type_[:, None]
+    jtype = type_[idx]
+    fpair, evdwl, ecoul, fcoul = pair_fn(r2safe, itype, jtype)
+
+    if special_lj is not None:
+        w_lj = jnp.asarray(special_lj, dtype=x.dtype)[sbits]
+        fpair = fpair * w_lj
+        if eflag:
+            evdwl = evdwl * w_lj
+    if fcoul is not None and special_coul is not None:
+        w_c = jnp.asarray(special_coul, dtype=x.dtype)[sbits]
+        fcoul = fcoul * w_c
+        if eflag:
+            ecoul = ecoul * w_c
+    if fcoul is not None:
+        fpair = fpair + fcoul
+
+    fpair = jnp.where(mask, fpair, 0)
+    f = jnp.sum(d * fpair[:, :, None], axis=1)
+
+    e_vdwl = e_coul = None
+    virial = None
+    if eflag:
+        e_vdwl = 0.5 * jnp.sum(jnp.where(mask, evdwl, 0))
+        e_coul = (0.5 * jnp.sum(jnp.where(mask, ecoul, 0))
+                  if ecoul is not None else jnp.zeros((), x.dtype))
+    if vflag:
+        # order matches the reference: xx yy zz xy xz yz
+        virial = 0.5 * jnp.stack([
+            jnp.sum(fpair * d[:, :, 0] * d[:, :, 0]),
+            jnp.sum(fpair * d[:, :, 1] * d[:, :, 1]),
+            jnp.sum(fpair * d[:, :, 2] * d[:, :, 2]),
+            jnp.sum(fpair * d[:, :, 0] * d[:, :, 1]),
+            jnp.sum(fpair * d[:, :, 0] * d[:, :, 2]),
+            jnp.sum(fpair * d[:, :, 1] * d[:, :, 2]),
+        ])
+    return f, e_vdwl, e_coul, virial
