@@ -45,7 +45,8 @@ def main():
     script.run_string(IN_LJ)
     sim = script.sim
     sim.verbose = False
-    sim.thermo_every = 0
+    # fixed segment length so the timed run reuses the compiled scan
+    sim.thermo_every = 100
 
     sim.run(100)  # warmup: compile + first segment
     e_warm = sim.last_thermo["epair"]

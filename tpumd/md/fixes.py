@@ -25,13 +25,17 @@ class Fix:
     def init_state(self, s, ctx):
         return ()
 
+    def segment_inputs(self, nsteps: int, ctx, state):
+        """Optional host-generated per-step inputs (stacked over nsteps)."""
+        return None
+
     def initial_integrate(self, s, fstate, ctx):
         return s, fstate
 
     def post_integrate(self, s, fstate, ctx):
         return s, fstate
 
-    def post_force(self, s, fstate, ctx):
+    def post_force(self, s, fstate, ctx, xin=None):
         return s, fstate
 
     def final_integrate(self, s, fstate, ctx):

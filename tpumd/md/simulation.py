@@ -17,6 +17,7 @@ import numpy as np
 from tpumd.core.state import MDState, wrap_pbc
 from tpumd.md import computes
 from tpumd.md.verlet import StepContext, eval_energies, run_segment
+from tpumd.ops import cellgrid as cg
 from tpumd.ops import neighbor as nb
 from tpumd.utils.units import Units, get_units
 
@@ -31,12 +32,18 @@ class Simulation:
         self.neigh_delay = 10
         self.neigh_check = True
         self.bin_style = "bin"
+        # "matrix" = padded neighbor-index lists (exact reference list
+        # semantics); "cellgrid" = gather-free rolled cell blocks (TPU fast
+        # path); "auto" picks cellgrid on accelerators when eligible
+        self.neighbor_mode = "auto"
 
         self.state: MDState | None = None
         self.mass = None               # (ntypes+1,) numpy
         self.ntypes = 0
         self.pair = None
         self.bonded: list = []
+        self.topology: dict = {}       # kind -> (M, 1+arity) tuple arrays
+        self.bonded_ntypes: dict = {}
         self.kspace = None
         self.fixes: list = []
         self.special_lj = None         # (4,) or None
@@ -61,7 +68,13 @@ class Simulation:
     # ------------------------------------------------------------------ setup
     @property
     def natoms(self) -> int:
-        return int(self.state.x.shape[0]) if self.state is not None else 0
+        if self.state is None:
+            return 0
+        if self._natoms is None:
+            self._natoms = int(jax.device_get(self.state.nlocal))
+        return self._natoms
+
+    _natoms = None
 
     def mass_per_atom_np(self):
         return self.mass[np.asarray(jax.device_get(self.state.type))]
@@ -75,17 +88,40 @@ class Simulation:
         cut = self.pair.max_cutoff if self.pair is not None else 0.0
         return cut
 
+    def _resolve_mode(self) -> str:
+        if self.neighbor_mode != "auto":
+            return self.neighbor_mode
+        eligible = (
+            self.special_tags is None and not self.bonded
+            and self.kspace is None and self.pair is not None
+            and getattr(self.pair, "supports_cellgrid", False)
+        )
+        if eligible and jax.default_backend() != "cpu":
+            return "cellgrid"
+        return "matrix"
+
     def _make_ctx(self) -> StepContext:
         cutneigh = self.max_cutoff() + self.skin
-        cfg = nb.choose_config(
-            self.state.box, cutneigh, self.skin, self.natoms,
-            every=self.neigh_every, delay=self.neigh_delay,
-            check=self.neigh_check,
-            has_special=self.special_tags is not None,
-            kmax=getattr(self, "_kmax_override", None),
-        )
+        mode = self._resolve_mode()
+        if mode == "cellgrid":
+            cfg = cg.choose_cellgrid_config(
+                self.state.box, cutneigh, self.skin, self.natoms,
+                every=self.neigh_every, delay=self.neigh_delay,
+                check=self.neigh_check,
+                cap=getattr(self, "_cap_override", None),
+            )
+        else:
+            cfg = nb.choose_config(
+                self.state.box, cutneigh, self.skin, self.natoms,
+                every=self.neigh_every, delay=self.neigh_delay,
+                check=self.neigh_check,
+                has_special=self.special_tags is not None,
+                kmax=getattr(self, "_kmax_override", None),
+            )
         self._neigh_cfg = cfg
-        mass_table = jnp.asarray(self.mass, dtype=self.dtype)
+        mass_np = np.asarray(self.mass, dtype=np.float64).copy()
+        mass_np[0] = 1.0  # padded slots: finite mass, zero force
+        mass_table = jnp.asarray(mass_np, dtype=self.dtype)
         sl = None if self.special_lj is None else jnp.asarray(
             self.special_lj, dtype=self.dtype)
         sc = None if self.special_coul is None else jnp.asarray(
@@ -102,11 +138,53 @@ class Simulation:
             special_tags=st, special_codes=scod,
         )
 
+    # spatial sort at setup (Atom::sort, src/atom.cpp:2246): affects only
+    # the atom *order*, but sequential host RNG streams (langevin) draw in
+    # that order, so parity with the reference requires replicating it
+    atom_sort = True
+
+    def _sort_atoms_host(self):
+        cutneigh = self.max_cutoff() + self.skin
+        if cutneigh <= 0:
+            return
+        binsize = 0.5 * cutneigh
+        s = self.state
+        x = np.asarray(jax.device_get(s.x), dtype=np.float64)
+        lo = np.asarray(jax.device_get(s.box.lo), dtype=np.float64)
+        hi = np.asarray(jax.device_get(s.box.hi), dtype=np.float64)
+        ell = hi - lo
+        nbin = np.maximum((ell / binsize).astype(int), 1)
+        bininv = nbin / ell
+        c = np.clip(((x - lo) * bininv).astype(int), 0, nbin - 1)
+        ibin = (c[:, 2] * nbin[1] + c[:, 1]) * nbin[0] + c[:, 0]
+        perm = np.argsort(ibin, kind="stable")
+        if np.array_equal(perm, np.arange(len(perm))):
+            return
+        pj = jnp.asarray(perm)
+        self.state = s.replace(
+            x=s.x[pj], v=s.v[pj], f=s.f[pj], type=s.type[pj],
+            tag=s.tag[pj], image=s.image[pj],
+            q=None if s.q is None else s.q[pj],
+            molecule=None if s.molecule is None else s.molecule[pj])
+        if self.special_tags is not None:
+            self.special_tags = self.special_tags[perm]
+            self.special_codes = self.special_codes[perm]
+
     def setup(self):
         """Initial neighbor build + force evaluation (Verlet::setup)."""
         if self.pair is not None:
             self.pair.init()
+        if self.atom_sort:
+            self._sort_atoms_host()
+        row_of_tag = None
+        if self.topology:
+            tags = np.asarray(jax.device_get(self.state.tag))
+            row_of_tag = np.zeros(self.natoms + 1, dtype=np.int64)
+            row_of_tag[tags] = np.arange(self.natoms)
         for b in self.bonded:
+            if b._incidence is None and b.kind in self.topology:
+                b.set_topology(self.natoms, self.topology[b.kind],
+                               row_of_tag)
             b.init()
         if self.kspace is not None:
             self.kspace.init(self)
@@ -114,20 +192,40 @@ class Simulation:
         ctx = self._ctx
 
         s = wrap_pbc(self.state)
-        idx, sbits, max_count, over = nb.build_neighbors(
-            s.x, s.box, ctx.neigh_cfg,
-            special_tags=ctx.special_tags, special_codes=ctx.special_codes,
-            tag=s.tag)
-        neigh = nb.NeighborState(
-            idx=idx, sbits=sbits, xhold=s.x,
-            ago=jnp.zeros((), jnp.int32), nbuilds=jnp.ones((), jnp.int32),
-            overflow=over, max_count=max_count)
+        if ctx.is_cellgrid:
+            cfg = ctx.neigh_cfg
+            s = cg.pad_state(s, cfg.capacity)
+            valid0 = jnp.arange(s.x.shape[0]) < self.natoms
+            perm, valid, max_count, over = cg.bin_permutation(
+                s.x, valid0, s.box, cfg)
+            s = cg.apply_permutation(s, perm, valid)
+            neigh = cg.CellGridState(
+                valid=valid, xhold=s.x,
+                ago=jnp.zeros((), jnp.int32), nbuilds=jnp.ones((), jnp.int32),
+                overflow=over, max_count=max_count)
+        else:
+            idx, sbits, max_count, over = nb.build_neighbors(
+                s.x, s.box, ctx.neigh_cfg,
+                special_tags=ctx.special_tags, special_codes=ctx.special_codes,
+                tag=s.tag)
+            neigh = nb.NeighborState(
+                idx=idx, sbits=sbits, xhold=s.x,
+                ago=jnp.zeros((), jnp.int32), nbuilds=jnp.ones((), jnp.int32),
+                overflow=over, max_count=max_count)
         self._check_overflow(neigh)
 
         f, energies, virial = eval_energies(s, neigh, ctx)
         s = s.replace(f=f)
-        fstates = tuple(fx.init_state(s, ctx) for fx in self.fixes)
-        self._carry = (s, neigh, fstates, jnp.asarray(self.step, jnp.int32))
+        fstates = [fx.init_state(s, ctx) for fx in self.fixes]
+        # the reference applies post_force fixes once during setup
+        # (Verlet::setup -> modify->setup -> FixLangevin::post_force), which
+        # both kicks the step-0 forces and consumes RNG draws
+        for i, fx in enumerate(self.fixes):
+            xin = fx.segment_inputs(1, ctx, s)
+            s, fstates[i] = fx.post_force(
+                s, fstates[i], ctx, None if xin is None else xin[0])
+        self._carry = (s, neigh, tuple(fstates),
+                       jnp.asarray(self.step, jnp.int32))
         self.state = s
         self._last_energies = energies
         self._last_virial = virial
@@ -135,9 +233,9 @@ class Simulation:
     def _check_overflow(self, neigh):
         if bool(jax.device_get(neigh.overflow)):
             raise RuntimeError(
-                "neighbor-list overflow: "
+                "neighbor overflow: "
                 f"max_count={int(jax.device_get(neigh.max_count))} "
-                f"kmax={self._neigh_cfg.kmax} cell_cap={self._neigh_cfg.cell_cap}")
+                f"cfg={self._neigh_cfg}")
 
     # ------------------------------------------------------------------ run
     def run(self, nsteps: int):
@@ -156,25 +254,17 @@ class Simulation:
             else:
                 nxt = target
             seg = nxt - self.step
-            snapshot = self._carry
-            carry = run_segment(self._carry, ctx, seg)
+            xs = self._segment_inputs(seg, ctx)
+            while True:
+                snapshot = self._carry
+                carry = run_segment(self._carry, ctx, seg, xs)
+                if bool(jax.device_get(carry[1].overflow)):
+                    # grow capacities, redo the segment from the snapshot
+                    # (same xs: host RNG streams are not re-drawn)
+                    ctx = self._regrow(snapshot)
+                    continue
+                break
             s, neigh, fstates, istep = carry
-            if bool(jax.device_get(neigh.overflow)):
-                # grow capacities and redo the segment from the snapshot
-                self._kmax_override = int(self._neigh_cfg.kmax * 1.5 + 8)
-                old_neigh_state = snapshot[1]
-                self._ctx = ctx = self._make_ctx()
-                s0 = snapshot[0]
-                idx, sbits, max_count, over = nb.build_neighbors(
-                    wrap_pbc(s0).x, s0.box, ctx.neigh_cfg,
-                    special_tags=ctx.special_tags,
-                    special_codes=ctx.special_codes, tag=s0.tag)
-                neigh0 = old_neigh_state.replace(
-                    idx=idx, sbits=sbits, max_count=max_count,
-                    overflow=over)
-                self._check_overflow(neigh0)
-                self._carry = (s0, neigh0, snapshot[2], snapshot[3])
-                continue
             self._carry = carry
             self.state = s
             self.step = nxt
@@ -182,9 +272,54 @@ class Simulation:
             self._last_energies = energies
             self._last_virial = virial
             self._thermo_line()
-        jax.block_until_ready(self._carry[0].x)
+        # device_get forces completion (block_until_ready is unreliable on
+        # the remote-tunnel TPU backend)
+        jax.device_get(self._carry[0].x[0])
         self.loop_time += time.perf_counter() - t0
         self.loop_steps += nsteps
+
+    def _segment_inputs(self, seg: int, ctx):
+        xs = tuple(fx.segment_inputs(seg, ctx, self._carry[0])
+                   for fx in self.fixes)
+        return None if all(x is None for x in xs) else xs
+
+    def _regrow(self, snapshot):
+        """Grow neighbor capacities after an overflow; rebuild from snapshot."""
+        s0, neigh0, fstates, istep = snapshot
+        if self._ctx.is_cellgrid:
+            cfg = self._neigh_cfg
+            grown = int(np.ceil(max(
+                cfg.cap * 1.5,
+                float(jax.device_get(neigh0.max_count)) * 1.3) / 8) * 8)
+            self._cap_override = grown
+            s0 = cg.compact_state(s0, neigh0.valid, self.natoms)
+            self._ctx = ctx = self._make_ctx()
+            cfg = ctx.neigh_cfg
+            s0 = cg.pad_state(wrap_pbc(s0), cfg.capacity)
+            valid0 = jnp.arange(s0.x.shape[0]) < self.natoms
+            perm, valid, max_count, over = cg.bin_permutation(
+                s0.x, valid0, s0.box, cfg)
+            s0 = cg.apply_permutation(s0, perm, valid)
+            neigh = cg.CellGridState(
+                valid=valid, xhold=s0.x, ago=jnp.zeros((), jnp.int32),
+                nbuilds=neigh0.nbuilds, overflow=over, max_count=max_count)
+        else:
+            self._kmax_override = int(
+                max(self._neigh_cfg.kmax * 1.5,
+                    float(jax.device_get(neigh0.max_count)) * 1.3) + 8)
+            self._ctx = ctx = self._make_ctx()
+            s0 = wrap_pbc(s0)
+            idx, sbits, max_count, over = nb.build_neighbors(
+                s0.x, s0.box, ctx.neigh_cfg,
+                special_tags=ctx.special_tags,
+                special_codes=ctx.special_codes, tag=s0.tag)
+            neigh = neigh0.replace(
+                idx=idx, sbits=sbits, xhold=s0.x,
+                ago=jnp.zeros((), jnp.int32),
+                max_count=max_count, overflow=over)
+        self._check_overflow(neigh)
+        self._carry = (s0, neigh, fstates, istep)
+        return ctx
 
     # ------------------------------------------------------------------ thermo
     def thermo_values(self) -> dict:

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tpumd.core.state import MDState, wrap_pbc
+from tpumd.ops import cellgrid as cg
 from tpumd.ops import neighbor as nb
 from tpumd.utils.units import Units
 
@@ -28,7 +29,7 @@ class StepContext:
 
     units: Units
     dt: float
-    neigh_cfg: nb.NeighborConfig
+    neigh_cfg: nb.NeighborConfig | cg.CellGridConfig
     pair: Any                      # PairStyle or None
     bonded: Sequence[Any]          # bond/angle/dihedral/improper evaluators
     kspace: Any                    # KSpace solver or None
@@ -42,6 +43,10 @@ class StepContext:
     def mass_per_atom(self, s: MDState):
         return self.mass_table[s.type]
 
+    @property
+    def is_cellgrid(self) -> bool:
+        return isinstance(self.neigh_cfg, cg.CellGridConfig)
+
 
 def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                    eflag: bool, vflag: bool):
@@ -53,13 +58,19 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
     virial = jnp.zeros((6,), s.x.dtype) if vflag else None
 
     if ctx.pair is not None:
-        fp, evdwl, ecoul, vir = ctx.pair.compute(
-            s.x, s.type, s.box, neigh.idx, neigh.sbits,
-            ctx.special_lj, ctx.special_coul, eflag, vflag, q=s.q)
+        if ctx.is_cellgrid:
+            fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
+                s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
+                eflag, vflag, q=s.q)
+        else:
+            fp, evdwl, ecoul, vir = ctx.pair.compute(
+                s.x, s.type, s.box, neigh.idx, neigh.sbits,
+                ctx.special_lj, ctx.special_coul, eflag, vflag, q=s.q)
         f = f + fp
         if eflag:
             energies["evdwl"] = evdwl
-            energies["ecoul"] = ecoul
+            if ecoul is not None:
+                energies["ecoul"] = ecoul
         if vflag:
             virial = virial + vir
 
@@ -82,8 +93,21 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
     return f, energies, virial
 
 
-def _rebuild(s: MDState, neigh: nb.NeighborState, ctx: StepContext):
+def _rebuild(s: MDState, neigh, ctx: StepContext):
     s = wrap_pbc(s)
+    if ctx.is_cellgrid:
+        cfg = ctx.neigh_cfg
+        perm, valid, max_count, over = cg.bin_permutation(
+            s.x, neigh.valid, s.box, cfg)
+        s = cg.apply_permutation(s, perm, valid)
+        neigh = cg.CellGridState(
+            valid=valid, xhold=s.x,
+            ago=jnp.zeros((), jnp.int32),
+            nbuilds=neigh.nbuilds + 1,
+            overflow=neigh.overflow | over,
+            max_count=max_count,
+        )
+        return s, neigh
     idx, sbits, max_count, over = nb.build_neighbors(
         s.x, s.box, ctx.neigh_cfg,
         special_tags=ctx.special_tags, special_codes=ctx.special_codes,
@@ -98,20 +122,31 @@ def _rebuild(s: MDState, neigh: nb.NeighborState, ctx: StepContext):
     return s, neigh
 
 
-def decide_rebuild(s: MDState, neigh: nb.NeighborState, cfg: nb.NeighborConfig):
+def decide_rebuild(s: MDState, neigh, ctx: StepContext):
     """Neighbor::decide (src/neighbor.cpp:2293): ago-based schedule + check."""
+    cfg = ctx.neigh_cfg
     ago = neigh.ago
     sched = (ago >= cfg.delay) & (ago % cfg.every == 0)
     if cfg.check:
-        sched = sched & nb.displacement_exceeded(s.x, neigh.xhold, s.box, cfg.skin)
+        if ctx.is_cellgrid:
+            moved = cg.displacement_exceeded(
+                s.x, neigh.xhold, neigh.valid, s.box, cfg.skin)
+        else:
+            moved = nb.displacement_exceeded(
+                s.x, neigh.xhold, s.box, cfg.skin)
+        sched = sched & moved
     return sched
 
 
 def make_step_fn(ctx: StepContext):
-    """Returns step(carry, _) for lax.scan; carry = (s, neigh, fix_states, step)."""
+    """Returns step(carry, xs) for lax.scan; carry = (s, neigh, fix_states,
+    step); xs = per-step per-fix host-generated inputs (e.g. exact RanMars
+    streams), or a tuple of Nones."""
 
-    def step(carry, _):
+    def step(carry, xs):
         s, neigh, fstates, istep = carry
+        if xs is None:
+            xs = tuple(None for _ in ctx.fixes)
 
         fstates = list(fstates)
         for i, fx in enumerate(ctx.fixes):
@@ -120,7 +155,7 @@ def make_step_fn(ctx: StepContext):
             s, fstates[i] = fx.post_integrate(s, fstates[i], ctx)
 
         neigh = neigh.replace(ago=neigh.ago + 1)
-        do_build = decide_rebuild(s, neigh, ctx.neigh_cfg)
+        do_build = decide_rebuild(s, neigh, ctx)
         s, neigh = jax.lax.cond(
             do_build,
             lambda sn: _rebuild(sn[0], sn[1], ctx),
@@ -132,7 +167,7 @@ def make_step_fn(ctx: StepContext):
         s = s.replace(f=f)
 
         for i, fx in enumerate(ctx.fixes):
-            s, fstates[i] = fx.post_force(s, fstates[i], ctx)
+            s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.final_integrate(s, fstates[i], ctx)
         for i, fx in enumerate(ctx.fixes):
@@ -144,9 +179,11 @@ def make_step_fn(ctx: StepContext):
 
 
 @partial(jax.jit, static_argnames=("ctx", "nsteps"))
-def run_segment(carry, ctx: StepContext, nsteps: int):
+def run_segment(carry, ctx: StepContext, nsteps: int, xs=None):
     step = make_step_fn(ctx)
-    carry, _ = jax.lax.scan(step, carry, None, length=nsteps)
+    if xs is None:
+        xs = tuple(None for _ in ctx.fixes)
+    carry, _ = jax.lax.scan(step, carry, xs, length=nsteps)
     return carry
 
 

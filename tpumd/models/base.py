@@ -69,5 +69,14 @@ class PairStyle:
         return pair_sums(x, type_, box, idx, sbits, self.pair_fn,
                          special_lj, special_coul, eflag, vflag)
 
+    # gather-free cell-grid path (TPU); pairwise styles get it for free
+    supports_cellgrid = True
+
+    def compute_cellgrid(self, x, type_, valid, box, cfg,
+                         eflag: bool, vflag: bool, q=None):
+        from tpumd.ops.cellgrid import cellgrid_pair_sums
+        return cellgrid_pair_sums(x, type_, valid, box, cfg, self.pair_fn,
+                                  eflag, vflag)
+
     def table(self, arr, dtype):
         return jnp.asarray(arr, dtype=dtype)

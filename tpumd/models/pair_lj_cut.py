@@ -85,6 +85,17 @@ class PairLJCut(PairStyle):
         )
 
     def pair_fn(self, r2, itype, jtype):
+        if self.ntypes == 1:
+            # scalar coefficients: no table gathers in the hot loop
+            c1, c2_, c3, c4 = (float(self.lj1[1, 1]), float(self.lj2[1, 1]),
+                               float(self.lj3[1, 1]), float(self.lj4[1, 1]))
+            off = float(self.offset[1, 1])
+            inside = r2 < float(self.cutsq[1, 1])
+            r2inv = jnp.where(inside, 1.0, 0.0) / jnp.where(inside, r2, 1.0)
+            r6inv = r2inv * r2inv * r2inv
+            fpair = r6inv * (c1 * r6inv - c2_) * r2inv
+            evdwl = jnp.where(inside, r6inv * (c3 * r6inv - c4) - off, 0.0)
+            return fpair, evdwl, None, None
         lj1, lj2, lj3, lj4, offset, cutsq = self._get_tables(r2.dtype)
         c2 = cutsq[itype, jtype]
         inside = r2 < c2

@@ -20,9 +20,10 @@ from tpumd.core.lattice import Lattice
 from tpumd.core.region import BlockRegion
 from tpumd.core.state import Box, make_state
 from tpumd.core.velocity_cmd import velocity_create_geom
+from tpumd.io.read_data import build_special, read_data
 from tpumd.md.fixes import FixNVE
 from tpumd.md.simulation import Simulation
-from tpumd.models.registry import create_pair_style
+from tpumd.models.registry import create_bonded_style, create_pair_style
 
 
 class ScriptError(RuntimeError):
@@ -310,6 +311,71 @@ class LammpsScript:
 
     def cmd_log(self, a):
         pass
+
+    def cmd_read_data(self, a):
+        path = a[0]
+        if not os.path.isabs(path):
+            path = os.path.join(self.data_dir, path)
+        sim = self._require_sim()
+        d = read_data(path, self.atom_style)
+        sim.ntypes = d.natomtypes
+        sim.mass = d.masses.copy()
+        box = Box.orthogonal(d.box_lo, d.box_hi, dtype=self.dtype)
+        sim.state = make_state(d.x, d.v, d.types, box, q=d.q,
+                               molecule=d.molecule, dtype=self.dtype)
+        sim.state = sim.state.replace(
+            image=jnp.asarray(d.image, dtype=jnp.int32))
+        sim.topology = {}
+        for kind, arr, ntypes in (
+            ("bond", d.bonds, d.nbondtypes),
+            ("angle", d.angles, d.nangletypes),
+            ("dihedral", d.dihedrals, d.ndihedraltypes),
+            ("improper", d.impropers, d.nimpropertypes),
+        ):
+            sim.bonded_ntypes[kind] = ntypes
+            if arr is not None and len(arr):
+                sim.topology[kind] = arr
+        if d.bonds is not None and len(d.bonds):
+            sim.special_tags, sim.special_codes = build_special(
+                d.natoms, d.bonds)
+        self._data = d
+
+    def _add_bonded(self, kind, name):
+        sim = self._require_sim()
+        style = create_bonded_style(kind, name,
+                                    sim.bonded_ntypes.get(kind, 1))
+        # replace existing style of same kind
+        sim.bonded = [b for b in sim.bonded if b.kind != kind] + [style]
+        return style
+
+    def cmd_bond_style(self, a):
+        self._add_bonded("bond", a[0])
+
+    def cmd_angle_style(self, a):
+        self._add_bonded("angle", a[0])
+
+    def cmd_dihedral_style(self, a):
+        self._add_bonded("dihedral", a[0])
+
+    def cmd_improper_style(self, a):
+        self._add_bonded("improper", a[0])
+
+    def _bonded_coeff(self, kind, a):
+        sim = self.sim
+        style = next(b for b in sim.bonded if b.kind == kind)
+        style.coeff(int(a[0]), *[float(v) for v in a[1:]])
+
+    def cmd_bond_coeff(self, a):
+        self._bonded_coeff("bond", a)
+
+    def cmd_angle_coeff(self, a):
+        self._bonded_coeff("angle", a)
+
+    def cmd_dihedral_coeff(self, a):
+        self._bonded_coeff("dihedral", a)
+
+    def cmd_improper_coeff(self, a):
+        self._bonded_coeff("improper", a)
 
     def cmd_special_bonds(self, a):
         sim = self._require_sim()
