@@ -16,3 +16,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: XLA compiles of the big scan graphs take
+# minutes on this 1-core CPU; cache them across test processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -47,11 +47,11 @@ def test_lj_bench_parity():
     sim = script.sim
     v = sim.last_thermo
     assert sim.step == 100
-    assert v["temp"] == pytest.approx(0.7574531, rel=2e-6)
-    assert v["epair"] == pytest.approx(-5.7585055, rel=2e-6)
+    assert v["temp"] == pytest.approx(0.7574531, rel=1e-6)
+    assert v["epair"] == pytest.approx(-5.7585055, rel=1e-6)
     assert v["emol"] == 0.0
-    assert v["etotal"] == pytest.approx(-4.6223613, rel=2e-6)
-    assert v["press"] == pytest.approx(0.20726105, rel=2e-5)
+    assert v["etotal"] == pytest.approx(-4.6223613, rel=1e-6)
+    assert v["press"] == pytest.approx(0.20726105, rel=1e-6)
 
 
 def test_lj_step0_energy_small():

@@ -48,7 +48,8 @@ def test_jenkins_hash_known_value():
         h = 0
         mask = 0xFFFFFFFF
         for b in data:
-            h = (h + b) & mask
+            sb = b - 256 if b >= 128 else b  # C char is signed
+            h = (h + sb) & mask
             h = (h + (h << 10)) & mask
             h ^= h >> 6
         h = (h + (h << 3)) & mask

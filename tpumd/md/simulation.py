@@ -136,6 +136,7 @@ class Simulation:
             fixes=tuple(self.fixes), mass_table=mass_table,
             special_lj=sl, special_coul=sc,
             special_tags=st, special_codes=scod,
+            natoms=self.natoms, tdof=self.dof(),
         )
 
     # spatial sort at setup (Atom::sort, src/atom.cpp:2246): affects only
@@ -217,6 +218,10 @@ class Simulation:
         f, energies, virial = eval_energies(s, neigh, ctx)
         s = s.replace(f=f)
         fstates = [fx.init_state(s, ctx) for fx in self.fixes]
+        for i, fx in enumerate(self.fixes):
+            if getattr(fx, "needs_virial", False):
+                fstates[i] = fx.save_virial(
+                    fstates[i], virial.astype(s.x.dtype))
         # the reference applies post_force fixes once during setup
         # (Verlet::setup -> modify->setup -> FixLangevin::post_force), which
         # both kicks the step-0 forces and consumes RNG draws
@@ -324,21 +329,29 @@ class Simulation:
     # ------------------------------------------------------------------ thermo
     def thermo_values(self) -> dict:
         s, neigh, fstates, _ = self._carry
-        e = {k: float(jax.device_get(v)) for k, v in self._last_energies.items()}
         u = self.units
         dof = self.dof()
+        # one fused device computation + ONE host transfer (tunnel round
+        # trips are expensive on remote TPU backends)
+        ekeys = sorted(self._last_energies)
         mass_pa = jnp.asarray(self.mass, self.dtype)[s.type]
-        t = float(jax.device_get(
-            computes.temperature(s.v, mass_pa, dof, u.boltz, u.mvv2e)))
+        t_dev = computes.temperature(s.v, mass_pa, dof, u.boltz, u.mvv2e)
+        dt_ = s.x.dtype
+        packed = jnp.stack(
+            [t_dev.astype(dt_), s.box.volume.astype(dt_),
+             jnp.sum(self._last_virial[:3]).astype(dt_)]
+            + [self._last_energies[k].astype(dt_) for k in ekeys])
+        vals_h = np.asarray(jax.device_get(packed), dtype=np.float64)
+        t, vol, vir3 = float(vals_h[0]), float(vals_h[1]), float(vals_h[2])
+        e = dict(zip(ekeys, vals_h[3:].tolist()))
         ke = computes.kinetic_energy(t, dof, u.boltz)
-        vol = float(jax.device_get(s.box.volume))
-        press = float(jax.device_get(computes.pressure(
-            t, self._last_virial, vol, dof, u.boltz, u.nktv2p,
-            self.dimension)))
+        press = ((dof * u.boltz * t + vir3)
+                 / (self.dimension * vol) * u.nktv2p)
         epair = e["evdwl"] + e["ecoul"] + e["elong"]
         emol = e["ebond"] + e["eangle"] + e["edihed"] + e["eimp"]
         pe = epair + emol
         norm = self.natoms if self.thermo_norm else 1
+        ell = np.asarray(jax.device_get(s.box.lengths), dtype=np.float64)
         vals = {
             "step": self.step,
             "temp": t,
@@ -349,6 +362,14 @@ class Simulation:
             "etotal": (pe + ke) / norm,
             "press": press,
             "vol": vol,
+            "lx": float(ell[0]), "ly": float(ell[1]), "lz": float(ell[2]),
+            "evdwl": e["evdwl"] / norm, "ecoul": e["ecoul"] / norm,
+            "elong": e["elong"] / norm, "ebond": e["ebond"] / norm,
+            "eangle": e["eangle"] / norm, "edihed": e["edihed"] / norm,
+            "eimp": e["eimp"] / norm,
+            "atoms": self.natoms,
+            "density": (self.units.mv2d
+                        * float(self.mass_per_atom_np().sum()) / vol),
         }
         self.last_thermo = vals
         return vals

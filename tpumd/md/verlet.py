@@ -39,6 +39,8 @@ class StepContext:
     special_coul: Any = None
     special_tags: Any = None       # (N, S) per-atom special tag lists
     special_codes: Any = None
+    natoms: int = 0                # true atom count (excludes padding)
+    tdof: float = 0.0              # thermostat degrees of freedom
 
     def mass_per_atom(self, s: MDState):
         return self.mass_table[s.type]
@@ -75,10 +77,11 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             virial = virial + vir
 
     for style in ctx.bonded:
-        fb, eb, vir = style.compute(s, eflag, vflag)
+        fb, ed, vir = style.compute(s, ctx, eflag, vflag)
         f = f + fb
-        if eflag:
-            energies[style.energy_key] = energies[style.energy_key] + eb
+        if eflag and ed:
+            for key, val in ed.items():
+                energies[key] = energies[key] + val
         if vflag:
             virial = virial + vir
 
@@ -163,8 +166,15 @@ def make_step_fn(ctx: StepContext):
             (s, neigh),
         )
 
-        f, _, _ = compute_forces(s, neigh, ctx, eflag=False, vflag=False)
+        need_virial = any(getattr(fx, "needs_virial", False)
+                          for fx in ctx.fixes)
+        f, _, virial = compute_forces(s, neigh, ctx, eflag=False,
+                                      vflag=need_virial)
         s = s.replace(f=f)
+        if need_virial:
+            for i, fx in enumerate(ctx.fixes):
+                if getattr(fx, "needs_virial", False):
+                    fstates[i] = fx.save_virial(fstates[i], virial)
 
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])

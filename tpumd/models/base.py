@@ -66,8 +66,10 @@ class PairStyle:
 
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
                 eflag: bool, vflag: bool, q=None):
+        ex = getattr(self, "pair_fn_ex", None)
         return pair_sums(x, type_, box, idx, sbits, self.pair_fn,
-                         special_lj, special_coul, eflag, vflag)
+                         special_lj, special_coul, eflag, vflag,
+                         q=q, pair_fn_ex=ex)
 
     # gather-free cell-grid path (TPU); pairwise styles get it for free
     supports_cellgrid = True

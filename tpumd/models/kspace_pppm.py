@@ -1,0 +1,382 @@
+"""PPPM long-range Coulomb solver (particle-particle particle-mesh).
+
+Reimplements the reference's PPPM (src/KSPACE/pppm.cpp) with the same
+parameter model — g_ewald estimation + Newton refinement
+(set_grid_global:980, adjust_gewald), per-dimension ik error
+(estimate_ik_error with the acons table), factorable FFT mesh sizes,
+order-p B-spline charge assignment (compute_rho_coeff/compute_rho1d), the
+ik-differentiated Poisson solve with the hockney-eastwood Green's function
+(compute_gf_ik, gf_denom), and the self/neutralization energy
+corrections — so mesh sizes and energies match the reference.
+
+TPU redesign: the distributed brick->pencil remaps and FFTW calls
+(brick2fft, remap.cpp, fft3d.cpp) collapse into ``jnp.fft.fftn`` on a
+device-resident grid — under a sharded mesh XLA decomposes the FFT and
+inserts the all-to-alls over ICI.  Charge spreading is a scatter-add of
+the (N, order^3) stencil; field gather is its transpose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MY_PIS = 1.77245385090551602729  # sqrt(pi)
+EPS_HOC = 1.0e-7
+
+_ACONS = np.zeros((8, 7))
+_ACONS[1][0] = 2.0 / 3.0
+_ACONS[2][:2] = [1.0 / 50.0, 5.0 / 294.0]
+_ACONS[3][:3] = [1.0 / 588.0, 7.0 / 1440.0, 21.0 / 3872.0]
+_ACONS[4][:4] = [1.0 / 4320.0, 3.0 / 1936.0, 7601.0 / 2271360.0,
+                 143.0 / 28800.0]
+_ACONS[5][:5] = [1.0 / 23232.0, 7601.0 / 13628160.0, 143.0 / 69120.0,
+                 517231.0 / 106536960.0, 106640677.0 / 11737571328.0]
+_ACONS[6][:6] = [691.0 / 68140800.0, 13.0 / 57600.0, 47021.0 / 35512320.0,
+                 9694607.0 / 2095994880.0, 733191589.0 / 59609088000.0,
+                 326190917.0 / 11700633600.0]
+_ACONS[7][:7] = [1.0 / 345600.0, 3617.0 / 35512320.0, 745739.0 / 838397952.0,
+                 56399353.0 / 12773376000.0, 25091609.0 / 1560084480.0,
+                 1755948832039.0 / 36229939200000.0,
+                 4887769399.0 / 37838389248.0]
+
+
+def _factorable(n: int) -> bool:
+    for f in (2, 3, 5):
+        while n % f == 0:
+            n //= f
+    return n == 1
+
+
+def _rho_coeff(order: int):
+    """compute_rho_coeff (src/KSPACE/pppm.cpp): returns (rho (order, order),
+    drho (order, order)) coefficient tables indexed [l][kidx]."""
+    a = np.zeros((order, 2 * order + 1))  # a[l][k+order]
+
+    def A(l, k):
+        return a[l][k + order]
+
+    a[0][0 + order] = 1.0
+    for j in range(1, order):
+        for k in range(-j, j + 1, 2):
+            s = 0.0
+            for l in range(j):
+                a[l + 1][k + order] = (A(l, k + 1) - A(l, k - 1)) / (l + 1)
+                s += (0.5 ** (l + 1)) * (A(l, k - 1)
+                                         + ((-1.0) ** l) * A(l, k + 1)) / (l + 1)
+            a[0][k + order] = s
+
+    rho = np.zeros((order, order))
+    drho = np.zeros((order, order))
+    m = 0
+    for k in range(-(order - 1), order, 2):
+        for l in range(order):
+            rho[l][m] = A(l, k)
+        for l in range(1, order):
+            drho[l - 1][m] = l * A(l, k)
+        m += 1
+    return rho, drho
+
+
+class PPPM:
+    style = "pppm"
+
+    def __init__(self, accuracy_relative: float, order: int = 5):
+        self.accuracy_relative = float(accuracy_relative)
+        self.order = order
+        self.g_ewald = 0.0
+        self.energy_corr = 0.0
+
+    # ---------------------------------------------------------------- init
+    def init(self, sim):
+        u = sim.units
+        self.units = u
+        self.qqrd2e = u.qqr2e
+        q = np.asarray(jax.device_get(sim.state.q), dtype=np.float64)
+        self.qsum = float(q.sum())
+        self.qsqsum = float((q * q).sum())
+        self.q2 = self.qsqsum * self.qqrd2e
+        self.natoms = sim.natoms
+        # two_charge_force (src/kspace.cpp:167)
+        two_charge_force = u.qqr2e
+        self.accuracy = self.accuracy_relative * two_charge_force
+
+        self.cutoff = sim.pair.cut_coul  # real-space coulomb cutoff
+        lo = np.asarray(jax.device_get(sim.state.box.lo), dtype=np.float64)
+        hi = np.asarray(jax.device_get(sim.state.box.hi), dtype=np.float64)
+        self.prd = hi - lo
+        self._set_grid_global()
+        self._adjust_gewald()
+        self._setup_coeffs()
+        sim.pair.g_ewald = self.g_ewald
+
+    def _estimate_ik_error(self, h, prd):
+        acons = _ACONS[self.order]
+        hg = h * self.g_ewald
+        ssum = sum(acons[m] * hg ** (2 * m) for m in range(self.order))
+        return (self.q2 * hg ** self.order
+                * np.sqrt(self.g_ewald * prd * np.sqrt(2 * np.pi)
+                          * ssum / self.natoms) / (prd * prd))
+
+    def _df_kspace(self):
+        lprx = self._estimate_ik_error(self.h[0], self.prd[0])
+        lpry = self._estimate_ik_error(self.h[1], self.prd[1])
+        lprz = self._estimate_ik_error(self.h[2], self.prd[2])
+        return np.sqrt(lprx**2 + lpry**2 + lprz**2) / np.sqrt(3.0)
+
+    def _set_grid_global(self):
+        xprd, yprd, zprd = self.prd
+        acc = self.accuracy
+        g = acc * np.sqrt(self.natoms * self.cutoff * xprd * yprd * zprd) \
+            / (2.0 * self.q2)
+        if g >= 1.0:
+            g = (1.35 - 0.15 * np.log(acc)) / self.cutoff
+        else:
+            g = np.sqrt(-np.log(g)) / self.cutoff
+        self.g_ewald = g
+
+        n = [0, 0, 0]
+        h = [1.0 / g] * 3
+        for d, prd in enumerate(self.prd):
+            n[d] = int(prd / h[d]) + 1
+            h[d] = prd / n[d]
+            err = self._estimate_ik_error(h[d], prd)
+            while err > acc:
+                err = self._estimate_ik_error(h[d], prd)
+                n[d] += 1
+                h[d] = prd / n[d]
+        for d in range(3):
+            while not _factorable(n[d]):
+                n[d] += 1
+            h[d] = self.prd[d] / n[d]
+        self.nx, self.ny, self.nz = n
+        self.h = h
+
+    def _newton_f(self):
+        df_r = (2.0 * self.q2
+                * np.exp(-self.g_ewald**2 * self.cutoff**2)
+                / np.sqrt(self.natoms * self.cutoff
+                          * self.prd[0] * self.prd[1] * self.prd[2]))
+        return df_r - self._df_kspace()
+
+    def _adjust_gewald(self):
+        # literal replication of PPPM::adjust_gewald/derivf: absolute
+        # forward-difference h and the same stopping tolerance, so g_ewald
+        # matches the reference bit-for-bit
+        for _ in range(10000):
+            f = self._newton_f()
+            h = 0.000001
+            g0 = self.g_ewald
+            self.g_ewald = g0 + h
+            f2 = self._newton_f()
+            self.g_ewald = g0
+            deriv = (f2 - f) / h
+            self.g_ewald -= f / deriv
+            if abs(self._newton_f()) < 0.00001:
+                return
+        raise RuntimeError("Could not compute g_ewald")
+
+    def _setup_coeffs(self):
+        order = self.order
+        nx, ny, nz = self.nx, self.ny, self.nz
+        xprd, yprd, zprd = self.prd
+
+        # gf_b (compute_gf_denom)
+        gf_b = np.zeros(order)
+        gf_b[0] = 1.0
+        for m in range(1, order):
+            for l in range(m, 0, -1):
+                gf_b[l] = 4.0 * (gf_b[l] * (l - m) * (l - m - 0.5)
+                                 - gf_b[l - 1] * (l - m - 1) * (l - m - 1))
+            gf_b[0] = 4.0 * (gf_b[0] * (0 - m) * (0 - m - 0.5))
+        ifact = 1
+        for k in range(1, 2 * order):
+            ifact *= k
+        gf_b /= ifact
+        self.gf_b = gf_b
+
+        # wavevectors with aliasing wrap (kper)
+        def pers(n):
+            k = np.arange(n)
+            return k - n * (2 * k // n)
+
+        kx = pers(nx)[None, None, :]
+        ky = pers(ny)[None, :, None]
+        kz = pers(nz)[:, None, :][:, :, None] if False else pers(nz)[:, None, None]
+        unitkx = 2 * np.pi / xprd
+        unitky = 2 * np.pi / yprd
+        unitkz = 2 * np.pi / zprd
+        fkx = unitkx * kx
+        fky = unitky * ky
+        fkz = unitkz * kz
+        self.fkx, self.fky, self.fkz = fkx, fky, fkz
+
+        # Green's function (compute_gf_ik), grid ordered [z][y][x]
+        def powsinxx(arg, n):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(arg == 0.0, 1.0, np.sin(arg) / np.where(arg == 0, 1, arg))
+            return s ** n
+
+        def gf_denom(sx, sy, sz):
+            px = py = pz = 0.0
+            for l in range(order - 1, -1, -1):
+                px = gf_b[l] + px * sx
+                py = gf_b[l] + py * sy
+                pz = gf_b[l] + pz * sz
+            s = px * py * pz
+            return s * s
+
+        nbx = int((self.g_ewald * xprd / (np.pi * nx))
+                  * (-np.log(EPS_HOC)) ** 0.25)
+        nby = int((self.g_ewald * yprd / (np.pi * ny))
+                  * (-np.log(EPS_HOC)) ** 0.25)
+        nbz = int((self.g_ewald * zprd / (np.pi * nz))
+                  * (-np.log(EPS_HOC)) ** 0.25)
+        snx = np.sin(0.5 * unitkx * kx * xprd / nx) ** 2
+        sny = np.sin(0.5 * unitky * ky * yprd / ny) ** 2
+        snz = np.sin(0.5 * unitkz * kz * zprd / nz) ** 2
+        sqk = fkx**2 + fky**2 + fkz**2  # (nz, ny, nx)
+
+        denom = gf_denom(snx, sny, snz)
+        sum1 = np.zeros((nz, ny, nx))
+        two_ord = 2 * order
+        for ox in range(-nbx, nbx + 1):
+            qx = unitkx * (kx + nx * ox)
+            sx = np.exp(-0.25 * (qx / self.g_ewald) ** 2)
+            wx = powsinxx(0.5 * qx * xprd / nx, two_ord)
+            for oy in range(-nby, nby + 1):
+                qy = unitky * (ky + ny * oy)
+                sy = np.exp(-0.25 * (qy / self.g_ewald) ** 2)
+                wy = powsinxx(0.5 * qy * yprd / ny, two_ord)
+                for oz in range(-nbz, nbz + 1):
+                    qz = unitkz * (kz + nz * oz)
+                    sz = np.exp(-0.25 * (qz / self.g_ewald) ** 2)
+                    wz = powsinxx(0.5 * qz * zprd / nz, two_ord)
+                    dot1 = fkx * qx + fky * qy + fkz * qz
+                    dot2 = qx * qx + qy * qy + qz * qz
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        term = np.where(dot2 > 0, dot1 / np.where(dot2 == 0, 1, dot2), 0.0)
+                    sum1 += term * sx * sy * sz * wx * wy * wz
+        with np.errstate(divide="ignore", invalid="ignore"):
+            greens = np.where(sqk != 0.0,
+                              (4 * np.pi / np.where(sqk == 0, 1, sqk))
+                              * sum1 / denom, 0.0)
+        self.greensfn = greens
+
+        # virial coefficients vg (pppm.cpp:452-465)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vterm = np.where(sqk != 0,
+                             -2.0 * (1.0 / np.where(sqk == 0, 1, sqk)
+                                     + 0.25 / (self.g_ewald**2)), 0.0)
+        self.vg = np.stack([
+            np.where(sqk != 0, 1.0 + vterm * fkx * fkx, 0.0),
+            np.where(sqk != 0, 1.0 + vterm * fky * fky, 0.0),
+            np.where(sqk != 0, 1.0 + vterm * fkz * fkz, 0.0),
+            np.where(sqk != 0, vterm * fkx * fky, 0.0),
+            np.where(sqk != 0, vterm * fkx * fkz, 0.0),
+            np.where(sqk != 0, vterm * fky * fkz, 0.0),
+        ])
+
+        rho, drho = _rho_coeff(order)
+        self.rho_c = rho        # (order coeffs, order points)
+        self.drho_c = drho
+        self.nlower = (1 - order) // 2
+        self.shiftone = 0.0 if order % 2 else 0.5
+
+    # -------------------------------------------------------------- compute
+    def compute(self, s, eflag: bool, vflag: bool):
+        dt_ = s.x.dtype
+        nx, ny, nz = self.nx, self.ny, self.nz
+        order = self.order
+        lo = s.box.lo
+        ell = s.box.lengths
+        delinv = jnp.array([nx, ny, nz], dtype=dt_) / ell
+        q = s.q
+
+        # particle_map: for odd order, nearest grid point (shift 0.5)
+        gx = (s.x - lo) * delinv
+        shift = 0.5 if order % 2 else 0.0
+        base = jnp.floor(gx + shift).astype(jnp.int32)
+        # rho1d weights per dim: dx = base + shiftone - gx
+        dxyz = base.astype(dt_) + self.shiftone - gx  # (N, 3)
+
+        rho_c = jnp.asarray(self.rho_c, dt_)
+        pts = []
+        for pt in range(order):
+            acc = jnp.zeros_like(dxyz)
+            for l in range(order - 1, -1, -1):
+                acc = rho_c[l, pt] + acc * dxyz
+            pts.append(acc)
+        w = jnp.stack(pts, axis=1)  # (N, order, 3)
+
+        # scatter charges: grid[z, y, x]
+        offs = self.nlower + np.arange(order)
+        gz = (base[:, 2][:, None] + offs[None, :]) % nz  # (N, order)
+        gy = (base[:, 1][:, None] + offs[None, :]) % ny
+        gx_ = (base[:, 0][:, None] + offs[None, :]) % nx
+        wz = w[:, :, 2][:, :, None, None]
+        wy = w[:, :, 1][:, None, :, None]
+        wx = w[:, :, 0][:, None, None, :]
+        wq = (q[:, None, None, None] * wz * wy * wx).reshape(-1)
+        iz = jnp.broadcast_to(gz[:, :, None, None],
+                              (q.shape[0], order, order, order)).reshape(-1)
+        iy = jnp.broadcast_to(gy[:, None, :, None],
+                              (q.shape[0], order, order, order)).reshape(-1)
+        ix = jnp.broadcast_to(gx_[:, None, None, :],
+                              (q.shape[0], order, order, order)).reshape(-1)
+        grid = jnp.zeros((nz, ny, nx), dt_).at[iz, iy, ix].add(wq)
+
+        # poisson (ik): phi(k) = G(k) rho(k); E = -ik phi
+        rho_k = jnp.fft.fftn(grid.astype(jnp.complex128
+                                         if dt_ == jnp.float64
+                                         else jnp.complex64))
+        greens = jnp.asarray(self.greensfn, dt_)
+        scaleinv = 1.0 / (nx * ny * nz)
+        # density was accumulated per cell; reference scales by inverse
+        # cell volume during brick2fft? No: charge density scaling folds
+        # into qscale below via delvolinv
+        delvol = (ell[0] / nx) * (ell[1] / ny) * (ell[2] / nz)
+        phi_k = rho_k * greens
+
+        fkx = jnp.asarray(self.fkx, dt_)
+        fky = jnp.asarray(self.fky, dt_)
+        fkz = jnp.asarray(self.fkz, dt_)
+        imag = jnp.asarray(1j, phi_k.dtype)
+        ex = jnp.fft.ifftn(-imag * fkx * phi_k).real
+        ey = jnp.fft.ifftn(-imag * fky * phi_k).real
+        ez = jnp.fft.ifftn(-imag * fkz * phi_k).real
+
+        # fieldforce_ik: gather E at atom stencils
+        def gather(fgrid):
+            vals = fgrid[iz, iy, ix].reshape(q.shape[0], order, order, order)
+            return jnp.sum(vals * (wz * wy * wx).reshape(
+                q.shape[0], order, order, order), axis=(1, 2, 3))
+
+        # normalization: the reference stores charge *density* (q/delvol)
+        # and uses unnormalized FFTs with one 1/ngrid factor; with numpy
+        # conventions the field gather needs 1/delvol and the energy/virial
+        # sums reduce to 1/volume (constants verified against the
+        # reference's poisson_ik / fieldforce_ik chain)
+        qscale = self.qqrd2e  # * scale(=1)
+        volume = ell[0] * ell[1] * ell[2]
+        pref = q * (qscale / delvol)
+        f = jnp.stack([gather(ex), gather(ey), gather(ez)], axis=1)
+        f = f * pref[:, None]
+
+        elong = None
+        virial = None
+        if eflag or vflag:
+            rk2 = jnp.abs(rho_k) ** 2
+            if eflag:
+                e = 0.5 * jnp.sum(greens * rk2) / volume
+                e = e - self.g_ewald * self.qsqsum / MY_PIS \
+                    - 0.5 * np.pi * self.qsum**2 \
+                    / (self.g_ewald**2 * volume)
+                elong = qscale * e
+            if vflag:
+                vg = jnp.asarray(self.vg, dt_)
+                virial = 0.5 * qscale * jnp.stack([
+                    jnp.sum(vg[i] * greens * rk2) for i in range(6)
+                ]) / volume
+        return f, elong, virial

@@ -60,11 +60,8 @@ def _num(tok):
 def _ensure_imports():
     # import style modules for their registration side effects
     import tpumd.models.pair_lj_cut  # noqa: F401
-    try:
-        import tpumd.models.pair_eam  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import tpumd.models.bonded  # noqa: F401
-    except ImportError:
-        pass
+    import tpumd.models.pair_eam  # noqa: F401
+    import tpumd.models.pair_charmm  # noqa: F401
+    import tpumd.models.bonded  # noqa: F401
+    import tpumd.models.pair_misc  # noqa: F401
+    import tpumd.models.pair_manybody  # noqa: F401

@@ -84,7 +84,7 @@ def choose_cellgrid_config(box: Box, cutneigh: float, skin: float,
                   for L in ell]
     if cap is None:
         mean = natoms / (nx * ny * nz)
-        cap = int(np.ceil((mean * 1.7 + 5) / 8) * 8)
+        cap = int(np.ceil((mean * 1.45 + 4) / 8) * 8)
     return CellGridConfig(cutneigh=float(cutneigh), skin=float(skin),
                           nx=nx, ny=ny, nz=nz, cap=int(cap),
                           every=every, delay=delay, check=check)

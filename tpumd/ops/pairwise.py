@@ -24,11 +24,14 @@ def minimum_image(d, box):
 
 
 def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
-              eflag: bool, vflag: bool):
+              eflag: bool, vflag: bool, q=None, pair_fn_ex=None):
     """Compute (f, evdwl, ecoul, virial6) for a pairwise-additive style.
 
     special_lj/special_coul: (4,) weight tables indexed by sbits code
     (code 0 => weight 1.0), or None when no molecular topology exists.
+    Styles needing in-kernel special handling (e.g. coul/long's k-space
+    exclusion correction) provide pair_fn_ex(r2, itype, jtype, w_lj,
+    w_coul, qi, qj) instead, returning pre-weighted terms.
     """
     n, k = idx.shape
     self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
@@ -42,20 +45,32 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
 
     itype = type_[:, None]
     jtype = type_[idx]
-    fpair, evdwl, ecoul, fcoul = pair_fn(r2safe, itype, jtype)
-
-    if special_lj is not None:
-        w_lj = jnp.asarray(special_lj, dtype=x.dtype)[sbits]
-        fpair = fpair * w_lj
-        if eflag:
-            evdwl = evdwl * w_lj
-    if fcoul is not None and special_coul is not None:
-        w_c = jnp.asarray(special_coul, dtype=x.dtype)[sbits]
-        fcoul = fcoul * w_c
-        if eflag:
-            ecoul = ecoul * w_c
-    if fcoul is not None:
-        fpair = fpair + fcoul
+    if pair_fn_ex is not None:
+        one = jnp.ones_like(r2safe)
+        w_lj = (jnp.asarray(special_lj, dtype=x.dtype)[sbits]
+                if special_lj is not None else one)
+        w_c = (jnp.asarray(special_coul, dtype=x.dtype)[sbits]
+               if special_coul is not None else one)
+        qi = q[:, None] if q is not None else None
+        qj = q[idx] if q is not None else None
+        fpair, evdwl, ecoul, fcoul = pair_fn_ex(
+            r2safe, itype, jtype, w_lj, w_c, qi, qj)
+        if fcoul is not None:
+            fpair = fpair + fcoul
+    else:
+        fpair, evdwl, ecoul, fcoul = pair_fn(r2safe, itype, jtype)
+        if special_lj is not None:
+            w_lj = jnp.asarray(special_lj, dtype=x.dtype)[sbits]
+            fpair = fpair * w_lj
+            if eflag:
+                evdwl = evdwl * w_lj
+        if fcoul is not None and special_coul is not None:
+            w_c = jnp.asarray(special_coul, dtype=x.dtype)[sbits]
+            fcoul = fcoul * w_c
+            if eflag:
+                ecoul = ecoul * w_c
+        if fcoul is not None:
+            fpair = fpair + fcoul
 
     fpair = jnp.where(mask, fpair, 0)
     f = jnp.sum(d * fpair[:, :, None], axis=1)

@@ -244,8 +244,17 @@ class LammpsScript:
             try:
                 rest.append(float(tok))
             except ValueError:
+                if not os.path.isabs(tok) and os.path.exists(
+                        os.path.join(self.data_dir, tok)):
+                    tok = os.path.join(self.data_dir, tok)
                 rest.append(tok)
         sim.pair.coeff(ilo, ihi, jlo, jhi, *rest)
+        # potentials that carry per-type masses (EAM funcfl/setfl) set them
+        # like the reference does (no explicit mass command needed)
+        pmass = getattr(sim.pair, "mass", None)
+        if pmass is not None:
+            nz = np.nonzero(pmass)[0]
+            sim.mass[nz] = pmass[nz]
 
     def cmd_pair_modify(self, a):
         kw = dict(zip(a[::2], a[1::2]))
@@ -295,21 +304,94 @@ class LammpsScript:
     def cmd_fix(self, a):
         sim = self.sim
         fid, group, style = a[0], a[1], a[2]
+        args = a[3:]
         if style == "nve":
             sim.fixes.append(FixNVE())
         elif style == "langevin":
             from tpumd.md.fix_langevin import FixLangevin
             sim.fixes.append(FixLangevin(
-                t_start=float(a[3]), t_stop=float(a[4]),
-                damp=float(a[5]), seed=int(a[6])))
+                t_start=float(args[0]), t_stop=float(args[1]),
+                damp=float(args[2]), seed=int(args[3])))
+        elif style in ("nvt", "npt", "nph"):
+            sim.fixes.append(self._parse_nh(style, args))
+        elif style == "shake":
+            from tpumd.md.fix_shake import FixShake
+            sim.fixes.append(FixShake.parse(args))
+        elif style in ("momentum", "recenter", "enforce2d"):
+            pass  # harmless no-ops for now
         else:
             raise ScriptError(f"fix style {style} not supported yet")
+
+    def _parse_nh(self, style, args):
+        from tpumd.md.fix_nh import FixNH
+        kw = {}
+        p_flags = [False] * 3
+        p_start = [0.0] * 3
+        p_stop = [0.0] * 3
+        p_period = [0.0] * 3
+        i = 0
+        tchain, pchain, mtk = 3, 3, True
+        iso = False
+        while i < len(args):
+            key = args[i]
+            if key == "temp":
+                kw.update(t_start=float(args[i + 1]), t_stop=float(args[i + 2]),
+                          t_period=float(args[i + 3]))
+                i += 4
+            elif key in ("iso", "aniso"):
+                for d in range(3):
+                    p_flags[d] = True
+                    p_start[d] = float(args[i + 1])
+                    p_stop[d] = float(args[i + 2])
+                    p_period[d] = float(args[i + 3])
+                iso = key == "iso"
+                i += 4
+            elif key in ("x", "y", "z"):
+                d = "xyz".index(key)
+                p_flags[d] = True
+                p_start[d] = float(args[i + 1])
+                p_stop[d] = float(args[i + 2])
+                p_period[d] = float(args[i + 3])
+                i += 4
+            elif key == "tchain":
+                tchain = int(args[i + 1]); i += 2
+            elif key == "pchain":
+                pchain = int(args[i + 1]); i += 2
+            elif key == "mtk":
+                mtk = args[i + 1] == "yes"; i += 2
+            elif key in ("drag", "tloop", "ploop", "nreset", "scalexy",
+                         "scaleyz", "scalexz", "fixedpoint"):
+                i += 2
+            else:
+                raise ScriptError(f"fix {style} keyword {key} not supported")
+        if style in ("npt", "nph") and not any(p_flags):
+            raise ScriptError(f"fix {style} requires a barostat keyword")
+        return FixNH(p_flags=p_flags if any(p_flags) else None,
+                     p_start=p_start, p_stop=p_stop, p_period=p_period,
+                     tchain=tchain, pchain=pchain, mtk=mtk,
+                     couple_iso=iso, **kw)
 
     def cmd_run(self, a):
         self._finalize_atoms()
         self.sim.run(int(a[0]))
 
     def cmd_log(self, a):
+        pass
+
+    def cmd_kspace_style(self, a):
+        sim = self._require_sim()
+        if a[0] == "pppm":
+            from tpumd.models.kspace_pppm import PPPM
+            sim.kspace = PPPM(float(a[1]))
+        elif a[0] == "ewald":
+            from tpumd.models.kspace_ewald import Ewald
+            sim.kspace = Ewald(float(a[1]))
+        elif a[0] == "none":
+            sim.kspace = None
+        else:
+            raise ScriptError(f"kspace_style {a[0]} not supported")
+
+    def cmd_kspace_modify(self, a):
         pass
 
     def cmd_read_data(self, a):

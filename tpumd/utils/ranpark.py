@@ -47,9 +47,12 @@ def jenkins_coord_seed(seed: int, coords: np.ndarray) -> np.ndarray:
     buf[:, :4] = seed_bytes[None, :]
     buf[:, 4:] = coord_bytes
 
+    # the reference hashes through `char*`, which is SIGNED on the target
+    # platforms: bytes >= 0x80 are sign-extended before the uint add
+    signed = buf.view(np.int8).astype(np.int64)
     h = np.zeros(n, dtype=np.uint32)
     for i in range(28):
-        h = h + buf[:, i].astype(np.uint32)
+        h = h + signed[:, i].astype(np.uint32)  # int64 -> uint32 wraps mod 2^32
         h = h + (h << np.uint32(10))
         h = h ^ (h >> np.uint32(6))
     h = h + (h << np.uint32(3))
