@@ -6,7 +6,9 @@ tables; sharding tests use a virtual 8-device CPU mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the harness may preset JAX_PLATFORMS (e.g. to a remote TPU
+# backend), but parity tests need fast native float64
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # in case jax pre-imported
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: XLA compiles of the big scan graphs take
 # minutes on this 1-core CPU; cache them across test processes

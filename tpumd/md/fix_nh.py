@@ -100,10 +100,14 @@ class FixNH(Fix):
         return ctx.units.mvv2e * jnp.sum(m[:, None] * s.v * s.v, axis=0)
 
     def _p_current(self, s, ctx, virial):
-        """Per-axis pressure vector (compute_pressure::compute_vector)."""
+        """Per-axis pressure vector (compute_pressure::compute_vector);
+        with iso coupling all axes use the scalar pressure."""
         vol = s.box.volume
         mvv = self._mvv_vec(s, ctx)
-        return (mvv + virial[:3]) / vol * ctx.units.nktv2p
+        p = (mvv + virial[:3]) / vol * ctx.units.nktv2p
+        if self.iso:
+            p = jnp.full((3,), jnp.sum(p) / 3.0, p.dtype)
+        return p
 
     def _nhc_temp(self, s, fst, ctx, t_current):
         u = ctx.units

@@ -1,0 +1,449 @@
+"""fix shake: SHAKE bond/angle constraints.
+
+Reimplements FixShake (src/RIGID/fix_shake.cpp): constraint clusters of
+2/3/4 atoms (+ the 3-atom angle variant) built once from the bond
+topology, and per-step constraint forces solved from the reference's
+quadratic equations — shake() analytically, shake3/shake4/shake3angle by
+the same fixed-point iteration with per-cluster convergence freezing.
+
+TPU design: clusters are grouped by category into batched index arrays;
+each category is solved vectorized (the iteration is a lax.fori_loop with
+a convergence mask).  Clusters are disjoint, so the constraint-force
+scatter has no collisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpumd.md.fixes import Fix
+from tpumd.ops.pairwise import minimum_image
+
+
+class FixShake(Fix):
+    name = "shake"
+    contributes_virial = True
+
+    def __init__(self, tol, max_iter, output_every=0, b_types=(),
+                 a_types=(), t_types=(), masses=()):
+        self.tol = float(tol)
+        self.max_iter = int(max_iter)
+        self.b_types = set(b_types)
+        self.a_types = set(a_types)
+        self.t_types = set(t_types)
+        self.masses = list(masses)
+        self._built = False
+        self._ndof_removed = 0
+
+    @classmethod
+    def parse(cls, args):
+        tol = float(args[0])
+        max_iter = int(args[1])
+        output = int(args[2])
+        b, a, t, m = [], [], [], []
+        cur = None
+        for tok in args[3:]:
+            if tok in ("b", "a", "t", "m"):
+                cur = {"b": b, "a": a, "t": t, "m": m}[tok]
+            else:
+                cur.append(float(tok) if cur is m else int(tok))
+        return cls(tol, max_iter, output, b, a, t, m)
+
+    @property
+    def dof_removed(self):
+        return self._ndof_removed
+
+    # ------------------------------------------------------------- build
+    def build_clusters(self, sim, row_of_tag):
+        """Identify constraint clusters (FixShake::find_clusters)."""
+        bonds = sim.topology.get("bond")
+        if bonds is None:
+            raise ValueError("fix shake requires bonds")
+        angles = sim.topology.get("angle")
+        mass = sim.mass
+        types = np.asarray(jax.device_get(sim.state.type))
+        bond_style = next(b for b in sim.bonded if b.kind == "bond")
+        angle_style = next((b for b in sim.bonded if b.kind == "angle"), None)
+        r0 = bond_style.r0  # equilibrium distances per bond type
+
+        def mass_match(m):
+            return any(abs(m - mv) <= 0.1 for mv in self.masses)
+
+        # constrained bonds (atom rows); remember data-file rows so the
+        # bonded styles can exclude them (the reference turns constrained
+        # bond/angle types negative so NTopo skips them)
+        cons = []  # (rowA, rowB, btype)
+        self.excl_bond_rows = []
+        for ib, (bt, t1, t2) in enumerate(bonds):
+            a = int(row_of_tag[t1]); b = int(row_of_tag[t2])
+            sel = (int(bt) in self.b_types
+                   or int(types[a]) in self.t_types
+                   or int(types[b]) in self.t_types
+                   or mass_match(mass[types[a]])
+                   or mass_match(mass[types[b]]))
+            if sel:
+                cons.append((a, b, int(bt)))
+                self.excl_bond_rows.append(ib)
+
+        # group by central atom: satellite = the lighter/selected atom
+        by_center: dict[int, list] = {}
+        nbonds_of = {}
+        for a, b, bt in cons:
+            nbonds_of[a] = nbonds_of.get(a, 0) + 1
+            nbonds_of[b] = nbonds_of.get(b, 0) + 1
+        for a, b, bt in cons:
+            center, sat = (a, b) if nbonds_of[a] >= nbonds_of[b] else (b, a)
+            if nbonds_of[a] == nbonds_of[b]:
+                # tie: the heavier atom is central (H is the satellite)
+                center, sat = (a, b) if mass[types[a]] >= mass[types[b]] else (b, a)
+            by_center.setdefault(center, []).append((sat, bt))
+
+        # angle-constrained clusters: central atom with 2 bonds + matching
+        # angle type (water)
+        angle_of_center = {}
+        self.excl_angle_rows = []
+        if angles is not None and self.a_types:
+            th0 = angle_style.theta0
+            for ia, (at, t1, t2, t3) in enumerate(angles):
+                if int(at) in self.a_types:
+                    angle_of_center[int(row_of_tag[t2])] = int(at)
+                    self.excl_angle_rows.append(ia)
+
+        c2, c3, c4, c3a = [], [], [], []
+        ndof = 0
+        for center, sats in by_center.items():
+            if len(sats) == 1:
+                c2.append((center, sats[0][0], sats[0][1]))
+                ndof += 1
+            elif len(sats) == 2:
+                if center in angle_of_center:
+                    c3a.append((center, sats[0][0], sats[1][0],
+                                sats[0][1], sats[1][1],
+                                angle_of_center[center]))
+                    ndof += 3
+                else:
+                    c3.append((center, sats[0][0], sats[1][0],
+                               sats[0][1], sats[1][1]))
+                    ndof += 2
+            elif len(sats) == 3:
+                c4.append((center, sats[0][0], sats[1][0], sats[2][0],
+                           sats[0][1], sats[1][1], sats[2][1]))
+                ndof += 3
+            else:
+                raise ValueError(
+                    f"SHAKE cluster of more than 4 atoms (center {center})")
+        self._ndof_removed = ndof
+
+        bond_dist = np.asarray(r0)
+        if angle_style is not None and self.a_types:
+            th0 = angle_style.theta0  # radians
+        self._c2 = np.asarray(c2, dtype=np.int64).reshape(-1, 3)
+        self._c3 = np.asarray(c3, dtype=np.int64).reshape(-1, 5)
+        self._c4 = np.asarray(c4, dtype=np.int64).reshape(-1, 7)
+        self._c3a = np.asarray(c3a, dtype=np.int64).reshape(-1, 6)
+        self._bond_dist = bond_dist
+        if len(c3a):
+            d01 = bond_dist[self._c3a[:, 3]]
+            d02 = bond_dist[self._c3a[:, 4]]
+            th = th0[self._c3a[:, 5]]
+            self._angle_dist = np.sqrt(
+                d01 * d01 + d02 * d02 - 2.0 * d01 * d02 * np.cos(th))
+        else:
+            self._angle_dist = np.zeros(0)
+        self._built = True
+
+    # ------------------------------------------------------------- solve
+    def init_state(self, s, ctx):
+        return jnp.zeros((6,), s.x.dtype)  # last constraint virial
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        s, virial = self._apply(s, ctx, ctx.dt * ctx.dt * ctx.units.ftm2v)
+        return s, virial  # fstate := the constraint virial
+
+    def setup_post_force(self, s, fstate, ctx, xin=None):
+        # FixShake::shake_end_of_step: setup applies constraints with the
+        # velocity-Verlet HALF prefactor
+        s, virial = self._apply(
+            s, ctx, 0.5 * ctx.dt * ctx.dt * ctx.units.ftm2v)
+        return s, virial
+
+    def _apply(self, s, ctx, dtfsq):
+        dt_ = s.x.dtype
+        u = ctx.units
+        dtv = ctx.dt
+        m = ctx.mass_per_atom(s)
+        invm = 1.0 / m
+        # unconstrained update positions
+        xshake = s.x + dtv * s.v + (dtfsq * invm)[:, None] * s.f
+        f = s.f
+        virial = jnp.zeros((6,), dt_)
+        box = s.box
+
+        def dvec(xa, xb):
+            return minimum_image(xa - xb, box)
+
+        def vtally(virial, lam, r):
+            return virial + jnp.stack([
+                jnp.sum(lam * r[:, 0] * r[:, 0]),
+                jnp.sum(lam * r[:, 1] * r[:, 1]),
+                jnp.sum(lam * r[:, 2] * r[:, 2]),
+                jnp.sum(lam * r[:, 0] * r[:, 1]),
+                jnp.sum(lam * r[:, 0] * r[:, 2]),
+                jnp.sum(lam * r[:, 1] * r[:, 2]),
+            ])
+
+        # ---- 2-atom clusters (analytic) --------------------------------
+        if len(self._c2):
+            i0 = jnp.asarray(self._c2[:, 0])
+            i1 = jnp.asarray(self._c2[:, 1])
+            bond = jnp.asarray(self._bond_dist[self._c2[:, 2]], dt_)
+            r01 = dvec(s.x[i0], s.x[i1])
+            s01 = dvec(xshake[i0], xshake[i1])
+            r01sq = jnp.sum(r01 * r01, -1)
+            s01sq = jnp.sum(s01 * s01, -1)
+            im0 = invm[i0]
+            im1 = invm[i1]
+            a = (im0 + im1) ** 2 * r01sq
+            b = 2.0 * (im0 + im1) * jnp.sum(s01 * r01, -1)
+            c = s01sq - bond * bond
+            determ = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+            sq = jnp.sqrt(determ)
+            l1 = (-b + sq) / (2.0 * a)
+            l2 = (-b - sq) / (2.0 * a)
+            lam = jnp.where(jnp.abs(l1) <= jnp.abs(l2), l1, l2) / dtfsq
+            f = f.at[i0].add(lam[:, None] * r01)
+            f = f.at[i1].add(-lam[:, None] * r01)
+            virial = vtally(virial, lam, r01)
+
+        # ---- 3-atom, two bonds (iterative 2x2) -------------------------
+        if len(self._c3):
+            f, virial = self._solve3(s, xshake, f, virial, invm, dtfsq,
+                                     self._c3[:, :3],
+                                     self._bond_dist[self._c3[:, 3]],
+                                     self._bond_dist[self._c3[:, 4]],
+                                     dvec, vtally)
+
+        # ---- 3-atom + angle constraint (iterative 3x3) -----------------
+        if len(self._c3a):
+            f, virial = self._solve3angle(
+                s, xshake, f, virial, invm, dtfsq,
+                self._c3a[:, :3],
+                self._bond_dist[self._c3a[:, 3]],
+                self._bond_dist[self._c3a[:, 4]],
+                self._angle_dist, dvec, vtally)
+
+        # ---- 4-atom, three bonds (iterative 3x3) -----------------------
+        if len(self._c4):
+            f, virial = self._solve4(s, xshake, f, virial, invm, dtfsq,
+                                     self._c4[:, :4],
+                                     self._bond_dist[self._c4[:, 4]],
+                                     self._bond_dist[self._c4[:, 5]],
+                                     self._bond_dist[self._c4[:, 6]],
+                                     dvec, vtally)
+
+        return s.replace(f=f), virial
+
+    def _iterate(self, quads, binit, ainv, nlam, dtype):
+        """Shared fixed-point iteration with per-cluster freezing."""
+        nc = binit[0].shape[0]
+
+        def body(_, carry):
+            lams, done = carry
+            qvals = [q(lams) for q in quads]
+            bs = [binit[k] - qvals[k] for k in range(nlam)]
+            new = [sum(ainv[k][j] * bs[j] for j in range(nlam))
+                   for k in range(nlam)]
+            conv = jnp.ones((nc,), bool)
+            for k in range(nlam):
+                conv = conv & (jnp.abs(new[k] - lams[k]) <= self.tol)
+            lams = [jnp.where(done, lams[k], new[k]) for k in range(nlam)]
+            return lams, done | conv
+
+        lams = [jnp.zeros((nc,), dtype) for _ in range(nlam)]
+        done = jnp.zeros((nc,), bool)
+        lams, _ = jax.lax.fori_loop(0, self.max_iter, body, (lams, done))
+        return lams
+
+    def _solve3(self, s, xshake, f, virial, invm, dtfsq, idx, d1, d2,
+                dvec, vtally):
+        dt_ = s.x.dtype
+        i0 = jnp.asarray(idx[:, 0]); i1 = jnp.asarray(idx[:, 1])
+        i2 = jnp.asarray(idx[:, 2])
+        bond1 = jnp.asarray(d1, dt_); bond2 = jnp.asarray(d2, dt_)
+        r01 = dvec(s.x[i0], s.x[i1]); r02 = dvec(s.x[i0], s.x[i2])
+        s01 = dvec(xshake[i0], xshake[i1]); s02 = dvec(xshake[i0], xshake[i2])
+        dot = lambda a, b: jnp.sum(a * b, -1)
+        r01sq, r02sq = dot(r01, r01), dot(r02, r02)
+        s01sq, s02sq = dot(s01, s01), dot(s02, s02)
+        im0, im1, im2 = invm[i0], invm[i1], invm[i2]
+        a11 = 2.0 * (im0 + im1) * dot(s01, r01)
+        a12 = 2.0 * im0 * dot(s01, r02)
+        a21 = 2.0 * im0 * dot(s02, r01)
+        a22 = 2.0 * (im0 + im2) * dot(s02, r02)
+        det = a11 * a22 - a12 * a21
+        dinv = 1.0 / det
+        ainv = [[a22 * dinv, -a12 * dinv], [-a21 * dinv, a11 * dinv]]
+        r0102 = dot(r01, r02)
+        q1 = dict(q0101=(im0 + im1) ** 2 * r01sq, q0202=im0 * im0 * r02sq,
+                  q0102=2.0 * (im0 + im1) * im0 * r0102)
+        q2 = dict(q0101=im0 * im0 * r01sq, q0202=(im0 + im2) ** 2 * r02sq,
+                  q0102=2.0 * (im0 + im2) * im0 * r0102)
+
+        quads = [
+            lambda l, q=q1: (q["q0101"] * l[0] * l[0]
+                             + q["q0202"] * l[1] * l[1]
+                             + q["q0102"] * l[0] * l[1]),
+            lambda l, q=q2: (q["q0101"] * l[0] * l[0]
+                             + q["q0202"] * l[1] * l[1]
+                             + q["q0102"] * l[0] * l[1]),
+        ]
+        binit = [bond1 * bond1 - s01sq, bond2 * bond2 - s02sq]
+        l01, l02 = self._iterate(quads, binit, ainv, 2, dt_)
+        l01 = l01 / dtfsq
+        l02 = l02 / dtfsq
+        f = f.at[i0].add(l01[:, None] * r01 + l02[:, None] * r02)
+        f = f.at[i1].add(-l01[:, None] * r01)
+        f = f.at[i2].add(-l02[:, None] * r02)
+        virial = vtally(virial, l01, r01)
+        virial = vtally(virial, l02, r02)
+        return f, virial
+
+    def _solve3angle(self, s, xshake, f, virial, invm, dtfsq, idx,
+                     d1, d2, d12, dvec, vtally):
+        dt_ = s.x.dtype
+        i0 = jnp.asarray(idx[:, 0]); i1 = jnp.asarray(idx[:, 1])
+        i2 = jnp.asarray(idx[:, 2])
+        bond1 = jnp.asarray(d1, dt_); bond2 = jnp.asarray(d2, dt_)
+        bond12 = jnp.asarray(d12, dt_)
+        r01 = dvec(s.x[i0], s.x[i1]); r02 = dvec(s.x[i0], s.x[i2])
+        r12 = dvec(s.x[i1], s.x[i2])
+        s01 = dvec(xshake[i0], xshake[i1]); s02 = dvec(xshake[i0], xshake[i2])
+        s12 = dvec(xshake[i1], xshake[i2])
+        dot = lambda a, b: jnp.sum(a * b, -1)
+        r01sq, r02sq, r12sq = dot(r01, r01), dot(r02, r02), dot(r12, r12)
+        s01sq, s02sq, s12sq = dot(s01, s01), dot(s02, s02), dot(s12, s12)
+        im0, im1, im2 = invm[i0], invm[i1], invm[i2]
+        a11 = 2.0 * (im0 + im1) * dot(s01, r01)
+        a12 = 2.0 * im0 * dot(s01, r02)
+        a13 = -2.0 * im1 * dot(s01, r12)
+        a21 = 2.0 * im0 * dot(s02, r01)
+        a22 = 2.0 * (im0 + im2) * dot(s02, r02)
+        a23 = 2.0 * im2 * dot(s02, r12)
+        a31 = -2.0 * im1 * dot(s12, r01)
+        a32 = 2.0 * im2 * dot(s12, r02)
+        a33 = 2.0 * (im1 + im2) * dot(s12, r12)
+        det = (a11 * a22 * a33 + a12 * a23 * a31 + a13 * a21 * a32
+               - a11 * a23 * a32 - a12 * a21 * a33 - a13 * a22 * a31)
+        dinv = 1.0 / det
+        ainv = [
+            [dinv * (a22 * a33 - a23 * a32), -dinv * (a12 * a33 - a13 * a32),
+             dinv * (a12 * a23 - a13 * a22)],
+            [-dinv * (a21 * a33 - a23 * a31), dinv * (a11 * a33 - a13 * a31),
+             -dinv * (a11 * a23 - a13 * a21)],
+            [dinv * (a21 * a32 - a22 * a31), -dinv * (a11 * a32 - a12 * a31),
+             dinv * (a11 * a22 - a12 * a21)],
+        ]
+        r0102, r0112, r0212 = dot(r01, r02), dot(r01, r12), dot(r02, r12)
+        q1 = (lambda l:
+              (im0 + im1) ** 2 * r01sq * l[0] * l[0]
+              + im0 * im0 * r02sq * l[1] * l[1]
+              + im1 * im1 * r12sq * l[2] * l[2]
+              + 2.0 * (im0 + im1) * im0 * r0102 * l[0] * l[1]
+              - 2.0 * (im0 + im1) * im1 * r0112 * l[0] * l[2]
+              - 2.0 * im0 * im1 * r0212 * l[1] * l[2])
+        q2 = (lambda l:
+              im0 * im0 * r01sq * l[0] * l[0]
+              + (im0 + im2) ** 2 * r02sq * l[1] * l[1]
+              + im2 * im2 * r12sq * l[2] * l[2]
+              + 2.0 * (im0 + im2) * im0 * r0102 * l[0] * l[1]
+              + 2.0 * im0 * im2 * r0112 * l[0] * l[2]
+              + 2.0 * (im0 + im2) * im2 * r0212 * l[1] * l[2])
+        q3 = (lambda l:
+              im1 * im1 * r01sq * l[0] * l[0]
+              + im2 * im2 * r02sq * l[1] * l[1]
+              + (im1 + im2) ** 2 * r12sq * l[2] * l[2]
+              - 2.0 * im1 * im2 * r0102 * l[0] * l[1]
+              - 2.0 * (im1 + im2) * im1 * r0112 * l[0] * l[2]
+              + 2.0 * (im1 + im2) * im2 * r0212 * l[1] * l[2])
+        binit = [bond1 * bond1 - s01sq, bond2 * bond2 - s02sq,
+                 bond12 * bond12 - s12sq]
+        l01, l02, l12 = self._iterate([q1, q2, q3], binit, ainv, 3, dt_)
+        l01 = l01 / dtfsq; l02 = l02 / dtfsq; l12 = l12 / dtfsq
+        f = f.at[i0].add(l01[:, None] * r01 + l02[:, None] * r02)
+        f = f.at[i1].add(-l01[:, None] * r01 + l12[:, None] * r12)
+        f = f.at[i2].add(-l02[:, None] * r02 - l12[:, None] * r12)
+        for lam, r in ((l01, r01), (l02, r02), (l12, r12)):
+            virial = vtally(virial, lam, r)
+        return f, virial
+
+    def _solve4(self, s, xshake, f, virial, invm, dtfsq, idx,
+                d1, d2, d3, dvec, vtally):
+        dt_ = s.x.dtype
+        i0 = jnp.asarray(idx[:, 0]); i1 = jnp.asarray(idx[:, 1])
+        i2 = jnp.asarray(idx[:, 2]); i3 = jnp.asarray(idx[:, 3])
+        b1 = jnp.asarray(d1, dt_); b2 = jnp.asarray(d2, dt_)
+        b3 = jnp.asarray(d3, dt_)
+        r01 = dvec(s.x[i0], s.x[i1]); r02 = dvec(s.x[i0], s.x[i2])
+        r03 = dvec(s.x[i0], s.x[i3])
+        s01 = dvec(xshake[i0], xshake[i1]); s02 = dvec(xshake[i0], xshake[i2])
+        s03 = dvec(xshake[i0], xshake[i3])
+        dot = lambda a, b: jnp.sum(a * b, -1)
+        im0, im1, im2, im3 = invm[i0], invm[i1], invm[i2], invm[i3]
+        a11 = 2.0 * (im0 + im1) * dot(s01, r01)
+        a12 = 2.0 * im0 * dot(s01, r02)
+        a13 = 2.0 * im0 * dot(s01, r03)
+        a21 = 2.0 * im0 * dot(s02, r01)
+        a22 = 2.0 * (im0 + im2) * dot(s02, r02)
+        a23 = 2.0 * im0 * dot(s02, r03)
+        a31 = 2.0 * im0 * dot(s03, r01)
+        a32 = 2.0 * im0 * dot(s03, r02)
+        a33 = 2.0 * (im0 + im3) * dot(s03, r03)
+        det = (a11 * a22 * a33 + a12 * a23 * a31 + a13 * a21 * a32
+               - a11 * a23 * a32 - a12 * a21 * a33 - a13 * a22 * a31)
+        dinv = 1.0 / det
+        ainv = [
+            [dinv * (a22 * a33 - a23 * a32), -dinv * (a12 * a33 - a13 * a32),
+             dinv * (a12 * a23 - a13 * a22)],
+            [-dinv * (a21 * a33 - a23 * a31), dinv * (a11 * a33 - a13 * a31),
+             -dinv * (a11 * a23 - a13 * a21)],
+            [dinv * (a21 * a32 - a22 * a31), -dinv * (a11 * a32 - a12 * a31),
+             dinv * (a11 * a22 - a12 * a21)],
+        ]
+        r01sq, r02sq, r03sq = dot(r01, r01), dot(r02, r02), dot(r03, r03)
+        s01sq, s02sq, s03sq = dot(s01, s01), dot(s02, s02), dot(s03, s03)
+        r0102, r0103, r0203 = dot(r01, r02), dot(r01, r03), dot(r02, r03)
+
+        q1 = (lambda l:
+              (im0 + im1) ** 2 * r01sq * l[0] * l[0]
+              + im0 * im0 * r02sq * l[1] * l[1]
+              + im0 * im0 * r03sq * l[2] * l[2]
+              + 2.0 * (im0 + im1) * im0 * r0102 * l[0] * l[1]
+              + 2.0 * (im0 + im1) * im0 * r0103 * l[0] * l[2]
+              + 2.0 * im0 * im0 * r0203 * l[1] * l[2])
+        q2 = (lambda l:
+              im0 * im0 * r01sq * l[0] * l[0]
+              + (im0 + im2) ** 2 * r02sq * l[1] * l[1]
+              + im0 * im0 * r03sq * l[2] * l[2]
+              + 2.0 * (im0 + im2) * im0 * r0102 * l[0] * l[1]
+              + 2.0 * im0 * im0 * r0103 * l[0] * l[2]
+              + 2.0 * (im0 + im2) * im0 * r0203 * l[1] * l[2])
+        q3 = (lambda l:
+              im0 * im0 * r01sq * l[0] * l[0]
+              + im0 * im0 * r02sq * l[1] * l[1]
+              + (im0 + im3) ** 2 * r03sq * l[2] * l[2]
+              + 2.0 * im0 * im0 * r0102 * l[0] * l[1]
+              + 2.0 * (im0 + im3) * im0 * r0103 * l[0] * l[2]
+              + 2.0 * (im0 + im3) * im0 * r0203 * l[1] * l[2])
+        binit = [b1 * b1 - s01sq, b2 * b2 - s02sq, b3 * b3 - s03sq]
+        l01, l02, l03 = self._iterate([q1, q2, q3], binit, ainv, 3, dt_)
+        l01 = l01 / dtfsq; l02 = l02 / dtfsq; l03 = l03 / dtfsq
+        f = f.at[i0].add(l01[:, None] * r01 + l02[:, None] * r02
+                         + l03[:, None] * r03)
+        f = f.at[i1].add(-l01[:, None] * r01)
+        f = f.at[i2].add(-l02[:, None] * r02)
+        f = f.at[i3].add(-l03[:, None] * r03)
+        for lam, r in ((l01, r01), (l02, r02), (l03, r03)):
+            virial = vtally(virial, lam, r)
+        return f, virial

@@ -182,10 +182,25 @@ class Simulation:
             tags = np.asarray(jax.device_get(self.state.tag))
             row_of_tag = np.zeros(self.natoms + 1, dtype=np.int64)
             row_of_tag[tags] = np.arange(self.natoms)
+        # shake clusters first: constrained bonds/angles are excluded from
+        # the bonded force evaluation (reference: find_clusters negates
+        # their types so topology lists skip them)
+        excl = {"bond": set(), "angle": set()}
+        for fx in self.fixes:
+            if getattr(fx, "name", "") == "shake":
+                # (re)build with the post-sort atom ordering
+                fx.build_clusters(self, row_of_tag)
+                excl["bond"].update(fx.excl_bond_rows)
+                excl["angle"].update(fx.excl_angle_rows)
         for b in self.bonded:
-            if b._incidence is None and b.kind in self.topology:
-                b.set_topology(self.natoms, self.topology[b.kind],
-                               row_of_tag)
+            if b.kind in self.topology:
+                tuples = self.topology[b.kind]
+                if excl.get(b.kind):
+                    keep = [i for i in range(len(tuples))
+                            if i not in excl[b.kind]]
+                    tuples = tuples[keep]
+                # (re)build incidence with the current (post-sort) ordering
+                b.set_topology(self.natoms, tuples, row_of_tag)
             b.init()
         if self.kspace is not None:
             self.kspace.init(self)
@@ -218,17 +233,20 @@ class Simulation:
         f, energies, virial = eval_energies(s, neigh, ctx)
         s = s.replace(f=f)
         fstates = [fx.init_state(s, ctx) for fx in self.fixes]
-        for i, fx in enumerate(self.fixes):
-            if getattr(fx, "needs_virial", False):
-                fstates[i] = fx.save_virial(
-                    fstates[i], virial.astype(s.x.dtype))
         # the reference applies post_force fixes once during setup
         # (Verlet::setup -> modify->setup -> FixLangevin::post_force), which
         # both kicks the step-0 forces and consumes RNG draws
         for i, fx in enumerate(self.fixes):
             xin = fx.segment_inputs(1, ctx, s)
-            s, fstates[i] = fx.post_force(
+            hook = getattr(fx, "setup_post_force", fx.post_force)
+            s, fstates[i] = hook(
                 s, fstates[i], ctx, None if xin is None else xin[0])
+            if getattr(fx, "contributes_virial", False):
+                virial = virial + fstates[i]
+        for i, fx in enumerate(self.fixes):
+            if getattr(fx, "needs_virial", False):
+                fstates[i] = fx.save_virial(
+                    fstates[i], virial.astype(s.x.dtype))
         self._carry = (s, neigh, tuple(fstates),
                        jnp.asarray(self.step, jnp.int32))
         self.state = s
@@ -274,6 +292,9 @@ class Simulation:
             self.state = s
             self.step = nxt
             f, energies, virial = eval_energies(s, neigh, ctx)
+            for i, fx in enumerate(self.fixes):
+                if getattr(fx, "contributes_virial", False):
+                    virial = virial + fstates[i]
             self._last_energies = energies
             self._last_virial = virial
             self._thermo_line()

@@ -171,13 +171,16 @@ def make_step_fn(ctx: StepContext):
         f, _, virial = compute_forces(s, neigh, ctx, eflag=False,
                                       vflag=need_virial)
         s = s.replace(f=f)
+
+        for i, fx in enumerate(ctx.fixes):
+            s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])
+            if need_virial and getattr(fx, "contributes_virial", False):
+                virial = virial + fstates[i]
+
         if need_virial:
             for i, fx in enumerate(ctx.fixes):
                 if getattr(fx, "needs_virial", False):
                     fstates[i] = fx.save_virial(fstates[i], virial)
-
-        for i, fx in enumerate(ctx.fixes):
-            s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.final_integrate(s, fstates[i], ctx)
         for i, fx in enumerate(ctx.fixes):

@@ -167,6 +167,7 @@ class LammpsScript:
         sim = self._require_sim()
         sim.ntypes = ntypes
         sim.mass = np.zeros(ntypes + 1)
+        self._materialize_styles()
 
     def cmd_create_atoms(self, a):
         type_id = int(a[0])
@@ -210,6 +211,20 @@ class LammpsScript:
         kw = dict(zip(opts[::2], opts[1::2]))
         if kw.get("loop", "all") != "geom":
             raise ScriptError("only 'loop geom' velocity creation supported")
+        # fixes already defined remove dof from the temperature used for
+        # rescaling (ComputeTemp::dof_compute counts fix_dof) — shake
+        # clusters must be identified now to know their count
+        fix_dof = 0
+        for fx in sim.fixes:
+            if getattr(fx, "name", "") == "shake" and not fx._built:
+                n = sim.natoms
+                row_of_tag = np.zeros(n + 1, dtype=np.int64)
+                row_of_tag[np.asarray(sim.state.tag)] = np.arange(n)
+                for b in sim.bonded:
+                    if b._incidence is None and b.kind in sim.topology:
+                        b.set_topology(n, sim.topology[b.kind], row_of_tag)
+                fx.build_clusters(sim, row_of_tag)
+            fix_dof += fx.dof_removed
         x = np.asarray(sim.state.x, dtype=np.float64)
         masses = sim.mass[np.asarray(sim.state.type)]
         v = velocity_create_geom(
@@ -218,12 +233,28 @@ class LammpsScript:
             dist=kw.get("dist", "uniform"),
             zero_momentum=kw.get("mom", "yes") == "yes",
             dimension=sim.dimension,
+            extra_dof=sim.dimension + fix_dof,
         )
         sim.state = sim.state.replace(v=jnp.asarray(v, dtype=self.dtype))
 
     def cmd_pair_style(self, a):
         sim = self._require_sim()
-        sim.pair = create_pair_style(a[0], sim.ntypes, a[1:], units=sim.units)
+        if sim.ntypes == 0:
+            self._pending_pair = (a[0], a[1:])  # before box/data: defer
+            sim.pair = None
+        else:
+            sim.pair = create_pair_style(a[0], sim.ntypes, a[1:],
+                                         units=sim.units)
+
+    def _materialize_styles(self):
+        sim = self.sim
+        if getattr(self, "_pending_pair", None) and sim.pair is None:
+            name, args = self._pending_pair
+            sim.pair = create_pair_style(name, sim.ntypes, args,
+                                         units=sim.units)
+        for kind, name in list(getattr(self, "_pending_bonded", {}).items()):
+            self._add_bonded(kind, name)
+        self._pending_bonded = {}
 
     def cmd_pair_coeff(self, a):
         sim = self.sim
@@ -420,6 +451,24 @@ class LammpsScript:
         if d.bonds is not None and len(d.bonds):
             sim.special_tags, sim.special_codes = build_special(
                 d.natoms, d.bonds)
+        self._materialize_styles()
+        # coeff sections embedded in the data file
+        if "Pair Coeffs" in d.coeffs and sim.pair is not None:
+            if hasattr(sim.pair, "coeff_from_data"):
+                sim.pair.coeff_from_data(d.coeffs["Pair Coeffs"])
+            else:
+                for r in d.coeffs["Pair Coeffs"]:
+                    t = int(r[0])
+                    sim.pair.coeff(t, t, t, t,
+                                   *[float(v) for v in r[1:]])
+        for kind, sect in (("bond", "Bond Coeffs"), ("angle", "Angle Coeffs"),
+                           ("dihedral", "Dihedral Coeffs"),
+                           ("improper", "Improper Coeffs")):
+            if sect in d.coeffs:
+                style = next((b for b in sim.bonded if b.kind == kind), None)
+                if style is not None:
+                    for r in d.coeffs[sect]:
+                        style.coeff(int(r[0]), *[float(v) for v in r[1:]])
         self._data = d
 
     def _add_bonded(self, kind, name):
@@ -430,17 +479,28 @@ class LammpsScript:
         sim.bonded = [b for b in sim.bonded if b.kind != kind] + [style]
         return style
 
+    def _bonded_style_cmd(self, kind, name):
+        if name == "none":
+            return
+        sim = self._require_sim()
+        if kind not in sim.bonded_ntypes:   # before read_data: defer
+            if not hasattr(self, "_pending_bonded"):
+                self._pending_bonded = {}
+            self._pending_bonded[kind] = name
+        else:
+            self._add_bonded(kind, name)
+
     def cmd_bond_style(self, a):
-        self._add_bonded("bond", a[0])
+        self._bonded_style_cmd("bond", a[0])
 
     def cmd_angle_style(self, a):
-        self._add_bonded("angle", a[0])
+        self._bonded_style_cmd("angle", a[0])
 
     def cmd_dihedral_style(self, a):
-        self._add_bonded("dihedral", a[0])
+        self._bonded_style_cmd("dihedral", a[0])
 
     def cmd_improper_style(self, a):
-        self._add_bonded("improper", a[0])
+        self._bonded_style_cmd("improper", a[0])
 
     def _bonded_coeff(self, kind, a):
         sim = self.sim
