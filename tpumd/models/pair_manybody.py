@@ -60,10 +60,10 @@ def _read_sw_file(path: str):
             if line:
                 toks.extend(line.split())
     i = 0
-    while i + 17 <= len(toks):
+    while i + 14 <= len(toks):   # 3 element names + 11 parameters
         e1, e2, e3 = toks[i:i + 3]
-        entries[(e1, e2, e3)] = [float(v) for v in toks[i + 3:i + 17]]
-        i += 17
+        entries[(e1, e2, e3)] = [float(v) for v in toks[i + 3:i + 14]]
+        i += 14
     return entries
 
 
