@@ -117,6 +117,7 @@ class Simulation:
                 check=self.neigh_check,
                 has_special=self.special_tags is not None,
                 kmax=getattr(self, "_kmax_override", None),
+                cell_cap=getattr(self, "_cellcap_override", None),
             )
         self._neigh_cfg = cfg
         mass_np = np.asarray(self.mass, dtype=np.float64).copy()
@@ -204,30 +205,45 @@ class Simulation:
             b.init()
         if self.kspace is not None:
             self.kspace.init(self)
-        self._ctx = self._make_ctx()
-        ctx = self._ctx
+        for attempt in range(6):
+            self._ctx = self._make_ctx()
+            ctx = self._ctx
 
-        s = wrap_pbc(self.state)
-        if ctx.is_cellgrid:
-            cfg = ctx.neigh_cfg
-            s = cg.pad_state(s, cfg.capacity)
-            valid0 = jnp.arange(s.x.shape[0]) < self.natoms
-            perm, valid, max_count, over = cg.bin_permutation(
-                s.x, valid0, s.box, cfg)
-            s = cg.apply_permutation(s, perm, valid)
-            neigh = cg.CellGridState(
-                valid=valid, xhold=s.x,
-                ago=jnp.zeros((), jnp.int32), nbuilds=jnp.ones((), jnp.int32),
-                overflow=over, max_count=max_count)
-        else:
-            idx, sbits, max_count, over = nb.build_neighbors(
-                s.x, s.box, ctx.neigh_cfg,
-                special_tags=ctx.special_tags, special_codes=ctx.special_codes,
-                tag=s.tag)
-            neigh = nb.NeighborState(
-                idx=idx, sbits=sbits, xhold=s.x,
-                ago=jnp.zeros((), jnp.int32), nbuilds=jnp.ones((), jnp.int32),
-                overflow=over, max_count=max_count)
+            s = wrap_pbc(self.state)
+            if ctx.is_cellgrid:
+                cfg = ctx.neigh_cfg
+                s = cg.pad_state(s, cfg.capacity)
+                valid0 = jnp.arange(s.x.shape[0]) < self.natoms
+                perm, valid, max_count, over = cg.bin_permutation(
+                    s.x, valid0, s.box, cfg)
+                s = cg.apply_permutation(s, perm, valid)
+                neigh = cg.CellGridState(
+                    valid=valid, xhold=s.x,
+                    ago=jnp.zeros((), jnp.int32),
+                    nbuilds=jnp.ones((), jnp.int32),
+                    overflow=over, max_count=max_count)
+            else:
+                idx, sbits, max_count, over = nb.build_neighbors(
+                    s.x, s.box, ctx.neigh_cfg,
+                    special_tags=ctx.special_tags,
+                    special_codes=ctx.special_codes, tag=s.tag)
+                neigh = nb.NeighborState(
+                    idx=idx, sbits=sbits, xhold=s.x,
+                    ago=jnp.zeros((), jnp.int32),
+                    nbuilds=jnp.ones((), jnp.int32),
+                    overflow=over, max_count=max_count)
+            if not bool(jax.device_get(neigh.overflow)):
+                break
+            # grow capacities from the observed maximum and retry
+            mc = int(jax.device_get(neigh.max_count))
+            if ctx.is_cellgrid:
+                self._cap_override = int(
+                    np.ceil(max(ctx.neigh_cfg.cap * 1.5, mc * 1.3) / 8) * 8)
+            else:
+                self._kmax_override = int(
+                    max(ctx.neigh_cfg.kmax * 1.5, mc * 1.3) + 8)
+                self._cellcap_override = int(
+                    np.ceil(ctx.neigh_cfg.cell_cap * 1.5 / 8) * 8)
         self._check_overflow(neigh)
 
         f, energies, virial = eval_energies(s, neigh, ctx)

@@ -84,6 +84,7 @@ def choose_config(
     delay: int = 0,
     check: bool = True,
     kmax: int | None = None,
+    cell_cap: int | None = None,
     has_special: bool = False,
     box_margin: float = 1.0,
 ) -> NeighborConfig:
@@ -103,8 +104,9 @@ def choose_config(
     ncells = nx * ny * nz
     density = natoms / float(np.prod(ell))
     mean_per_cell = natoms / ncells
-    cell_cap = int(np.ceil(mean_per_cell * 1.8 + 8))
-    cell_cap = int(np.ceil(cell_cap / 8) * 8)
+    if cell_cap is None:
+        cell_cap = int(np.ceil(mean_per_cell * 1.8 + 8))
+        cell_cap = int(np.ceil(cell_cap / 8) * 8)
     if kmax is None:
         mean_neigh = density * 4.0 / 3.0 * np.pi * cutneigh**3
         kmax = int(np.ceil((mean_neigh * 1.35 + 8) / 8) * 8)
