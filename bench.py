@@ -45,16 +45,15 @@ def main():
     script.run_string(IN_LJ)
     sim = script.sim
     sim.verbose = False
-    # fixed segment length so the timed run reuses the compiled scan
-    sim.thermo_every = 100
+    sim.thermo_every = 0  # one compiled segment per run() call
 
-    sim.run(100)  # warmup: compile + first segment
+    nsteps = 500 if on_tpu else 100
+    sim.run(nsteps)  # warmup: compiles the nsteps-long scan
     e_warm = sim.last_thermo["epair"]
     sanity = abs(e_warm + 5.76) < 0.2  # near the reference melt energy
 
     t0 = time.perf_counter()
-    nsteps = 500 if on_tpu else 100
-    sim.run(nsteps)
+    sim.run(nsteps)  # same segment length -> fully cached
     dt = time.perf_counter() - t0
 
     steps_per_s = nsteps / dt
