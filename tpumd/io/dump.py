@@ -1,0 +1,97 @@
+"""Dump writers: trajectory snapshots in LAMMPS text formats.
+
+Reimplements the dump atom/custom/xyz styles (src/dump_atom.cpp,
+dump_custom.cpp) with per-field column selection, sorted output and
+wildcard filenames.  Writers are host-side (invoked at output steps after
+the device sync that thermo already pays).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+class Dump:
+    def __init__(self, dump_id, group, style, every, path, fields=None):
+        self.id = dump_id
+        self.style = style
+        self.every = int(every)
+        self.path = path
+        self.sort = False
+        self.fields = fields or ["id", "type", "x", "y", "z"]
+        if style == "atom":
+            self.fields = ["id", "type", "xs", "ys", "zs"]
+        elif style == "xyz":
+            self.fields = ["type", "x", "y", "z"]
+        self._fh = None
+
+    def modify(self, kw: dict):
+        if kw.get("sort") == "id":
+            self.sort = True
+
+    def _columns(self, sim):
+        s = sim.state
+        x = np.asarray(jax.device_get(s.x), dtype=np.float64)
+        v = np.asarray(jax.device_get(s.v), dtype=np.float64)
+        f = np.asarray(jax.device_get(s.f), dtype=np.float64)
+        tag = np.asarray(jax.device_get(s.tag))
+        typ = np.asarray(jax.device_get(s.type))
+        image = np.asarray(jax.device_get(s.image))
+        lo = np.asarray(jax.device_get(s.box.lo), dtype=np.float64)
+        hi = np.asarray(jax.device_get(s.box.hi), dtype=np.float64)
+        valid = tag > 0
+        order = np.nonzero(valid)[0]
+        if self.sort:
+            order = order[np.argsort(tag[order])]
+        ell = hi - lo
+        cols = {}
+        for name in self.fields:
+            if name == "id":
+                cols[name] = tag[order]
+            elif name == "type":
+                cols[name] = typ[order]
+            elif name in ("x", "y", "z"):
+                cols[name] = x[order, "xyz".index(name)]
+            elif name in ("xs", "ys", "zs"):
+                d = "xyz".index(name[0])
+                cols[name] = (x[order, d] - lo[d]) / ell[d]
+            elif name in ("xu", "yu", "zu"):
+                d = "xyz".index(name[0])
+                cols[name] = x[order, d] + image[order, d] * ell[d]
+            elif name in ("vx", "vy", "vz"):
+                cols[name] = v[order, "xyz".index(name[1])]
+            elif name in ("fx", "fy", "fz"):
+                cols[name] = f[order, "xyz".index(name[1])]
+            elif name in ("ix", "iy", "iz"):
+                cols[name] = image[order, "xyz".index(name[1])]
+            elif name == "q" and s.q is not None:
+                cols[name] = np.asarray(jax.device_get(s.q))[order]
+            elif name == "mol" and s.molecule is not None:
+                cols[name] = np.asarray(jax.device_get(s.molecule))[order]
+            else:
+                raise ValueError(f"dump field {name!r} not supported")
+        return cols, lo, hi, len(order)
+
+    def write(self, sim):
+        cols, lo, hi, n = self._columns(sim)
+        path = self.path.replace("*", str(sim.step))
+        mode = "w" if "*" in self.path or self._fh is None else "a"
+        with open(path, mode if "*" in self.path else "a") as fh:
+            if self.style == "xyz":
+                fh.write(f"{n}\nAtoms. Timestep: {sim.step}\n")
+                for i in range(n):
+                    fh.write(f"{cols['type'][i]} {cols['x'][i]:.8g} "
+                             f"{cols['y'][i]:.8g} {cols['z'][i]:.8g}\n")
+                return
+            fh.write("ITEM: TIMESTEP\n%d\n" % sim.step)
+            fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % n)
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                fh.write(f"{lo[d]:.16e} {hi[d]:.16e}\n")
+            fh.write("ITEM: ATOMS " + " ".join(self.fields) + "\n")
+            mat = np.column_stack([cols[f] for f in self.fields])
+            int_fields = {"id", "type", "mol", "ix", "iy", "iz"}
+            fmt = " ".join("%d" if f in int_fields else "%.8g"
+                           for f in self.fields)
+            np.savetxt(fh, mat, fmt=fmt)

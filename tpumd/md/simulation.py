@@ -52,6 +52,7 @@ class Simulation:
         self.special_codes = None
 
         self.thermo_every = 0          # 0: only first/last
+        self.dumps: list = []
         self.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
         self.thermo_norm = units == "lj"
         self.log_lines: list[str] = []
@@ -284,14 +285,15 @@ class Simulation:
         self._thermo_header()
         self._thermo_line()  # setup thermo at current step
 
+        for d in self.dumps:
+            d.write(self)
         target = self.step + nsteps
         t0 = time.perf_counter()
         while self.step < target:
-            if self.thermo_every > 0:
-                nxt = min(target,
-                          (self.step // self.thermo_every + 1) * self.thermo_every)
-            else:
-                nxt = target
+            nxt = target
+            for every in [self.thermo_every] + [d.every for d in self.dumps]:
+                if every and every > 0:
+                    nxt = min(nxt, (self.step // every + 1) * every)
             seg = nxt - self.step
             xs = self._segment_inputs(seg, ctx)
             while True:
@@ -313,12 +315,51 @@ class Simulation:
                     virial = virial + fstates[i]
             self._last_energies = energies
             self._last_virial = virial
-            self._thermo_line()
+            if self.step == target or (self.thermo_every > 0
+                                       and self.step % self.thermo_every == 0):
+                self._thermo_line()
+            for d in self.dumps:
+                if d.every and self.step % d.every == 0:
+                    d.write(self)
         # device_get forces completion (block_until_ready is unreliable on
         # the remote-tunnel TPU backend)
         jax.device_get(self._carry[0].x[0])
-        self.loop_time += time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        self.loop_time += elapsed
         self.loop_steps += nsteps
+        self._finish_report(elapsed, nsteps)
+
+    def _finish_report(self, elapsed: float, nsteps: int):
+        """End-of-run report (Finish::end, src/finish.cpp:130-160)."""
+        n = self.natoms
+        ndev = 1
+        self._log(f"Loop time of {elapsed:.6g} on {ndev} device "
+                  f"for {nsteps} steps with {n} atoms")
+        if elapsed > 0 and nsteps > 0:
+            sps = nsteps / elapsed
+            matom = sps * n / 1e6
+            u = self.units
+            if u.femtosecond > 0:
+                perday = sps * self.dt * u.femtosecond * 1e-6 * 86400
+                unit_day = f"{perday:.3f} ns/day"
+            else:
+                unit_day = f"{sps * self.dt * 86400:.3f} tau/day"
+            self._log(f"Performance: {unit_day}, {sps:.3f} timesteps/s, "
+                      f"{matom:.3f} Matom-step/s")
+        nb = int(jax.device_get(self._carry[1].nbuilds))
+        self._log(f"Neighbor list builds = {nb - 1}")
+
+    def minimize(self, etol, ftol, maxiter, maxeval):
+        if self._ctx is None:
+            self.setup()
+        from tpumd.md.minimize import minimize as run_min
+        self._thermo_header()
+        self._thermo_line()
+        conv, niter, e0, e1 = run_min(self, etol, ftol, maxiter, maxeval)
+        self._thermo_line()
+        self._log(f"Minimization: {'converged' if conv else 'max iterations'}"
+                  f" after {niter} iterations, E {e0:.10g} -> {e1:.10g}")
+        return conv
 
     def _segment_inputs(self, seg: int, ctx):
         xs = tuple(fx.segment_inputs(seg, ctx, self._carry[0])
@@ -362,6 +403,21 @@ class Simulation:
         self._check_overflow(neigh)
         self._carry = (s0, neigh, fstates, istep)
         return ctx
+
+    def recompute_output(self):
+        """Refresh forces/energies/virial after external state mutation."""
+        if self._ctx is None:
+            return
+        s, neigh, fstates, istep = self._carry
+        f, energies, virial = eval_energies(s, neigh, self._ctx)
+        s = s.replace(f=f)
+        self._carry = (s, neigh, fstates, istep)
+        self.state = s
+        for i, fx in enumerate(self.fixes):
+            if getattr(fx, "contributes_virial", False):
+                virial = virial + fstates[i]
+        self._last_energies = energies
+        self._last_virial = virial
 
     # ------------------------------------------------------------------ thermo
     def thermo_values(self) -> dict:

@@ -404,7 +404,78 @@ class LammpsScript:
 
     def cmd_run(self, a):
         self._finalize_atoms()
-        self.sim.run(int(a[0]))
+        n = int(a[0])
+        if len(a) > 1 and a[1] == "upto":
+            n = max(0, n - self.sim.step)
+        self.sim.run(n)
+
+    def cmd_minimize(self, a):
+        self._finalize_atoms()
+        self.sim.minimize(float(a[0]), float(a[1]), int(a[2]), int(a[3]))
+
+    def cmd_min_style(self, a):
+        self._require_sim().min_style = a[0]  # all map to FIRE currently
+
+    def cmd_min_modify(self, a):
+        pass
+
+    def cmd_dump(self, a):
+        from tpumd.io.dump import Dump
+        sim = self._require_sim()
+        did, group, style, every, path = a[0], a[1], a[2], int(a[3]), a[4]
+        fields = a[5:] if style == "custom" else None
+        path = path if os.path.isabs(path) else os.path.join(
+            self.data_dir, path)
+        sim.dumps.append(Dump(did, group, style, every, path, fields))
+
+    def cmd_dump_modify(self, a):
+        sim = self.sim
+        d = next(dd for dd in sim.dumps if dd.id == a[0])
+        d.modify(dict(zip(a[1::2], a[2::2])))
+
+    def cmd_undump(self, a):
+        sim = self.sim
+        sim.dumps = [d for d in sim.dumps if d.id != a[0]]
+
+    def cmd_write_restart(self, a):
+        from tpumd.io.restart import write_restart
+        path = a[0] if os.path.isabs(a[0]) else os.path.join(
+            self.data_dir, a[0])
+        if self.sim._ctx is None:
+            self._finalize_atoms()
+            self.sim.setup()
+        write_restart(self.sim, path)
+
+    def cmd_read_restart(self, a):
+        from tpumd.io.restart import read_restart
+        path = a[0] if os.path.isabs(a[0]) else os.path.join(
+            self.data_dir, a[0])
+        sim = self._require_sim()
+        read_restart(sim, path)
+        self._materialize_styles()
+
+    def cmd_write_data(self, a):
+        from tpumd.io.restart import write_data
+        path = a[0] if os.path.isabs(a[0]) else os.path.join(
+            self.data_dir, a[0])
+        self._finalize_atoms()
+        write_data(self.sim, path)
+
+    def cmd_reset_timestep(self, a):
+        self.sim.step = int(a[0])
+
+    def cmd_print(self, a):
+        line = " ".join(a).strip('"')
+        print(line, flush=True)
+
+    def cmd_echo(self, a):
+        pass
+
+    def cmd_info(self, a):
+        sim = self.sim
+        if sim is not None:
+            print(f"natoms={sim.natoms} ntypes={sim.ntypes} "
+                  f"step={sim.step} units={sim.units.name}")
 
     def cmd_log(self, a):
         pass
