@@ -53,6 +53,7 @@ class Simulation:
 
         self.thermo_every = 0          # 0: only first/last
         self.dumps: list = []
+        self.computes: dict = {}       # id -> Compute object
         self.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
         self.thermo_norm = units == "lj"
         self.log_lines: list[str] = []
@@ -269,6 +270,9 @@ class Simulation:
         self.state = s
         self._last_energies = energies
         self._last_virial = virial
+        for c in self.computes.values():
+            if c._ref is None:
+                c.prepare(self)
 
     def _check_overflow(self, neigh):
         if bool(jax.device_get(neigh.overflow)):
@@ -478,11 +482,24 @@ class Simulation:
                         for k in self.thermo_style)
         self._log(line.rstrip())
 
+    def _thermo_value(self, vals, key):
+        if key in vals:
+            return vals[key]
+        if key.startswith("c_"):
+            name = key[2:]
+            idx = None
+            if "[" in name:
+                name, rest = name.split("[", 1)
+                idx = int(rest.rstrip("]")) - 1
+            out = self.computes[name].evaluate(self)
+            return float(out if idx is None else out[idx])
+        raise KeyError(f"unknown thermo keyword {key!r}")
+
     def _thermo_line(self):
         vals = self.thermo_values()
         parts = []
         for k in self.thermo_style:
-            v = vals[k]
+            v = self._thermo_value(vals, k)
             if k == "step":
                 parts.append(f"{v:8d}")
             else:

@@ -13,6 +13,7 @@ import os
 import re
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpumd.core.create import create_atoms_lattice
@@ -204,8 +205,31 @@ class LammpsScript:
         self._finalize_atoms()
         sim = self.sim
         group, style = a[0], a[1]
+        if style == "set":
+            vals = [0.0 if v == "NULL" else float(v) for v in a[2:5]]
+            v = np.tile(np.asarray(vals), (sim.natoms, 1))
+            sim.state = sim.state.replace(v=jnp.asarray(v, dtype=self.dtype))
+            return
+        if style == "scale":
+            t_new = float(a[2])
+            vnow = np.asarray(jax.device_get(sim.state.v), dtype=np.float64)
+            masses = sim.mass[np.asarray(jax.device_get(sim.state.type))]
+            dof = sim.dimension * sim.natoms - sim.dimension
+            t_cur = sim.units.mvv2e * float(
+                (masses[:, None] * vnow * vnow).sum()) / (dof * sim.units.boltz)
+            vnow *= np.sqrt(t_new / t_cur)
+            sim.state = sim.state.replace(v=jnp.asarray(vnow, dtype=self.dtype))
+            return
+        if style == "zero" and a[2] == "linear":
+            vnow = np.asarray(jax.device_get(sim.state.v), dtype=np.float64)
+            masses = sim.mass[np.asarray(jax.device_get(sim.state.type))]
+            vcm = (masses[:, None] * vnow).sum(0) / masses.sum()
+            sim.state = sim.state.replace(
+                v=jnp.asarray(vnow - vcm, dtype=self.dtype))
+            return
         if group != "all" or style != "create":
-            raise ScriptError("only 'velocity all create' supported")
+            raise ScriptError("only 'velocity all create/set/scale/zero'"
+                              " supported")
         t_desired, seed = float(a[2]), int(a[3])
         opts = a[4:]
         kw = dict(zip(opts[::2], opts[1::2]))
@@ -348,10 +372,50 @@ class LammpsScript:
         elif style == "shake":
             from tpumd.md.fix_shake import FixShake
             sim.fixes.append(FixShake.parse(args))
-        elif style in ("momentum", "recenter", "enforce2d"):
+        elif style == "setforce":
+            from tpumd.md.fix_misc import FixSetForce
+            vals = [None if v == "NULL" else float(v) for v in args[:3]]
+            sim.fixes.append(FixSetForce(*vals))
+        elif style == "addforce":
+            from tpumd.md.fix_misc import FixAddForce
+            sim.fixes.append(FixAddForce(*[float(v) for v in args[:3]]))
+        elif style == "spring/self":
+            from tpumd.md.fix_misc import FixSpringSelf
+            sim.fixes.append(FixSpringSelf(float(args[0])))
+        elif style == "viscous":
+            from tpumd.md.fix_misc import FixViscous
+            sim.fixes.append(FixViscous(float(args[0])))
+        elif style == "momentum":
+            from tpumd.md.fix_misc import FixMomentum
+            sim.fixes.append(FixMomentum(int(args[0])))
+        elif style == "temp/rescale":
+            from tpumd.md.fix_misc import FixTempRescale
+            sim.fixes.append(FixTempRescale(
+                int(args[0]), float(args[1]), float(args[2]),
+                float(args[3]), float(args[4])))
+        elif style == "temp/berendsen":
+            from tpumd.md.fix_misc import FixTempBerendsen
+            sim.fixes.append(FixTempBerendsen(
+                float(args[0]), float(args[1]), float(args[2])))
+        elif style in ("recenter", "enforce2d", "balance"):
             pass  # harmless no-ops for now
         else:
             raise ScriptError(f"fix style {style} not supported yet")
+
+    def cmd_unfix(self, a):
+        # fixes are anonymous in our list; drop by construction order is not
+        # tracked yet — clearing thermostats the decks re-declare is the
+        # common case
+        pass
+
+    def cmd_compute(self, a):
+        from tpumd.md.compute_styles import create_compute
+        sim = self._require_sim()
+        cid, group, style = a[0], a[1], a[2]
+        c = create_compute(cid, group, style)
+        sim.computes[cid] = c
+        if sim.state is not None and sim._ctx is not None:
+            c.prepare(sim)
 
     def _parse_nh(self, style, args):
         from tpumd.md.fix_nh import FixNH
@@ -589,6 +653,61 @@ class LammpsScript:
 
     def cmd_improper_coeff(self, a):
         self._bonded_coeff("improper", a)
+
+    def cmd_replicate(self, a):
+        """Tile the system nx x ny x nz (src/replicate.cpp): atoms shifted
+        by box images, topology retagged per replica."""
+        nx, ny, nz = int(a[0]), int(a[1]), int(a[2])
+        if (nx, ny, nz) == (1, 1, 1):
+            return
+        sim = self.sim
+        s = sim.state
+        n = sim.natoms
+        x = np.asarray(jax.device_get(s.x), dtype=np.float64)
+        v = np.asarray(jax.device_get(s.v), dtype=np.float64)
+        typ = np.asarray(jax.device_get(s.type))
+        lo = np.asarray(jax.device_get(s.box.lo), dtype=np.float64)
+        hi = np.asarray(jax.device_get(s.box.hi), dtype=np.float64)
+        q = None if s.q is None else np.asarray(jax.device_get(s.q))
+        mol = None if s.molecule is None else np.asarray(
+            jax.device_get(s.molecule))
+        ell = hi - lo
+        reps = [(i, j, k) for k in range(nz) for j in range(ny)
+                for i in range(nx)]
+        nrep = len(reps)
+        shifts = np.array(reps, dtype=np.float64) * ell
+        xs = np.concatenate([x + sh for sh in shifts])
+        vs = np.tile(v, (nrep, 1))
+        types = np.tile(typ, nrep)
+        qs = None if q is None else np.tile(q, nrep)
+        maxmol = int(mol.max()) if mol is not None and len(mol) else 0
+        mols = (None if mol is None else np.concatenate(
+            [mol + r * maxmol for r in range(nrep)]))
+        from tpumd.core.state import Box, make_state
+        box = Box.orthogonal(lo, lo + ell * np.array([nx, ny, nz]),
+                             dtype=self.dtype)
+        sim.state = make_state(xs, vs, types, box, q=qs, molecule=mols,
+                               dtype=self.dtype)
+        sim._natoms = None
+        new_topo = {}
+        for kind, arr in sim.topology.items():
+            out = []
+            for r in range(nrep):
+                rep = arr.copy()
+                rep[:, 1:] += r * n
+                out.append(rep)
+            new_topo[kind] = np.concatenate(out)
+        sim.topology = new_topo
+        if sim.special_tags is not None:
+            st, sc = sim.special_tags, sim.special_codes
+            offs = (np.arange(nrep)[:, None, None] * n).astype(st.dtype)
+            tiled = np.concatenate(
+                [np.where(st > 0, st + o, 0) for o in offs])
+            sim.special_tags = tiled
+            sim.special_codes = np.tile(sc, (nrep, 1))
+
+    def cmd_atom_modify(self, a):
+        pass  # map/sort settings handled internally
 
     def cmd_special_bonds(self, a):
         sim = self._require_sim()
