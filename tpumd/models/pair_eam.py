@@ -270,3 +270,150 @@ class PairEAM(PairStyle):
                 jnp.sum(fpair * d[:, :, 1] * d[:, :, 2]),
             ])
         return f, evdwl, None, virial
+
+
+class _Setfl:
+    """eam/alloy setfl file (PairEAMAlloy::read_file)."""
+
+    def __init__(self, path: str):
+        with open(path) as fh:
+            lines = fh.read().split("\n")
+        toks = " ".join(lines[3:]).split()
+        ne = int(toks[0])
+        self.elements = toks[1:1 + ne]
+        p = 1 + ne
+        self.nrho = int(toks[p]); self.drho = float(toks[p + 1])
+        self.nr = int(toks[p + 2]); self.dr = float(toks[p + 3])
+        self.cut = float(toks[p + 4])
+        p += 5
+        self.mass = np.zeros(ne)
+        self.frho = np.zeros((ne, self.nrho + 1))
+        self.rhor = np.zeros((ne, self.nr + 1))
+        self.z2r = np.zeros((ne, ne, self.nr + 1))
+        for i in range(ne):
+            self.mass[i] = float(toks[p + 1])  # atomic number ignored
+            p += 4
+            self.frho[i, 1:] = [float(v) for v in toks[p:p + self.nrho]]
+            p += self.nrho
+            self.rhor[i, 1:] = [float(v) for v in toks[p:p + self.nr]]
+            p += self.nr
+        for i in range(ne):
+            for j in range(i + 1):
+                self.z2r[i, j, 1:] = [float(v) for v in toks[p:p + self.nr]]
+                self.z2r[j, i] = self.z2r[i, j]
+                p += self.nr
+
+
+@register_pair("eam/alloy")
+class PairEAMAlloy(PairEAM):
+    """eam/alloy: setfl multi-element tables, z2r given directly
+    (src/MANYBODY/pair_eam_alloy.cpp)."""
+
+    name = "eam/alloy"
+
+    def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
+        # 'pair_coeff * * file El1 El2...' maps each type to an element
+        f = _Setfl(str(filename))
+        self._setfl = f
+        elems = [str(e) for e in elems]
+        if len(elems) != self.ntypes:
+            raise ValueError("eam/alloy needs one element name per type")
+        self._typemap = np.zeros(self.ntypes + 1, dtype=np.int32)
+        for t, e in enumerate(elems, start=1):
+            if e not in f.elements:
+                raise ValueError(f"element {e} not in setfl file")
+            self._typemap[t] = f.elements.index(e)
+            self.mass[t] = f.mass[self._typemap[t]]
+            self._setflag[t, t] = True
+
+    def init(self):
+        f = self._setfl
+        self.dr, self.drho = f.dr, f.drho
+        self.nr, self.nrho = f.nr, f.nrho
+        self.rhomax = (f.nrho - 1) * f.drho
+        ne = len(f.elements)
+        self.type2frho = np.zeros(self.ntypes + 1, dtype=np.int32)
+        self.type2rhor = np.zeros((self.ntypes + 1, self.ntypes + 1),
+                                  dtype=np.int32)
+        self.type2z2r = np.zeros_like(self.type2rhor)
+        zidx = np.arange(ne * ne).reshape(ne, ne)
+        for i in range(1, self.ntypes + 1):
+            self.type2frho[i] = self._typemap[i]
+            for j in range(1, self.ntypes + 1):
+                self.type2rhor[i, j] = self._typemap[j]
+                self.type2z2r[i, j] = zidx[self._typemap[i],
+                                           self._typemap[j]]
+        self.frho_spline = np.stack(
+            [_interpolate(f.nrho, f.drho, f.frho[e]) for e in range(ne)])
+        self.rhor_spline = np.stack(
+            [_interpolate(f.nr, f.dr, f.rhor[e]) for e in range(ne)])
+        self.z2r_spline = np.stack(
+            [_interpolate(f.nr, f.dr, f.z2r[i, j])
+             for i in range(ne) for j in range(ne)])
+        self.cutmax = f.cut
+        self.cutforcesq = f.cut * f.cut
+
+
+@register_pair("eam/fs")
+class PairEAMFS(PairEAMAlloy):
+    """eam/fs: like setfl but with per-pair density functions
+    (src/MANYBODY/pair_eam_fs.cpp).  rho_ij tables rhor[i][j]."""
+
+    name = "eam/fs"
+
+    def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
+        f = _SetflFS(str(filename))
+        self._setfl = f
+        elems = [str(e) for e in elems]
+        self._typemap = np.zeros(self.ntypes + 1, dtype=np.int32)
+        for t, e in enumerate(elems, start=1):
+            self._typemap[t] = f.elements.index(e)
+            self.mass[t] = f.mass[self._typemap[t]]
+            self._setflag[t, t] = True
+
+    def init(self):
+        super().init()
+        f = self._setfl
+        ne = len(f.elements)
+        # rhor indexed per (provider j, receiver i): type2rhor[i][j] selects
+        # rho of j as seen by i
+        self.rhor_spline = np.stack(
+            [_interpolate(f.nr, f.dr, f.rhor[i, j])
+             for i in range(ne) for j in range(ne)])
+        ridx = np.arange(ne * ne).reshape(ne, ne)
+        for i in range(1, self.ntypes + 1):
+            for j in range(1, self.ntypes + 1):
+                # density of atom j evaluated for neighbor i
+                self.type2rhor[i, j] = ridx[self._typemap[j],
+                                            self._typemap[i]]
+
+
+class _SetflFS(_Setfl):
+    def __init__(self, path: str):
+        with open(path) as fh:
+            lines = fh.read().split("\n")
+        toks = " ".join(lines[3:]).split()
+        ne = int(toks[0])
+        self.elements = toks[1:1 + ne]
+        p = 1 + ne
+        self.nrho = int(toks[p]); self.drho = float(toks[p + 1])
+        self.nr = int(toks[p + 2]); self.dr = float(toks[p + 3])
+        self.cut = float(toks[p + 4])
+        p += 5
+        self.mass = np.zeros(ne)
+        self.frho = np.zeros((ne, self.nrho + 1))
+        self.rhor = np.zeros((ne, ne, self.nr + 1))
+        self.z2r = np.zeros((ne, ne, self.nr + 1))
+        for i in range(ne):
+            self.mass[i] = float(toks[p + 1])
+            p += 4
+            self.frho[i, 1:] = [float(v) for v in toks[p:p + self.nrho]]
+            p += self.nrho
+            for j in range(ne):
+                self.rhor[i, j, 1:] = [float(v) for v in toks[p:p + self.nr]]
+                p += self.nr
+        for i in range(ne):
+            for j in range(i + 1):
+                self.z2r[i, j, 1:] = [float(v) for v in toks[p:p + self.nr]]
+                self.z2r[j, i] = self.z2r[i, j]
+                p += self.nr
