@@ -45,6 +45,8 @@ class PairLJCut(PairStyle):
             for j in range(i, nt + 1):
                 if not self._setflag[i, j]:
                     if not (self._setflag[i, i] and self._setflag[j, j]):
+                        if getattr(self, "allow_unset", False):
+                            continue
                         raise ValueError(f"All pair coeffs are not set ({i},{j})")
                     self.epsilon[i, j] = self.mix_energy(
                         self.epsilon[i, i], self.epsilon[j, j],

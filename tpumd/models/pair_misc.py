@@ -42,12 +42,22 @@ class _SimpleTablePair(PairStyle):
                 self.cut[i, j] = cut
                 self._setflag[i, j] = True
 
+    allow_unset = False  # hybrid sub-styles own only some type pairs
+
     def init(self):
         nt = self.ntypes
         for i in range(1, nt + 1):
             for j in range(i, nt + 1):
                 if not self._setflag[i, j]:
-                    raise ValueError(f"pair coeffs not set for {i},{j}")
+                    if self._setflag[i, i] and self._setflag[j, j]:
+                        for c in range(self.ncoeff):
+                            self.params[c, i, j] = self.mix_energy(
+                                self.params[c, i, i], self.params[c, j, j],
+                                1.0, 1.0) if c == 0 else 0.5 * (
+                                self.params[c, i, i] + self.params[c, j, j])
+                        self.cut[i, j] = self.cut_global
+                    elif not self.allow_unset:
+                        raise ValueError(f"pair coeffs not set for {i},{j}")
                 self.params[:, j, i] = self.params[:, i, j]
                 self.cut[j, i] = self.cut[i, j]
         self.cutsq = self.cut * self.cut

@@ -65,3 +65,4 @@ def _ensure_imports():
     import tpumd.models.bonded  # noqa: F401
     import tpumd.models.pair_misc  # noqa: F401
     import tpumd.models.pair_manybody  # noqa: F401
+    import tpumd.models.pair_hybrid  # noqa: F401

@@ -660,6 +660,7 @@ class LammpsScript:
         nx, ny, nz = int(a[0]), int(a[1]), int(a[2])
         if (nx, ny, nz) == (1, 1, 1):
             return
+        self._finalize_atoms()
         sim = self.sim
         s = sim.state
         n = sim.natoms
