@@ -439,6 +439,13 @@ class Simulation:
              jnp.sum(self._last_virial[:3]).astype(dt_)]
             + [self._last_energies[k].astype(dt_) for k in ekeys])
         vals_h = np.asarray(jax.device_get(packed), dtype=np.float64)
+        if not np.isfinite(vals_h).all():
+            # the reference's lost-atom / unstable-simulation checks
+            # (Thermo::lost_check, Domain "non-numeric atom coords")
+            raise RuntimeError(
+                f"Non-finite thermodynamics at step {self.step} — "
+                "simulation unstable (bad dynamics, overlapping atoms, or "
+                "too-large timestep)")
         t, vol, vir3 = float(vals_h[0]), float(vals_h[1]), float(vals_h[2])
         e = dict(zip(ekeys, vals_h[3:].tolist()))
         ke = computes.kinetic_energy(t, dof, u.boltz)
