@@ -673,6 +673,11 @@ class LammpsScript:
         mol = None if s.molecule is None else np.asarray(
             jax.device_get(s.molecule))
         ell = hi - lo
+        # unwrap molecules across the old periodic boundaries first
+        # (reference: src/replicate.cpp works on image-unwrapped coords) —
+        # setup's wrap_pbc re-wraps into the enlarged box afterwards
+        image = np.asarray(jax.device_get(s.image))
+        x = x + image * ell
         reps = [(i, j, k) for k in range(nz) for j in range(ny)
                 for i in range(nx)]
         nrep = len(reps)
