@@ -56,6 +56,8 @@ class MDState:
     image: jnp.ndarray   # (N, 3) int32 periodic image flags
     box: Box
     nlocal: jnp.ndarray  # scalar int32: number of valid atoms
+    # group membership bitmask (bit 0 = "all"), reference atom->mask
+    gmask: jnp.ndarray | None = None     # (N,) int32
     # optional per-atom fields (None when the atom style doesn't carry them)
     q: jnp.ndarray | None = None         # charge
     molecule: jnp.ndarray | None = None  # molecule id
@@ -83,6 +85,7 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
         box=Box(lo=box.lo.astype(dtype), hi=box.hi.astype(dtype),
                 tilt=box.tilt.astype(dtype)),
         nlocal=jnp.asarray(n, dtype=jnp.int32),
+        gmask=jnp.ones((n,), dtype=jnp.int32),
         q=None if q is None else jnp.asarray(q, dtype=dtype),
         molecule=None if molecule is None else jnp.asarray(molecule, dtype=jnp.int32),
     )

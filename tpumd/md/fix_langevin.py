@@ -70,6 +70,6 @@ class FixLangevin(Fix):
             fstate = key
         fran = gamma2[:, None] * rand
         fdrag = gamma1[:, None] * s.v
-        valid = (s.type > 0)[:, None]
+        valid = self.group_sel(s)[:, None]
         f = s.f + jnp.where(valid, fdrag + fran, 0)
         return s.replace(f=f), fstate

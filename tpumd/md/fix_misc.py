@@ -33,7 +33,7 @@ class FixSetForce(Fix):
         f = s.f
         for d, val in enumerate(self.target):
             if val is not None:
-                f = f.at[:, d].set(jnp.where(s.type > 0, val, 0.0))
+                f = f.at[:, d].set(jnp.where(self.group_sel(s), val, f[:, d]))
         return s.replace(f=f), fstate
 
 
@@ -45,7 +45,7 @@ class FixAddForce(Fix):
 
     def post_force(self, s, fstate, ctx, xin=None):
         add = jnp.asarray(self.add, s.x.dtype)
-        f = s.f + jnp.where(_valid(s), add[None, :], 0.0)
+        f = s.f + jnp.where(self.group_sel(s)[:, None], add[None, :], 0.0)
         return s.replace(f=f), fstate
 
 
@@ -61,7 +61,7 @@ class FixSpringSelf(Fix):
         return s.x  # x0
 
     def post_force(self, s, fstate, ctx, xin=None):
-        f = s.f - jnp.where(_valid(s), self.k * (s.x - fstate), 0.0)
+        f = s.f - jnp.where(self.group_sel(s)[:, None], self.k * (s.x - fstate), 0.0)
         return s.replace(f=f), fstate
 
 
@@ -74,7 +74,7 @@ class FixViscous(Fix):
         self.gamma = float(gamma)
 
     def post_force(self, s, fstate, ctx, xin=None):
-        f = s.f - jnp.where(_valid(s), self.gamma * s.v, 0.0)
+        f = s.f - jnp.where(self.group_sel(s)[:, None], self.gamma * s.v, 0.0)
         return s.replace(f=f), fstate
 
 

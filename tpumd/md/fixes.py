@@ -21,6 +21,13 @@ class Fix:
     name = "fix"
     dof_removed = 0          # dof this fix removes from the group (e.g. shake)
     thermo_scalar = False    # contributes a scalar energy (fix_modify energy)
+    groupbit = 1             # group membership bit (1 = group "all")
+
+    def group_sel(self, s):
+        """Boolean (N,) mask of atoms this fix acts on."""
+        if self.groupbit == 1:
+            return s.type > 0
+        return (s.gmask & self.groupbit) > 0
 
     def init_state(self, s, ctx):
         return ()
@@ -66,10 +73,17 @@ class FixNVE(Fix):
         dtfm = self._dtfm(ctx, s)
         v = s.v.reshape(-1) + dtfm * s.f.reshape(-1)
         x = s.x.reshape(-1) + ctx.dt * v
+        if self.groupbit != 1:
+            sel = jnp.repeat(self.group_sel(s), 3)
+            v = jnp.where(sel, v, s.v.reshape(-1))
+            x = jnp.where(sel, x, s.x.reshape(-1))
         return s.replace(x=x.reshape(shape), v=v.reshape(shape)), fstate
 
     def final_integrate(self, s, fstate, ctx):
         shape = s.x.shape
         dtfm = self._dtfm(ctx, s)
         v = s.v.reshape(-1) + dtfm * s.f.reshape(-1)
+        if self.groupbit != 1:
+            sel = jnp.repeat(self.group_sel(s), 3)
+            v = jnp.where(sel, v, s.v.reshape(-1))
         return s.replace(v=v.reshape(shape)), fstate

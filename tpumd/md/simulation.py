@@ -54,6 +54,7 @@ class Simulation:
         self.thermo_every = 0          # 0: only first/last
         self.dumps: list = []
         self.computes: dict = {}       # id -> Compute object
+        self.groups: dict = {"all": 1}  # name -> gmask bit
         self.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
         self.thermo_norm = units == "lj"
         self.log_lines: list[str] = []
@@ -168,6 +169,7 @@ class Simulation:
         self.state = s.replace(
             x=s.x[pj], v=s.v[pj], f=s.f[pj], type=s.type[pj],
             tag=s.tag[pj], image=s.image[pj],
+            gmask=None if s.gmask is None else s.gmask[pj],
             q=None if s.q is None else s.q[pj],
             molecule=None if s.molecule is None else s.molecule[pj])
         if self.special_tags is not None:

@@ -135,6 +135,7 @@ def apply_permutation(state: MDState, perm, valid_new) -> MDState:
     return state.replace(
         x=take(state.x), v=take(state.v), f=take(state.f),
         type=take(state.type), tag=take(state.tag), image=take(state.image),
+        gmask=None if state.gmask is None else take(state.gmask),
         q=None if state.q is None else take(state.q),
         molecule=None if state.molecule is None else take(state.molecule),
     )
@@ -158,7 +159,7 @@ def pad_state(state: MDState, capacity: int) -> MDState:
     return state.replace(
         x=pad(state.x), v=pad(state.v), f=pad(state.f),
         type=pad(state.type), tag=pad(state.tag), image=pad(state.image),
-        q=pad(state.q), molecule=pad(state.molecule),
+        gmask=pad(state.gmask), q=pad(state.q), molecule=pad(state.molecule),
     )
 
 
@@ -192,7 +193,8 @@ def compact_state(state: MDState, valid, natoms: int) -> MDState:
     return state.replace(
         x=take(state.x), v=take(state.v), f=take(state.f),
         type=take(state.type), tag=take(state.tag), image=take(state.image),
-        q=take(state.q), molecule=take(state.molecule),
+        gmask=take(state.gmask), q=take(state.q),
+        molecule=take(state.molecule),
     )
 
 

@@ -360,6 +360,18 @@ class LammpsScript:
         sim = self.sim
         fid, group, style = a[0], a[1], a[2]
         args = a[3:]
+        n_before = len(sim.fixes)
+        self._dispatch_fix(sim, style, args)
+        for fx in sim.fixes[n_before:]:
+            if group != "all":
+                if group not in sim.groups:
+                    raise ScriptError(f"undefined group {group!r}")
+                if style in ("nvt", "npt", "nph", "shake"):
+                    raise ScriptError(
+                        f"fix {style} on a subgroup not supported yet")
+                fx.groupbit = sim.groups[group]
+
+    def _dispatch_fix(self, sim, style, args):
         if style == "nve":
             sim.fixes.append(FixNVE())
         elif style == "langevin":
@@ -407,6 +419,44 @@ class LammpsScript:
         # tracked yet — clearing thermostats the decks re-declare is the
         # common case
         pass
+
+    def cmd_group(self, a):
+        """group name type/region/id selectors -> gmask bit
+        (reference: src/group.cpp, bits in atom->mask)."""
+        self._finalize_atoms()
+        sim = self.sim
+        name, style = a[0], a[1]
+        if name in sim.groups:
+            bit = sim.groups[name]
+        else:
+            bit = 1 << len(sim.groups)
+            sim.groups[name] = bit
+        typ = np.asarray(jax.device_get(sim.state.type))
+        tag = np.asarray(jax.device_get(sim.state.tag))
+        sel = np.zeros(typ.shape, dtype=bool)
+        if style == "type":
+            for tok in a[2:]:
+                if ":" in tok:
+                    lo, hi = tok.split(":")
+                    sel |= (typ >= int(lo)) & (typ <= int(hi))
+                else:
+                    sel |= typ == int(tok)
+        elif style == "id":
+            for tok in a[2:]:
+                if ":" in tok:
+                    lo, hi = tok.split(":")[:2]
+                    sel |= (tag >= int(lo)) & (tag <= int(hi))
+                else:
+                    sel |= tag == int(tok)
+        elif style == "region":
+            reg = self.regions[a[2]]
+            x = np.asarray(jax.device_get(sim.state.x), dtype=np.float64)
+            sel = reg.inside(x)
+        else:
+            raise ScriptError(f"group style {style} not supported")
+        gm = np.asarray(jax.device_get(sim.state.gmask)).copy()
+        gm[sel] |= bit
+        sim.state = sim.state.replace(gmask=jnp.asarray(gm, dtype=jnp.int32))
 
     def cmd_compute(self, a):
         from tpumd.md.compute_styles import create_compute
