@@ -354,6 +354,47 @@ class Simulation:
                       f"{matom:.3f} Matom-step/s")
         nb = int(jax.device_get(self._carry[1].nbuilds))
         self._log(f"Neighbor list builds = {nb - 1}")
+        if getattr(self, "timer_full", False):
+            self._timer_breakdown(elapsed, nsteps)
+
+    def _timer_breakdown(self, elapsed, nsteps):
+        """Approximate per-category timing (Timer/Finish, src/timer.h:23-44):
+        times the force and neighbor stages in isolation (cached compiles)
+        and attributes the remainder to integrate/fix/other."""
+        from tpumd.md.verlet import compute_forces
+        s, neigh, fstates, _ = self._carry
+        ctx = self._ctx
+
+        def timeit(fn, reps=5):
+            out = fn()
+            jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn()
+            jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
+            return (time.perf_counter() - t0) / reps
+
+        force_fn = jax.jit(lambda st, ne: compute_forces(st, ne, ctx,
+                                                         False, False)[0])
+        t_force = timeit(lambda: force_fn(s, neigh))
+        if ctx.is_cellgrid:
+            build_fn = jax.jit(lambda x, v: cg.bin_permutation(
+                x, v, s.box, ctx.neigh_cfg)[0])
+            t_build = timeit(lambda: build_fn(s.x, neigh.valid))
+        else:
+            build_fn = jax.jit(lambda x: nb.build_neighbors(
+                x, s.box, ctx.neigh_cfg, special_tags=ctx.special_tags,
+                special_codes=ctx.special_codes, tag=s.tag)[0])
+            t_build = timeit(lambda: build_fn(s.x))
+        nbuilds = max(int(jax.device_get(neigh.nbuilds)) - 1, 0)
+        per_step = elapsed / max(nsteps, 1)
+        pair_pct = 100 * t_force / per_step
+        neigh_pct = 100 * t_build * nbuilds / max(nsteps, 1) / per_step
+        other = max(0.0, 100 - pair_pct - neigh_pct)
+        self._log(f"Timing breakdown (approx): Pair {pair_pct:.1f}% | "
+                  f"Neigh {neigh_pct:.1f}% | Integrate/Fix/Other "
+                  f"{other:.1f}%  (force {t_force*1e3:.3f} ms/eval, "
+                  f"build {t_build*1e3:.3f} ms)")
 
     def minimize(self, etol, ftol, maxiter, maxeval):
         if self._ctx is None:

@@ -591,6 +591,10 @@ class LammpsScript:
             print(f"natoms={sim.natoms} ntypes={sim.ntypes} "
                   f"step={sim.step} units={sim.units.name}")
 
+    def cmd_timer(self, a):
+        if a and a[0] == "full":
+            self._require_sim().timer_full = True
+
     def cmd_log(self, a):
         pass
 
