@@ -90,12 +90,24 @@ class LammpsScript:
             return self._var_value(name)
         return re.sub(r"\$\{(\w+)\}|\$(\w)", repl, line)
 
+    _THERMO_VARS = ("etotal", "epair", "emol", "press", "temp", "step",
+                    "atoms", "density", "vol", "pe", "ke", "lx", "ly", "lz")
+
     def _var_value(self, name: str) -> str:
         if name not in self.variables:
             raise ScriptError(f"Substitution for undefined variable {name!r}")
         style, value = self.variables[name]
         if style == "equal":
-            v = _evaluate(self.substitute(value))
+            expr = self.substitute(value)
+            # thermo keywords evaluate to current values (Variable::evaluate)
+            if any(re.search(rf"\b{kw}\b", expr) for kw in self._THERMO_VARS):
+                if self.sim is None or self.sim._ctx is None:
+                    raise ScriptError(
+                        f"thermo variable {name!r} before setup")
+                vals = self.sim.thermo_values()
+                for kw in self._THERMO_VARS:
+                    expr = re.sub(rf"\b{kw}\b", repr(float(vals[kw])), expr)
+            v = _evaluate(expr)
             return repr(int(v)) if v == int(v) else repr(v)
         return value
 
