@@ -45,3 +45,31 @@ def test_si_manybody(style):
     assert v["epair"] == pytest.approx(want["epair"], rel=1e-6)
     assert v["etotal"] == pytest.approx(want["etotal"], rel=1e-6)
     assert v["press"] == pytest.approx(want["press"], rel=1e-5)
+
+
+def test_eam_fs_golden():
+    """eam/fs (Finnis-Sinclair setfl) on fcc Al vs the reference binary."""
+    deck = """
+units metal
+atom_style atomic
+lattice fcc 4.045
+region box block 0 4 0 4 0 4
+create_box 1 box
+create_atoms 1 box
+pair_style eam/fs
+pair_coeff * * /root/reference/potentials/Al_mm.eam.fs Al
+velocity all create 600.0 376847 loop geom
+neighbor 1.0 bin
+neigh_modify every 1 delay 5 check yes
+fix 1 all nve
+timestep 0.002
+thermo 5
+run 10
+"""
+    script = LammpsScript()
+    script.run_string(deck)
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(305.83089, rel=1e-6)
+    assert v["epair"] == pytest.approx(-863.41544, rel=1e-6)
+    assert v["etotal"] == pytest.approx(-853.33484, rel=1e-6)
+    assert v["press"] == pytest.approx(16753.993, rel=1e-5)

@@ -345,13 +345,16 @@ class PairEAMAlloy(PairEAM):
                                            self._typemap[j]]
         self.frho_spline = np.stack(
             [_interpolate(f.nrho, f.drho, f.frho[e]) for e in range(ne)])
-        self.rhor_spline = np.stack(
-            [_interpolate(f.nr, f.dr, f.rhor[e]) for e in range(ne)])
+        self._build_rhor(f, ne)
         self.z2r_spline = np.stack(
             [_interpolate(f.nr, f.dr, f.z2r[i, j])
              for i in range(ne) for j in range(ne)])
         self.cutmax = f.cut
         self.cutforcesq = f.cut * f.cut
+
+    def _build_rhor(self, f, ne):
+        self.rhor_spline = np.stack(
+            [_interpolate(f.nr, f.dr, f.rhor[e]) for e in range(ne)])
 
 
 @register_pair("eam/fs")
@@ -371,15 +374,16 @@ class PairEAMFS(PairEAMAlloy):
             self.mass[t] = f.mass[self._typemap[t]]
             self._setflag[t, t] = True
 
+    def _build_rhor(self, f, ne):
+        # rhor indexed per (provider, receiver) pair for fs
+        self.rhor_spline = np.stack(
+            [_interpolate(f.nr, f.dr, f.rhor[i, j])
+             for i in range(ne) for j in range(ne)])
+
     def init(self):
         super().init()
         f = self._setfl
         ne = len(f.elements)
-        # rhor indexed per (provider j, receiver i): type2rhor[i][j] selects
-        # rho of j as seen by i
-        self.rhor_spline = np.stack(
-            [_interpolate(f.nr, f.dr, f.rhor[i, j])
-             for i in range(ne) for j in range(ne)])
         ridx = np.arange(ne * ne).reshape(ne, ne)
         for i in range(1, self.ntypes + 1):
             for j in range(1, self.ntypes + 1):
