@@ -79,7 +79,12 @@ class FixViscous(Fix):
 
 
 class FixMomentum(Fix):
-    """Zero linear momentum every N steps (src/fix_momentum.cpp)."""
+    """Zero linear momentum (src/fix_momentum.cpp).
+
+    Applied every step (the reference's every-N scheduling needs the step
+    counter in the fix hooks — planned); for drift removal the every-step
+    variant is physically equivalent.
+    """
 
     name = "momentum"
 
@@ -88,11 +93,10 @@ class FixMomentum(Fix):
 
     def end_of_step(self, s, fstate, ctx):
         m = ctx.mass_per_atom(s)
-        valid = s.type > 0
+        valid = self.group_sel(s)
         mm = jnp.where(valid, m, 0.0)
         p = jnp.sum(mm[:, None] * s.v, axis=0)
         vcm = p / jnp.sum(mm)
-        do = (ctx.dt * 0 == 0)  # every-step for now; scheduling via istep TBD
         v = jnp.where(valid[:, None], s.v - vcm[None, :], s.v)
         return s.replace(v=v), fstate
 
