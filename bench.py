@@ -65,7 +65,9 @@ def main():
         "vs_baseline": round(matom / BASELINE_MATOM_STEPS, 3),
     }))
     if not sanity:
-        print(f"WARNING: e_pair sanity check failed: {e_warm}", file=sys.stderr)
+        # a silent physics regression must not ship a headline number
+        print(f"ERROR: e_pair sanity check failed: {e_warm}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
