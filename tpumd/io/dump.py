@@ -24,7 +24,7 @@ class Dump:
             self.fields = ["id", "type", "xs", "ys", "zs"]
         elif style == "xyz":
             self.fields = ["type", "x", "y", "z"]
-        self._fh = None
+        self._opened = False
 
     def modify(self, kw: dict):
         if kw.get("sort") == "id":
@@ -76,8 +76,11 @@ class Dump:
     def write(self, sim):
         cols, lo, hi, n = self._columns(sim)
         path = self.path.replace("*", str(sim.step))
-        mode = "w" if "*" in self.path or self._fh is None else "a"
-        with open(path, mode if "*" in self.path else "a") as fh:
+        # the reference truncates a single-file dump on open; wildcard
+        # files are one snapshot each and always truncated
+        mode = "w" if ("*" in self.path or not self._opened) else "a"
+        self._opened = True
+        with open(path, mode) as fh:
             if self.style == "xyz":
                 fh.write(f"{n}\nAtoms. Timestep: {sim.step}\n")
                 for i in range(n):

@@ -1,14 +1,18 @@
 """fix nvt / npt / nph: Nosé-Hoover thermostat chains + MTK barostat.
 
 Reimplements FixNH (src/fix_nh.cpp) for orthogonal boxes: the chain
-integrator nhc_temp_integrate (:1758), barostat update nh_omega_dot
-(:2247), velocity scaling nh_v_press, and half-step box remap() with
-x->lamda->x dilation, in the exact operation order of
-initial_integrate/final_integrate (:829-885).
+integrators nhc_temp_integrate (:1758) and nhc_press_integrate (:1829),
+barostat update nh_omega_dot (:2247), velocity scaling nh_v_press,
+half-step box remap() with x->lamda->x dilation, and start->stop target
+ramps (compute_temp_target/compute_press_target, :2208-2241), in the
+exact operation order of initial_integrate/final_integrate (:829-925).
 
 The barostat needs the pressure *during* integration, which depends on
 the previous force evaluation's virial — the step loop saves each step's
-virial into this fix's state (``needs_virial``).
+virial into this fix's state (``needs_virial``).  Ramp targets depend on
+the global timestep, which the step loop writes into the state each step
+(``needs_step``); the run command's begin/end steps are set host-side
+via ``pre_run``.
 """
 
 from __future__ import annotations
@@ -26,25 +30,31 @@ class NHState:
     eta: jnp.ndarray        # (mtchain,)
     eta_dot: jnp.ndarray    # (mtchain+1,) — extra 0 sentinel
     eta_dotdot: jnp.ndarray
-    etap: jnp.ndarray
-    etap_dot: jnp.ndarray
+    etap: jnp.ndarray       # (mpchain or 1,)
+    etap_dot: jnp.ndarray   # (mpchain+1,) — extra 0 sentinel
     etap_dotdot: jnp.ndarray
     omega: jnp.ndarray      # (6,)
     omega_dot: jnp.ndarray  # (6,)
     virial: jnp.ndarray     # (6,) from the last force evaluation
+    t_target: jnp.ndarray   # scalar — current ramped temperature target
+    t0: jnp.ndarray         # scalar — initial T (used by nph omega_mass)
+    step: jnp.ndarray       # int32 — global timestep (written by the loop)
+    begin: jnp.ndarray      # int32 — run beginstep (set by pre_run)
+    end: jnp.ndarray        # int32 — run endstep
 
 
 class FixNH(Fix):
     name = "nh"
     needs_virial = True
+    needs_step = True
 
     def __init__(self, t_start=None, t_stop=None, t_period=None,
                  p_flags=None, p_start=None, p_stop=None, p_period=None,
                  tchain=3, pchain=3, mtk=True, couple_iso=False,
-                 nc_tchain=1, nc_pchain=1):
+                 nc_tchain=1, nc_pchain=1, drag=0.0):
         self.tstat = t_start is not None
         self.t_start = t_start
-        self.t_stop = t_stop
+        self.t_stop = t_stop if t_stop is not None else t_start
         self.t_period = t_period
         self.p_flags = p_flags or [False] * 3   # x, y, z barostatted
         self.pstat = any(self.p_flags)
@@ -58,6 +68,15 @@ class FixNH(Fix):
         self.nc_tchain = nc_tchain
         self.nc_pchain = nc_pchain
         self.pdim = sum(self.p_flags)
+        self.drag = drag
+        # drag factors (FixNH ctor): applied per chain sub-update
+        self.tdrag_factor = (1.0 - (drag * (1.0 / t_period)
+                                    * self._dt_hint * nc_tchain)
+                             if drag and self.tstat else 1.0)
+        self.p_freq_max = (max(1.0 / self.p_period[i] for i in range(3)
+                               if self.p_flags[i]) if self.pstat else 0.0)
+
+    _dt_hint = 1.0  # replaced by real dt at init_state for drag factors
 
     @property
     def dof_removed(self):
@@ -67,28 +86,72 @@ class FixNH(Fix):
     def init_state(self, s, ctx):
         dt_ = s.x.dtype
         mt = self.mtchain
+        mp = max(self.mpchain, 1)
         # FixNH::setup pre-computes the upper-chain accelerations from the
         # zero initial chain velocities: eta_dotdot[i>0] = -kT/eta_mass
         eta_dotdot = np.zeros(mt)
         if self.tstat and mt > 1:
             # eta_mass[i>=1] = kT/t_freq^2 => dotdot = (0 - kT)/mass = -t_freq^2
             eta_dotdot[1:] = -(1.0 / self.t_period) ** 2
+        # drag factors use the actual dt (FixNH ctor uses update->dt)
+        self.tdrag_factor = (1.0 - (self.drag * (1.0 / self.t_period)
+                                    * ctx.dt / self.nc_tchain)
+                             if self.drag and self.tstat else 1.0)
+        self.pdrag_factor = (1.0 - (self.drag * self.p_freq_max
+                                    * ctx.dt / self.nc_pchain)
+                             if self.drag and self.pstat else 1.0)
+        t_cur = self._t_current(s, ctx)
+        t_tgt = jnp.asarray(self.t_start if self.tstat else 0.0, dt_)
+        if not self.tstat:
+            # nph: t_target <- t0 = initial temperature (fix_nh.cpp:746-752)
+            t_tgt = t_cur.astype(dt_)
         return NHState(
             eta=jnp.zeros((mt,), dt_), eta_dot=jnp.zeros((mt + 1,), dt_),
             eta_dotdot=jnp.asarray(eta_dotdot, dt_),
-            etap=jnp.zeros((max(self.mpchain, 1),), dt_),
-            etap_dot=jnp.zeros((max(self.mpchain, 1) + 1,), dt_),
-            etap_dotdot=jnp.zeros((max(self.mpchain, 1),), dt_),
+            etap=jnp.zeros((mp,), dt_),
+            etap_dot=jnp.zeros((mp + 1,), dt_),
+            etap_dotdot=jnp.zeros((mp,), dt_),
             omega=jnp.zeros((6,), dt_), omega_dot=jnp.zeros((6,), dt_),
             virial=jnp.zeros((6,), dt_),
+            t_target=t_tgt, t0=t_cur.astype(dt_),
+            step=jnp.zeros((), jnp.int32),
+            begin=jnp.zeros((), jnp.int32), end=jnp.zeros((), jnp.int32),
         )
 
     def save_virial(self, fstate, virial):
         return fstate.replace(virial=virial)
 
+    def set_step(self, fstate, istep):
+        return fstate.replace(step=istep)
+
+    def pre_run(self, fstate, begin: int, end: int):
+        return fstate.replace(begin=jnp.asarray(begin, jnp.int32),
+                              end=jnp.asarray(end, jnp.int32))
+
     # ------------------------------------------------------------ helpers
-    def _tdof(self, ctx):
-        return ctx.tdof
+    def _delta(self, fst, dtype):
+        """(ntimestep - beginstep)/(endstep - beginstep), 0 at begin."""
+        num = (fst.step - fst.begin).astype(dtype)
+        den = (fst.end - fst.begin).astype(dtype)
+        return jnp.where(den > 0, num / jnp.maximum(den, 1), 0.0)
+
+    def _temp_target(self, fst, dtype):
+        delta = self._delta(fst, dtype)
+        return self.t_start + delta * (self.t_stop - self.t_start)
+
+    def _press_target(self, fst, dtype):
+        """(p_target (3,), p_hydro) with start->stop ramp."""
+        delta = self._delta(fst, dtype)
+        p_t = []
+        hydro = jnp.zeros((), dtype)
+        for i in range(3):
+            pt = self.p_start[i] + delta * (self.p_stop[i] - self.p_start[i])
+            p_t.append(pt)
+            if self.p_flags[i]:
+                hydro = hydro + pt
+        if self.pdim > 0:
+            hydro = hydro / self.pdim
+        return jnp.stack(p_t), hydro
 
     def _t_current(self, s, ctx):
         m = ctx.mass_per_atom(s)
@@ -115,11 +178,12 @@ class FixNH(Fix):
         dt = ctx.dt
         dthalf, dt4, dt8 = 0.5 * dt, 0.25 * dt, 0.125 * dt
         tdof = ctx.tdof
-        t_target = self.t_start  # constant-target decks
+        t_target = fst.t_target
         ke_target = tdof * boltz * t_target
         t_freq = 1.0 / self.t_period
         mt = self.mtchain
         ncfac = 1.0 / self.nc_tchain
+        tdrag = self.tdrag_factor
 
         eta = fst.eta
         eta_dot = fst.eta_dot
@@ -135,10 +199,11 @@ class FixNH(Fix):
                 expfac = jnp.exp(-ncfac * dt8 * eta_dot[ich + 1])
                 eta_dot = eta_dot.at[ich].set(
                     (eta_dot[ich] * expfac
-                     + eta_dotdot[ich] * ncfac * dt4) * expfac)
+                     + eta_dotdot[ich] * ncfac * dt4) * tdrag * expfac)
             expfac = jnp.exp(-ncfac * dt8 * eta_dot[1])
             eta_dot = eta_dot.at[0].set(
-                (eta_dot[0] * expfac + eta_dotdot[0] * ncfac * dt4) * expfac)
+                (eta_dot[0] * expfac + eta_dotdot[0] * ncfac * dt4)
+                * tdrag * expfac)
             factor_eta = jnp.exp(-ncfac * dthalf * eta_dot[0])
             factor_total = factor_total * factor_eta
             t_current = t_current * factor_eta * factor_eta
@@ -162,23 +227,97 @@ class FixNH(Fix):
                             eta_dotdot=eta_dotdot),
                 t_current)
 
+    def _nhc_press(self, s, fst, ctx):
+        """Barostat thermostat chain (nhc_press_integrate,
+        src/fix_nh.cpp:1829): integrates etap/etap_dot and scales the
+        barostat velocities omega_dot."""
+        if not (self.pstat and self.mpchain):
+            return fst
+        u = ctx.units
+        boltz = u.boltz
+        dt = ctx.dt
+        dthalf, dt4, dt8 = 0.5 * dt, 0.25 * dt, 0.125 * dt
+        mp = self.mpchain
+        ncfac = 1.0 / self.nc_pchain
+        pdrag = getattr(self, "pdrag_factor", 1.0)
+
+        kt = boltz * fst.t_target
+        etap_mass = boltz * fst.t_target / (self.p_freq_max ** 2)
+        etap = fst.etap
+        etap_dot = fst.etap_dot
+        etap_dotdot = fst.etap_dotdot
+        omega_dot = fst.omega_dot
+
+        nkt = (ctx.natoms + 1) * kt
+        omega_mass = [
+            nkt / ((1.0 / self.p_period[i]) ** 2) if self.p_flags[i] else None
+            for i in range(3)]
+
+        # etap_mass_flag: recompute upper-chain accelerations
+        for ich in range(1, mp):
+            etap_dotdot = etap_dotdot.at[ich].set(
+                (etap_mass * etap_dot[ich - 1] ** 2 - kt) / etap_mass)
+
+        def ke_omega(od):
+            ke = jnp.zeros((), s.x.dtype)
+            for i in range(3):
+                if self.p_flags[i]:
+                    ke = ke + omega_mass[i] * od[i] * od[i]
+            return ke
+
+        lkt_press = kt if self.iso else self.pdim * kt
+        etap_dotdot = etap_dotdot.at[0].set(
+            (ke_omega(omega_dot) - lkt_press) / etap_mass)
+
+        for _ in range(self.nc_pchain):
+            for ich in range(mp - 1, 0, -1):
+                expfac = jnp.exp(-ncfac * dt8 * etap_dot[ich + 1])
+                etap_dot = etap_dot.at[ich].set(
+                    (etap_dot[ich] * expfac
+                     + etap_dotdot[ich] * ncfac * dt4) * pdrag * expfac)
+            expfac = jnp.exp(-ncfac * dt8 * etap_dot[1])
+            etap_dot = etap_dot.at[0].set(
+                (etap_dot[0] * expfac + etap_dotdot[0] * ncfac * dt4)
+                * pdrag * expfac)
+            etap = etap + ncfac * dthalf * etap_dot[:mp]
+            factor_etap = jnp.exp(-ncfac * dthalf * etap_dot[0])
+            for i in range(3):
+                if self.p_flags[i]:
+                    omega_dot = omega_dot.at[i].multiply(factor_etap)
+            etap_dotdot = etap_dotdot.at[0].set(
+                (ke_omega(omega_dot) - lkt_press) / etap_mass)
+            etap_dot = etap_dot.at[0].set(
+                (etap_dot[0] * expfac + etap_dotdot[0] * ncfac * dt4)
+                * expfac)
+            for ich in range(1, mp):
+                expfac = jnp.exp(-ncfac * dt8 * etap_dot[ich + 1])
+                dd = (etap_mass * etap_dot[ich - 1] ** 2 - kt) / etap_mass
+                etap_dotdot = etap_dotdot.at[ich].set(dd)
+                etap_dot = etap_dot.at[ich].set(
+                    (etap_dot[ich] * expfac + dd * ncfac * dt4) * expfac)
+        return fst.replace(etap=etap, etap_dot=etap_dot,
+                           etap_dotdot=etap_dotdot, omega_dot=omega_dot)
+
     def _omega_dot_update(self, s, fst, ctx, t_current, p_current):
         u = ctx.units
         dthalf = 0.5 * ctx.dt
         vol = s.box.volume
-        t_target = self.t_start if self.tstat else ctx.t_init
         boltz = u.boltz
-        nkt = (ctx.natoms + 1) * boltz * t_target
+        nkt = (ctx.natoms + 1) * boltz * fst.t_target
         omega_dot = fst.omega_dot
-        mvv = self._mvv_vec(s, ctx)
+        pdrag = getattr(self, "pdrag_factor", 1.0)
 
         mtk_term1 = 0.0
         if self.mtk:
-            mtk_term1 = sum(mvv[i] for i in range(3) if self.p_flags[i])
+            if self.iso:
+                # nh_omega_dot (fix_nh.cpp:2257): ISO uses tdof*kT directly
+                mtk_term1 = ctx.tdof * boltz * t_current
+            else:
+                mvv = self._mvv_vec(s, ctx)
+                mtk_term1 = sum(mvv[i] for i in range(3) if self.p_flags[i])
             mtk_term1 = mtk_term1 / (self.pdim * ctx.natoms)
 
-        p_hydro = sum(self.p_start[i] for i in range(3)
-                      if self.p_flags[i]) / max(self.pdim, 1)
+        _, p_hydro = self._press_target(fst, s.x.dtype)
         for i in range(3):
             if self.p_flags[i]:
                 p_freq = 1.0 / self.p_period[i]
@@ -187,7 +326,8 @@ class FixNH(Fix):
                            / (omega_mass * u.nktv2p))
                 if self.mtk:
                     f_omega = f_omega + mtk_term1 / omega_mass
-                omega_dot = omega_dot.at[i].add(f_omega * dthalf)
+                omega_dot = omega_dot.at[i].set(
+                    (omega_dot[i] + f_omega * dthalf) * pdrag)
 
         mtk_term2 = 0.0
         if self.mtk:
@@ -197,7 +337,6 @@ class FixNH(Fix):
 
     def _v_press(self, s, fst, ctx, mtk_term2):
         dt4 = 0.25 * ctx.dt
-        fac = [1.0, 1.0, 1.0]
         factors = []
         for i in range(3):
             if self.p_flags[i]:
@@ -238,8 +377,12 @@ class FixNH(Fix):
         u = ctx.units
         dtf = 0.5 * ctx.dt * u.ftm2v
 
+        # update eta_press_dot (uses the previous step's t_target)
+        fst = self._nhc_press(s, fst, ctx)
+
         t_current = self._t_current(s, ctx)
         if self.tstat:
+            fst = fst.replace(t_target=self._temp_target(fst, s.x.dtype))
             s, fst, t_current = self._nhc_temp(s, fst, ctx, t_current)
 
         mtk_term2 = 0.0
@@ -279,6 +422,7 @@ class FixNH(Fix):
             fst, _ = self._omega_dot_update(s, fst, ctx, t_current, p_current)
         if self.tstat:
             s, fst, t_current = self._nhc_temp(s, fst, ctx, t_current)
+        fst = self._nhc_press(s, fst, ctx)
         return s, fst
 
 

@@ -106,12 +106,16 @@ class Simulation:
     def _make_ctx(self) -> StepContext:
         cutneigh = self.max_cutoff() + self.skin
         mode = self._resolve_mode()
+        # under a barostat, leave headroom so moderate box shrinkage keeps
+        # cell edges >= cutneigh (revalidated per segment)
+        margin = 1.05 if self._barostat_active() else 1.0
         if mode == "cellgrid":
             cfg = cg.choose_cellgrid_config(
                 self.state.box, cutneigh, self.skin, self.natoms,
                 every=self.neigh_every, delay=self.neigh_delay,
                 check=self.neigh_check,
                 cap=getattr(self, "_cap_override", None),
+                box_margin=margin,
             )
         else:
             cfg = nb.choose_config(
@@ -121,6 +125,7 @@ class Simulation:
                 has_special=self.special_tags is not None,
                 kmax=getattr(self, "_kmax_override", None),
                 cell_cap=getattr(self, "_cellcap_override", None),
+                box_margin=margin,
             )
         self._neigh_cfg = cfg
         mass_np = np.asarray(self.mass, dtype=np.float64).copy()
@@ -252,7 +257,7 @@ class Simulation:
 
         f, energies, virial = eval_energies(s, neigh, ctx)
         s = s.replace(f=f)
-        fstates = [fx.init_state(s, ctx) for fx in self.fixes]
+        fstates = [self._init_fix_state(fx, s, ctx) for fx in self.fixes]
         # the reference applies post_force fixes once during setup
         # (Verlet::setup -> modify->setup -> FixLangevin::post_force), which
         # both kicks the step-0 forces and consumes RNG draws
@@ -276,6 +281,45 @@ class Simulation:
             if c._ref is None:
                 c.prepare(self)
 
+    def invalidate_ctx(self):
+        """Force a re-setup before the next run (fix set / styles changed).
+
+        The reference rebuilds Modify's per-phase fix lists in lmp->init()
+        at every run command; our compiled StepContext is the analog and
+        must be discarded when the fix list changes.  Fix states of fixes
+        that survive the change are stashed and restored at the next setup
+        (LAMMPS fixes keep internal state, e.g. NH chain positions, across
+        run commands)."""
+        if self._ctx is None:
+            return
+        if self._carry is not None:
+            self._fstate_stash = {
+                id(fx): st for fx, st in zip(self._ctx.fixes, self._carry[2])}
+            # compact padded grid-ordered state back to natoms rows
+            if self._ctx.is_cellgrid:
+                self.state = cg.compact_state(
+                    self._carry[0], self._carry[1].valid, self.natoms)
+            else:
+                self.state = self._carry[0]
+        self._ctx = None
+        self._carry = None
+
+    _fstate_stash: dict = {}
+
+    def _init_fix_state(self, fx, s, ctx):
+        fresh = fx.init_state(s, ctx)
+        stashed = self._fstate_stash.get(id(fx))
+        if stashed is not None:
+            try:
+                if (jax.tree.structure(stashed) == jax.tree.structure(fresh)
+                        and all(a.shape == b.shape for a, b in
+                                zip(jax.tree.leaves(stashed),
+                                    jax.tree.leaves(fresh)))):
+                    return stashed
+            except Exception:
+                pass
+        return fresh
+
     def _check_overflow(self, neigh):
         if bool(jax.device_get(neigh.overflow)):
             raise RuntimeError(
@@ -294,6 +338,14 @@ class Simulation:
         for d in self.dumps:
             d.write(self)
         target = self.step + nsteps
+        # run begin/end steps for fixes with start->stop target ramps
+        # (Update::beginstep/endstep, used by FixNH::compute_temp_target)
+        s0, neigh0, fstates0, istep0 = self._carry
+        fstates0 = list(fstates0)
+        for i, fx in enumerate(self.fixes):
+            if hasattr(fx, "pre_run"):
+                fstates0[i] = fx.pre_run(fstates0[i], self.step, target)
+        self._carry = (s0, neigh0, tuple(fstates0), istep0)
         t0 = time.perf_counter()
         while self.step < target:
             nxt = target
@@ -315,6 +367,11 @@ class Simulation:
             self._carry = carry
             self.state = s
             self.step = nxt
+            if self._barostat_active():
+                self._revalidate_geometry()
+                ctx = self._ctx
+                s, neigh, fstates, istep = self._carry
+                self.state = s
             f, energies, virial = eval_energies(s, neigh, ctx)
             for i, fx in enumerate(self.fixes):
                 if getattr(fx, "contributes_virial", False):
@@ -413,16 +470,14 @@ class Simulation:
                    for fx in self.fixes)
         return None if all(x is None for x in xs) else xs
 
-    def _regrow(self, snapshot):
-        """Grow neighbor capacities after an overflow; rebuild from snapshot."""
+    def _rebuild_ctx(self, snapshot):
+        """Re-derive the StepContext for the snapshot's current box and
+        rebuild the neighbor structure in place (capacities/cell counts may
+        have changed via overrides or box deformation)."""
         s0, neigh0, fstates, istep = snapshot
         if self._ctx.is_cellgrid:
-            cfg = self._neigh_cfg
-            grown = int(np.ceil(max(
-                cfg.cap * 1.5,
-                float(jax.device_get(neigh0.max_count)) * 1.3) / 8) * 8)
-            self._cap_override = grown
             s0 = cg.compact_state(s0, neigh0.valid, self.natoms)
+            self.state = s0
             self._ctx = ctx = self._make_ctx()
             cfg = ctx.neigh_cfg
             s0 = cg.pad_state(wrap_pbc(s0), cfg.capacity)
@@ -434,9 +489,7 @@ class Simulation:
                 valid=valid, xhold=s0.x, ago=jnp.zeros((), jnp.int32),
                 nbuilds=neigh0.nbuilds, overflow=over, max_count=max_count)
         else:
-            self._kmax_override = int(
-                max(self._neigh_cfg.kmax * 1.5,
-                    float(jax.device_get(neigh0.max_count)) * 1.3) + 8)
+            self.state = s0
             self._ctx = ctx = self._make_ctx()
             s0 = wrap_pbc(s0)
             idx, sbits, max_count, over = nb.build_neighbors(
@@ -450,6 +503,38 @@ class Simulation:
         self._check_overflow(neigh)
         self._carry = (s0, neigh, fstates, istep)
         return ctx
+
+    def _regrow(self, snapshot):
+        """Grow neighbor capacities after an overflow; rebuild from snapshot."""
+        neigh0 = snapshot[1]
+        mc = float(jax.device_get(neigh0.max_count))
+        if self._ctx.is_cellgrid:
+            self._cap_override = int(np.ceil(max(
+                self._neigh_cfg.cap * 1.5, mc * 1.3) / 8) * 8)
+        else:
+            self._kmax_override = int(
+                max(self._neigh_cfg.kmax * 1.5, mc * 1.3) + 8)
+        return self._rebuild_ctx(snapshot)
+
+    def _barostat_active(self) -> bool:
+        return any(getattr(fx, "pstat", False) for fx in self.fixes)
+
+    def _revalidate_geometry(self):
+        """Re-check the cell decomposition against the (possibly deformed)
+        box after a segment: the stencil silently misses pairs once a cell
+        edge shrinks below cutneigh (the reference re-runs setup_bins on
+        box change, src/neighbor.cpp).  Rebuilds the config when violated."""
+        cutneigh = self.max_cutoff() + self.skin
+        ell = np.asarray(
+            jax.device_get(self._carry[0].box.lengths), dtype=np.float64)
+        if (ell < 2.0 * cutneigh).any():
+            raise RuntimeError(
+                f"box shrank below 2*cutneigh at step {self.step}: "
+                f"lengths {ell}, cutneigh {cutneigh:.4f}")
+        cfg = self._neigh_cfg
+        dims = np.array([cfg.nx, cfg.ny, cfg.nz], dtype=np.float64)
+        if (ell / dims < cutneigh).any():
+            self._rebuild_ctx(self._carry)
 
     def recompute_output(self):
         """Refresh forces/energies/virial after external state mutation."""

@@ -153,6 +153,11 @@ def make_step_fn(ctx: StepContext):
 
         fstates = list(fstates)
         for i, fx in enumerate(ctx.fixes):
+            if getattr(fx, "needs_step", False):
+                # reference Verlet::run increments ntimestep BEFORE
+                # initial_integrate; istep counts completed steps
+                fstates[i] = fx.set_step(fstates[i], istep + 1)
+        for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.initial_integrate(s, fstates[i], ctx)
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.post_integrate(s, fstates[i], ctx)

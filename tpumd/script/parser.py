@@ -213,31 +213,57 @@ class LammpsScript:
             v = np.zeros_like(x)
             sim.state = make_state(x, v, t, box, dtype=self.dtype)
 
+    def _group_sel_np(self, group: str) -> np.ndarray:
+        """Boolean (N,) selector for a named group (host side)."""
+        sim = self.sim
+        if group == "all":
+            return np.ones(sim.natoms, dtype=bool)
+        if group not in sim.groups:
+            raise ScriptError(f"undefined group {group!r}")
+        gm = np.asarray(jax.device_get(sim.state.gmask))
+        return (gm & sim.groups[group]) > 0
+
     def cmd_velocity(self, a):
         self._finalize_atoms()
         sim = self.sim
         group, style = a[0], a[1]
         if style == "set":
-            vals = [0.0 if v == "NULL" else float(v) for v in a[2:5]]
-            v = np.tile(np.asarray(vals), (sim.natoms, 1))
-            sim.state = sim.state.replace(v=jnp.asarray(v, dtype=self.dtype))
+            # NULL leaves that component untouched (src/velocity.cpp set)
+            sel = self._group_sel_np(group)
+            vnow = np.asarray(jax.device_get(sim.state.v),
+                              dtype=np.float64).copy()
+            for d, tok in enumerate(a[2:5]):
+                if tok != "NULL":
+                    vnow[sel, d] = float(tok)
+            sim.state = sim.state.replace(
+                v=jnp.asarray(vnow, dtype=self.dtype))
             return
         if style == "scale":
+            # rescale the GROUP's velocities using the group temperature
+            # and group dof (Velocity::scale -> ComputeTemp group semantics)
             t_new = float(a[2])
-            vnow = np.asarray(jax.device_get(sim.state.v), dtype=np.float64)
+            sel = self._group_sel_np(group)
+            vnow = np.asarray(jax.device_get(sim.state.v),
+                              dtype=np.float64).copy()
             masses = sim.mass[np.asarray(jax.device_get(sim.state.type))]
-            dof = sim.dimension * sim.natoms - sim.dimension
+            ngroup = int(sel.sum())
+            dof = sim.dimension * ngroup - sim.dimension
             t_cur = sim.units.mvv2e * float(
-                (masses[:, None] * vnow * vnow).sum()) / (dof * sim.units.boltz)
-            vnow *= np.sqrt(t_new / t_cur)
+                (masses[sel, None] * vnow[sel] * vnow[sel]).sum()
+            ) / (dof * sim.units.boltz)
+            vnow[sel] *= np.sqrt(t_new / t_cur)
             sim.state = sim.state.replace(v=jnp.asarray(vnow, dtype=self.dtype))
             return
         if style == "zero" and a[2] == "linear":
-            vnow = np.asarray(jax.device_get(sim.state.v), dtype=np.float64)
+            sel = self._group_sel_np(group)
+            vnow = np.asarray(jax.device_get(sim.state.v),
+                              dtype=np.float64).copy()
             masses = sim.mass[np.asarray(jax.device_get(sim.state.type))]
-            vcm = (masses[:, None] * vnow).sum(0) / masses.sum()
+            vcm = ((masses[sel, None] * vnow[sel]).sum(0)
+                   / masses[sel].sum())
+            vnow[sel] -= vcm
             sim.state = sim.state.replace(
-                v=jnp.asarray(vnow - vcm, dtype=self.dtype))
+                v=jnp.asarray(vnow, dtype=self.dtype))
             return
         if group != "all" or style != "create":
             raise ScriptError("only 'velocity all create/set/scale/zero'"
@@ -372,9 +398,16 @@ class LammpsScript:
         sim = self.sim
         fid, group, style = a[0], a[1], a[2]
         args = a[3:]
+        # same-ID redeclaration replaces the existing fix
+        # (Modify::add_fix "replace" semantics, src/modify.cpp)
+        existing = [fx for fx in sim.fixes if getattr(fx, "id", None) == fid]
+        if existing:
+            sim.fixes = [fx for fx in sim.fixes if fx not in existing]
+            sim.invalidate_ctx()
         n_before = len(sim.fixes)
         self._dispatch_fix(sim, style, args)
         for fx in sim.fixes[n_before:]:
+            fx.id = fid
             if group != "all":
                 if group not in sim.groups:
                     raise ScriptError(f"undefined group {group!r}")
@@ -382,6 +415,8 @@ class LammpsScript:
                     raise ScriptError(
                         f"fix {style} on a subgroup not supported yet")
                 fx.groupbit = sim.groups[group]
+        if len(sim.fixes) != n_before:
+            sim.invalidate_ctx()
 
     def _dispatch_fix(self, sim, style, args):
         if style == "nve":
@@ -427,10 +462,13 @@ class LammpsScript:
             raise ScriptError(f"fix style {style} not supported yet")
 
     def cmd_unfix(self, a):
-        # fixes are anonymous in our list; drop by construction order is not
-        # tracked yet — clearing thermostats the decks re-declare is the
-        # common case
-        pass
+        sim = self.sim
+        fid = a[0]
+        keep = [fx for fx in sim.fixes if getattr(fx, "id", None) != fid]
+        if len(keep) == len(sim.fixes):
+            raise ScriptError(f"Could not find fix ID {fid!r} to delete")
+        sim.fixes = keep
+        sim.invalidate_ctx()
 
     def cmd_group(self, a):
         """group name type/region/id selectors -> gmask bit
@@ -516,7 +554,9 @@ class LammpsScript:
                 pchain = int(args[i + 1]); i += 2
             elif key == "mtk":
                 mtk = args[i + 1] == "yes"; i += 2
-            elif key in ("drag", "tloop", "ploop", "nreset", "scalexy",
+            elif key == "drag":
+                kw["drag"] = float(args[i + 1]); i += 2
+            elif key in ("tloop", "ploop", "nreset", "scalexy",
                          "scaleyz", "scalexz", "fixedpoint"):
                 i += 2
             else:
