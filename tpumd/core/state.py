@@ -18,15 +18,19 @@ from flax import struct
 
 @struct.dataclass
 class Box:
-    """Orthogonal (optionally tilted) periodic simulation box.
+    """Orthogonal (optionally tilted) simulation box.
 
     lo, hi: (3,) box bounds. tilt: (3,) = (xy, xz, yz) for triclinic;
-    zeros for orthogonal (reference: src/domain.h).
+    zeros for orthogonal (reference: src/domain.h).  ``periodic`` is a
+    static per-dim flag (non-periodic dims are never wrapped and get no
+    minimum-image correction; reference Domain boundary styles f/s).
     """
 
     lo: jnp.ndarray
     hi: jnp.ndarray
     tilt: jnp.ndarray
+    periodic: tuple = struct.field(pytree_node=False,
+                                   default=(True, True, True))
 
     @property
     def lengths(self) -> jnp.ndarray:
@@ -38,10 +42,22 @@ class Box:
         return ell[0] * ell[1] * ell[2]
 
     @staticmethod
-    def orthogonal(lo, hi, dtype=None):
+    def orthogonal(lo, hi, dtype=None, periodic=(True, True, True)):
         lo = jnp.asarray(lo, dtype=dtype)
         hi = jnp.asarray(hi, dtype=dtype)
-        return Box(lo=lo, hi=hi, tilt=jnp.zeros((3,), dtype=lo.dtype))
+        return Box(lo=lo, hi=hi, tilt=jnp.zeros((3,), dtype=lo.dtype),
+                   periodic=tuple(periodic))
+
+
+def minimum_image(d, box: Box):
+    """Nearest-image displacement correction, skipping non-periodic dims."""
+    ell = box.lengths
+    corr = ell * jnp.round(d / ell)
+    if all(box.periodic):
+        return d - corr
+    pmask = jnp.asarray([1.0 if p else 0.0 for p in box.periodic],
+                        dtype=d.dtype)
+    return d - corr * pmask
 
 
 @struct.dataclass
@@ -61,13 +77,34 @@ class MDState:
     # optional per-atom fields (None when the atom style doesn't carry them)
     q: jnp.ndarray | None = None         # charge
     molecule: jnp.ndarray | None = None  # molecule id
+    # sphere atom style (src/atom_vec_sphere.cpp): finite-size particles
+    radius: jnp.ndarray | None = None    # (N,)
+    rmass: jnp.ndarray | None = None     # (N,) per-atom mass
+    omega: jnp.ndarray | None = None     # (N, 3) angular velocity
+    torque: jnp.ndarray | None = None    # (N, 3) torque accumulator
 
     @property
     def capacity(self) -> int:
         return self.x.shape[0]
 
 
+# every per-atom array field of MDState (for generic permute/pad/compact)
+PER_ATOM_FIELDS = ("x", "v", "f", "type", "tag", "image", "gmask", "q",
+                   "molecule", "radius", "rmass", "omega", "torque")
+
+
+def map_per_atom(state: MDState, fn) -> MDState:
+    """Apply fn(array) to every non-None per-atom field."""
+    updates = {}
+    for name in PER_ATOM_FIELDS:
+        a = getattr(state, name)
+        if a is not None:
+            updates[name] = fn(a)
+    return state.replace(**updates)
+
+
 def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
+               radius=None, rmass=None, omega=None,
                dtype=jnp.float64) -> MDState:
     """Build an MDState from host arrays (no padding)."""
     n = x.shape[0]
@@ -75,6 +112,7 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
     v = jnp.asarray(v, dtype=dtype)
     if tags is None:
         tags = np.arange(1, n + 1, dtype=np.int32)
+    sphere = radius is not None
     return MDState(
         x=x,
         v=v,
@@ -83,11 +121,16 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
         tag=jnp.asarray(tags, dtype=jnp.int32),
         image=jnp.zeros((n, 3), dtype=jnp.int32),
         box=Box(lo=box.lo.astype(dtype), hi=box.hi.astype(dtype),
-                tilt=box.tilt.astype(dtype)),
+                tilt=box.tilt.astype(dtype), periodic=box.periodic),
         nlocal=jnp.asarray(n, dtype=jnp.int32),
         gmask=jnp.ones((n,), dtype=jnp.int32),
         q=None if q is None else jnp.asarray(q, dtype=dtype),
         molecule=None if molecule is None else jnp.asarray(molecule, dtype=jnp.int32),
+        radius=None if radius is None else jnp.asarray(radius, dtype=dtype),
+        rmass=None if rmass is None else jnp.asarray(rmass, dtype=dtype),
+        omega=(jnp.zeros_like(x) if sphere and omega is None
+               else None if omega is None else jnp.asarray(omega, dtype=dtype)),
+        torque=jnp.zeros_like(x) if sphere else None,
     )
 
 
@@ -95,10 +138,14 @@ def wrap_pbc(state: MDState) -> MDState:
     """Remap atoms into the periodic box, updating image flags.
 
     Equivalent of Domain::pbc (src/domain.cpp) for orthogonal boxes, called
-    at reneighbor steps.
+    at reneighbor steps.  Non-periodic dims are left unwrapped.
     """
     ell = state.box.lengths
     rel = (state.x - state.box.lo) / ell
     shift = jnp.floor(rel).astype(jnp.int32)
+    if not all(state.box.periodic):
+        pmask = jnp.asarray([1 if p else 0 for p in state.box.periodic],
+                            dtype=jnp.int32)
+        shift = shift * pmask
     x = state.x - shift * ell
     return state.replace(x=x, image=state.image + shift)

@@ -52,6 +52,9 @@ class DataFile:
     q: np.ndarray = None
     molecule: np.ndarray = None
     image: np.ndarray = None
+    radius: np.ndarray = None          # sphere style: per-atom radius
+    rmass: np.ndarray = None           # sphere style: per-atom mass
+    omega: np.ndarray = None           # sphere style: angular velocity
     bonds: np.ndarray = None           # (nb, 3): type, atom1, atom2 (tags)
     angles: np.ndarray = None          # (na, 4)
     dihedrals: np.ndarray = None       # (nd, 5)
@@ -106,10 +109,15 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
     d.masses = np.zeros(d.natomtypes + 1)
     has_mol = atom_style in ("bond", "angle", "molecular", "full")
     has_q = atom_style in ("charge", "full")
+    sphere = atom_style == "sphere"
     if has_mol:
         d.molecule = np.zeros(n, dtype=np.int32)
     if has_q:
         d.q = np.zeros(n)
+    if sphere:
+        d.radius = np.zeros(n)
+        d.rmass = np.zeros(n)
+        d.omega = np.zeros((n, 3))
 
     def parse_rows(start, count, ncols_min):
         rows = []
@@ -146,6 +154,14 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
                 d.types[k] = int(r[col]); col += 1
                 if has_q:
                     d.q[k] = float(r[col]); col += 1
+                if sphere:
+                    # id type diameter density x y z (atom_vec_sphere
+                    # data_atom): rmass = pi/6 rho d^3, or rho if d == 0
+                    diam = float(r[col]); col += 1
+                    dens = float(r[col]); col += 1
+                    d.radius[k] = 0.5 * diam
+                    d.rmass[k] = (np.pi / 6.0 * dens * diam**3
+                                  if diam > 0 else dens)
                 d.x[k] = [float(r[col]), float(r[col + 1]), float(r[col + 2])]
                 col += 3
                 if len(r) >= col + 3:
@@ -153,7 +169,10 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
         elif section == "Velocities":
             rows, i = parse_rows(i, n, 4)
             for r in rows:
-                d.v[int(r[0]) - 1] = [float(r[1]), float(r[2]), float(r[3])]
+                k = int(r[0]) - 1
+                d.v[k] = [float(r[1]), float(r[2]), float(r[3])]
+                if sphere and len(r) >= 7:
+                    d.omega[k] = [float(r[4]), float(r[5]), float(r[6])]
         elif section in ("Bonds", "Angles", "Dihedrals", "Impropers"):
             count = {"Bonds": d.nbonds, "Angles": d.nangles,
                      "Dihedrals": d.ndihedrals, "Impropers": d.nimpropers}[section]

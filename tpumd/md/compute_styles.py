@@ -122,6 +122,27 @@ class ComputeVACF(Compute):
         return out
 
 
+class ComputeERotateSphere(Compute):
+    """Rotational KE of finite spheres: 0.5 * 2/5 m r^2 w^2 * mvv2e
+    (src/compute_erotate_sphere.cpp:44-72)."""
+
+    style = "erotate/sphere"
+
+    def evaluate(self, sim):
+        s = sim.state
+        tag = np.asarray(jax.device_get(s.tag))
+        valid = tag > 0
+        omega = np.asarray(jax.device_get(s.omega), dtype=np.float64)[valid]
+        radius = np.asarray(jax.device_get(s.radius), dtype=np.float64)[valid]
+        rmass = np.asarray(jax.device_get(s.rmass), dtype=np.float64)[valid]
+        if self.group != "all":
+            gm = np.asarray(jax.device_get(s.gmask))[valid]
+            sel = (gm & sim.groups[self.group]) > 0
+            omega, radius, rmass = omega[sel], radius[sel], rmass[sel]
+        er = ((omega * omega).sum(1) * radius * radius * rmass).sum()
+        return 0.5 * sim.units.mvv2e * 0.4 * er
+
+
 class ComputeGyration(Compute):
     style = "gyration"
 
@@ -134,7 +155,8 @@ class ComputeGyration(Compute):
 
 _STYLES = {c.style: c for c in (ComputeTemp, ComputePE, ComputeKE,
                                 ComputePressure, ComputeCOM, ComputeMSD,
-                                ComputeVACF, ComputeGyration)}
+                                ComputeVACF, ComputeGyration,
+                                ComputeERotateSphere)}
 
 
 def create_compute(cid, group, style):

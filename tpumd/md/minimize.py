@@ -92,7 +92,7 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
     sim._carry = (s, neigh, fstates, istep)
     sim.state = s
     from tpumd.md.verlet import eval_energies
-    f, energies, virial = eval_energies(s, neigh, ctx)
+    f, energies, virial, _ = eval_energies(s, neigh, ctx)
     sim._last_energies = energies
     sim._last_virial = virial
     return (bool(jax.device_get(done)), int(jax.device_get(it)),

@@ -31,6 +31,7 @@ class Simulation:
         self.neigh_every = 1
         self.neigh_delay = 10
         self.neigh_check = True
+        self.neigh_exclude = ()        # group-pair exclusion gmask bits
         self.bin_style = "bin"
         # "matrix" = padded neighbor-index lists (exact reference list
         # semantics); "cellgrid" = gather-free rolled cell blocks (TPU fast
@@ -59,6 +60,9 @@ class Simulation:
         self.thermo_norm = units == "lj"
         self.log_lines: list[str] = []
         self.dimension = 3
+        # per-dim boundary tokens (p periodic / f fixed / s shrink / m min)
+        self.boundary = ("p", "p", "p")
+        self._shrink_small = None  # SMALL * initial box lengths (static)
 
         self._ctx: StepContext | None = None
         self._carry = None
@@ -80,6 +84,9 @@ class Simulation:
     _natoms = None
 
     def mass_per_atom_np(self):
+        if self.state.rmass is not None:
+            rm = np.asarray(jax.device_get(self.state.rmass), np.float64)
+            return rm[np.asarray(jax.device_get(self.state.tag)) > 0]
         return self.mass[np.asarray(jax.device_get(self.state.type))]
 
     def dof(self) -> float:
@@ -98,6 +105,7 @@ class Simulation:
             self.special_tags is None and not self.bonded
             and self.kspace is None and self.pair is not None
             and getattr(self.pair, "supports_cellgrid", False)
+            and all(self.state.box.periodic)
         )
         if eligible and jax.default_backend() != "cpu":
             return "cellgrid"
@@ -127,6 +135,9 @@ class Simulation:
                 cell_cap=getattr(self, "_cellcap_override", None),
                 box_margin=margin,
             )
+            if self.neigh_exclude:
+                import dataclasses as _dc
+                cfg = _dc.replace(cfg, exclude_bits=tuple(self.neigh_exclude))
         self._neigh_cfg = cfg
         mass_np = np.asarray(self.mass, dtype=np.float64).copy()
         mass_np[0] = 1.0  # padded slots: finite mass, zero force
@@ -146,7 +157,21 @@ class Simulation:
             special_lj=sl, special_coul=sc,
             special_tags=st, special_codes=scod,
             natoms=self.natoms, tdof=self.dof(),
+            shrink=self._shrink_spec(),
         )
+
+    def _shrink_spec(self) -> tuple:
+        """Static shrink-wrap spec ((dim, lo, hi, small), ...) for
+        Domain::reset_box; `small` = 1e-4 x the INITIAL box length."""
+        spec = []
+        for d, tok in enumerate(self.boundary):
+            clo = tok[0]
+            chi = tok[1] if len(tok) > 1 else tok[0]
+            slo = clo in ("s", "m")
+            shi = chi in ("s", "m")
+            if slo or shi:
+                spec.append((d, slo, shi, float(self._shrink_small[d])))
+        return tuple(spec)
 
     # spatial sort at setup (Atom::sort, src/atom.cpp:2246): affects only
     # the atom *order*, but sequential host RNG streams (langevin) draw in
@@ -171,20 +196,29 @@ class Simulation:
         if np.array_equal(perm, np.arange(len(perm))):
             return
         pj = jnp.asarray(perm)
-        self.state = s.replace(
-            x=s.x[pj], v=s.v[pj], f=s.f[pj], type=s.type[pj],
-            tag=s.tag[pj], image=s.image[pj],
-            gmask=None if s.gmask is None else s.gmask[pj],
-            q=None if s.q is None else s.q[pj],
-            molecule=None if s.molecule is None else s.molecule[pj])
+        from tpumd.core.state import map_per_atom
+        self.state = map_per_atom(s, lambda a: a[pj])
         if self.special_tags is not None:
             self.special_tags = self.special_tags[perm]
             self.special_codes = self.special_codes[perm]
 
     def setup(self):
         """Initial neighbor build + force evaluation (Verlet::setup)."""
+        if self._shrink_small is None:
+            ell0 = np.asarray(jax.device_get(self.state.box.lengths),
+                              dtype=np.float64)
+            self._shrink_small = 1.0e-4 * ell0  # SMALL, src/domain.cpp:46
+        self._reset_box_host()
         if self.pair is not None:
             self.pair.init()
+            # granular effective-mass rule needs the frozen group's bit
+            # (PairGranHookeHistory::init_style finds fix freeze)
+            if getattr(self.pair, "is_granular", False):
+                for fx in self.fixes:
+                    if getattr(fx, "name", "") == "freeze":
+                        self.pair.freeze_group_bit = fx.groupbit
+                rad = np.asarray(jax.device_get(self.state.radius))
+                self.pair.set_max_radius(float(rad.max()))
         if self.atom_sort:
             self._sort_atoms_host()
         row_of_tag = None
@@ -235,12 +269,17 @@ class Simulation:
                 idx, sbits, max_count, over = nb.build_neighbors(
                     s.x, s.box, ctx.neigh_cfg,
                     special_tags=ctx.special_tags,
-                    special_codes=ctx.special_codes, tag=s.tag)
+                    special_codes=ctx.special_codes, tag=s.tag,
+                    gmask=s.gmask)
+                shear = None
+                if getattr(self.pair, "is_granular", False):
+                    shear = jnp.zeros(
+                        idx.shape + (self.pair.size_history,), s.x.dtype)
                 neigh = nb.NeighborState(
                     idx=idx, sbits=sbits, xhold=s.x,
                     ago=jnp.zeros((), jnp.int32),
                     nbuilds=jnp.ones((), jnp.int32),
-                    overflow=over, max_count=max_count)
+                    overflow=over, max_count=max_count, shear=shear)
             if not bool(jax.device_get(neigh.overflow)):
                 break
             # grow capacities from the observed maximum and retry
@@ -255,8 +294,10 @@ class Simulation:
                     np.ceil(ctx.neigh_cfg.cell_cap * 1.5 / 8) * 8)
         self._check_overflow(neigh)
 
-        f, energies, virial = eval_energies(s, neigh, ctx)
+        f, energies, virial, torque = eval_energies(s, neigh, ctx)
         s = s.replace(f=f)
+        if torque is not None:
+            s = s.replace(torque=torque)
         fstates = [self._init_fix_state(fx, s, ctx) for fx in self.fixes]
         # the reference applies post_force fixes once during setup
         # (Verlet::setup -> modify->setup -> FixLangevin::post_force), which
@@ -280,6 +321,25 @@ class Simulation:
         for c in self.computes.values():
             if c._ref is None:
                 c.prepare(self)
+
+    def _reset_box_host(self):
+        """Host-side Domain::reset_box at setup for shrink-wrapped dims."""
+        spec = self._shrink_spec()
+        if not spec:
+            return
+        s = self.state
+        x = np.asarray(jax.device_get(s.x), dtype=np.float64)
+        lo = np.array(jax.device_get(s.box.lo), dtype=np.float64)
+        hi = np.array(jax.device_get(s.box.hi), dtype=np.float64)
+        tag = np.asarray(jax.device_get(s.tag))
+        xv = x[tag > 0]
+        for d, slo, shi, small in spec:
+            if shi:
+                hi[d] = xv[:, d].max() + small
+            if slo:
+                lo[d] = xv[:, d].min() - small
+        self.state = s.replace(box=s.box.replace(
+            lo=jnp.asarray(lo, self.dtype), hi=jnp.asarray(hi, self.dtype)))
 
     def invalidate_ctx(self):
         """Force a re-setup before the next run (fix set / styles changed).
@@ -372,7 +432,9 @@ class Simulation:
                 ctx = self._ctx
                 s, neigh, fstates, istep = self._carry
                 self.state = s
-            f, energies, virial = eval_energies(s, neigh, ctx)
+            # carry keeps the in-step f/torque; this eval only refreshes
+            # energies and the virial for thermo
+            f, energies, virial, _ = eval_energies(s, neigh, ctx)
             for i, fx in enumerate(self.fixes):
                 if getattr(fx, "contributes_virial", False):
                     virial = virial + fstates[i]
@@ -441,7 +503,8 @@ class Simulation:
         else:
             build_fn = jax.jit(lambda x: nb.build_neighbors(
                 x, s.box, ctx.neigh_cfg, special_tags=ctx.special_tags,
-                special_codes=ctx.special_codes, tag=s.tag)[0])
+                special_codes=ctx.special_codes, tag=s.tag,
+                gmask=s.gmask)[0])
             t_build = timeit(lambda: build_fn(s.x))
         nbuilds = max(int(jax.device_get(neigh.nbuilds)) - 1, 0)
         per_step = elapsed / max(nsteps, 1)
@@ -495,11 +558,16 @@ class Simulation:
             idx, sbits, max_count, over = nb.build_neighbors(
                 s0.x, s0.box, ctx.neigh_cfg,
                 special_tags=ctx.special_tags,
-                special_codes=ctx.special_codes, tag=s0.tag)
+                special_codes=ctx.special_codes, tag=s0.tag,
+                gmask=s0.gmask)
+            shear = neigh0.shear
+            if shear is not None:
+                from tpumd.md.verlet import _remap_shear
+                shear = _remap_shear(neigh0.idx, idx, shear)
             neigh = neigh0.replace(
                 idx=idx, sbits=sbits, xhold=s0.x,
                 ago=jnp.zeros((), jnp.int32),
-                max_count=max_count, overflow=over)
+                max_count=max_count, overflow=over, shear=shear)
         self._check_overflow(neigh)
         self._carry = (s0, neigh, fstates, istep)
         return ctx
@@ -541,8 +609,10 @@ class Simulation:
         if self._ctx is None:
             return
         s, neigh, fstates, istep = self._carry
-        f, energies, virial = eval_energies(s, neigh, self._ctx)
+        f, energies, virial, torque = eval_energies(s, neigh, self._ctx)
         s = s.replace(f=f)
+        if torque is not None:
+            s = s.replace(torque=torque)
         self._carry = (s, neigh, fstates, istep)
         self.state = s
         for i, fx in enumerate(self.fixes):
@@ -559,7 +629,10 @@ class Simulation:
         # one fused device computation + ONE host transfer (tunnel round
         # trips are expensive on remote TPU backends)
         ekeys = sorted(self._last_energies)
-        mass_pa = jnp.asarray(self.mass, self.dtype)[s.type]
+        if s.rmass is not None:
+            mass_pa = jnp.where(s.rmass > 0, s.rmass, 1.0)
+        else:
+            mass_pa = jnp.asarray(self.mass, self.dtype)[s.type]
         t_dev = computes.temperature(s.v, mass_pa, dof, u.boltz, u.mvv2e)
         dt_ = s.x.dtype
         packed = jnp.stack(

@@ -41,8 +41,14 @@ class StepContext:
     special_codes: Any = None
     natoms: int = 0                # true atom count (excludes padding)
     tdof: float = 0.0              # thermostat degrees of freedom
+    # shrink-wrapped boundaries: tuples (dim, shrink_lo, shrink_hi, small)
+    # (Domain::reset_box, src/domain.cpp:431-460)
+    shrink: tuple = ()
 
     def mass_per_atom(self, s: MDState):
+        if s.rmass is not None:
+            # per-atom masses (sphere style); padded slots get mass 1
+            return jnp.where(s.rmass > 0, s.rmass, 1.0)
         return self.mass_table[s.type]
 
     @property
@@ -51,15 +57,26 @@ class StepContext:
 
 
 def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
-                   eflag: bool, vflag: bool):
-    """Sum forces from all styles; returns (f, energies dict, virial6)."""
+                   eflag: bool, vflag: bool, shearupdate: bool = False):
+    """Sum forces from all styles.
+
+    Returns (f, energies dict, virial6, neigh, torque): neigh carries
+    updated per-contact history for granular styles (unchanged otherwise);
+    torque is None unless a style produces torques."""
     zero = jnp.zeros((), s.x.dtype)
     f = jnp.zeros_like(s.x)
     energies = {"evdwl": zero, "ecoul": zero, "ebond": zero, "eangle": zero,
                 "edihed": zero, "eimp": zero, "elong": zero}
     virial = jnp.zeros((6,), s.x.dtype) if vflag else None
+    torque = None
 
-    if ctx.pair is not None:
+    if ctx.pair is not None and getattr(ctx.pair, "is_granular", False):
+        fp, torque, shear_new = ctx.pair.compute_gran(
+            s, neigh.idx, neigh.shear, ctx.dt, shearupdate)
+        f = f + fp
+        if shearupdate:
+            neigh = neigh.replace(shear=shear_new)
+    elif ctx.pair is not None:
         if ctx.is_cellgrid:
             fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
                 s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
@@ -93,11 +110,44 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
         if vflag:
             virial = virial + vir
 
-    return f, energies, virial
+    return f, energies, virial, neigh, torque
+
+
+def reset_box_shrink(s: MDState, ctx: StepContext) -> MDState:
+    """Shrink-wrap non-periodic box bounds to the atom extent
+    (Domain::reset_box, src/domain.cpp:431-460); `small` is static,
+    derived from the initial box."""
+    if not ctx.shrink:
+        return s
+    lo, hi = s.box.lo, s.box.hi
+    for dim, shrink_lo, shrink_hi, small in ctx.shrink:
+        xs = s.x[:, dim]
+        if shrink_hi:
+            hi = hi.at[dim].set(jnp.max(xs) + small)
+        if shrink_lo:
+            lo = lo.at[dim].set(jnp.min(xs) - small)
+    return s.replace(box=s.box.replace(lo=lo, hi=hi))
+
+
+def _remap_shear(old_idx, new_idx, shear):
+    """Carry per-contact history across a list rebuild: for each new slot
+    (i, j), copy the shear of the old slot of i holding the same j
+    (FixNeighHistory semantics, src/fix_neigh_history.cpp)."""
+    n = old_idx.shape[0]
+    self_idx = jnp.arange(n, dtype=old_idx.dtype)[:, None]
+    old_valid = old_idx != self_idx
+    match = (new_idx[:, :, None] == old_idx[:, None, :]) \
+        & old_valid[:, None, :]                       # (N, Knew, Kold)
+    has = match.any(axis=-1)
+    src = jnp.argmax(match, axis=-1)                  # (N, Knew)
+    out = jnp.take_along_axis(shear, src[:, :, None], axis=1)
+    new_valid = new_idx != self_idx
+    return jnp.where((has & new_valid)[..., None], out, 0.0)
 
 
 def _rebuild(s: MDState, neigh, ctx: StepContext):
     s = wrap_pbc(s)
+    s = reset_box_shrink(s, ctx)
     if ctx.is_cellgrid:
         cfg = ctx.neigh_cfg
         perm, valid, max_count, over = cg.bin_permutation(
@@ -114,13 +164,17 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
     idx, sbits, max_count, over = nb.build_neighbors(
         s.x, s.box, ctx.neigh_cfg,
         special_tags=ctx.special_tags, special_codes=ctx.special_codes,
-        tag=s.tag)
+        tag=s.tag, gmask=s.gmask)
+    shear = neigh.shear
+    if shear is not None:
+        shear = _remap_shear(neigh.idx, idx, shear)
     neigh = nb.NeighborState(
         idx=idx, sbits=sbits, xhold=s.x,
         ago=jnp.zeros((), jnp.int32),
         nbuilds=neigh.nbuilds + 1,
         overflow=neigh.overflow | over,
         max_count=max_count,
+        shear=shear,
     )
     return s, neigh
 
@@ -173,9 +227,11 @@ def make_step_fn(ctx: StepContext):
 
         need_virial = any(getattr(fx, "needs_virial", False)
                           for fx in ctx.fixes)
-        f, _, virial = compute_forces(s, neigh, ctx, eflag=False,
-                                      vflag=need_virial)
+        f, _, virial, neigh, torque = compute_forces(
+            s, neigh, ctx, eflag=False, vflag=need_virial, shearupdate=True)
         s = s.replace(f=f)
+        if torque is not None:
+            s = s.replace(torque=torque)
 
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])
@@ -207,6 +263,11 @@ def run_segment(carry, ctx: StepContext, nsteps: int, xs=None):
 
 @partial(jax.jit, static_argnames=("ctx",))
 def eval_energies(s: MDState, neigh: nb.NeighborState, ctx: StepContext):
-    """Force + energy + virial evaluation for thermo output steps."""
-    f, energies, virial = compute_forces(s, neigh, ctx, eflag=True, vflag=True)
-    return f, energies, virial
+    """Force + energy + virial evaluation for thermo output steps.
+
+    Shear history is NOT advanced here (reference: shearupdate=0 during
+    setup, pair_gran_hooke_history.cpp:187); recomputation from the stored
+    post-rescale shear reproduces the in-step force exactly."""
+    f, energies, virial, _, torque = compute_forces(
+        s, neigh, ctx, eflag=True, vflag=True, shearupdate=False)
+    return f, energies, virial, torque

@@ -66,3 +66,4 @@ def _ensure_imports():
     import tpumd.models.pair_misc  # noqa: F401
     import tpumd.models.pair_manybody  # noqa: F401
     import tpumd.models.pair_hybrid  # noqa: F401
+    import tpumd.models.pair_gran  # noqa: F401

@@ -125,24 +125,20 @@ def bin_permutation(x, valid, box: Box, cfg: CellGridConfig):
 
 def apply_permutation(state: MDState, perm, valid_new) -> MDState:
     """Reorder all per-atom arrays into grid-slot order (capacity Np)."""
+    from tpumd.core.state import map_per_atom
     idx = jnp.maximum(perm, 0)
 
-    def take(a, fill=0):
+    def take(a):
         out = jnp.take(a, idx, axis=0)
         mask = valid_new.reshape((-1,) + (1,) * (a.ndim - 1))
-        return jnp.where(mask, out, fill)
+        return jnp.where(mask, out, 0)
 
-    return state.replace(
-        x=take(state.x), v=take(state.v), f=take(state.f),
-        type=take(state.type), tag=take(state.tag), image=take(state.image),
-        gmask=None if state.gmask is None else take(state.gmask),
-        q=None if state.q is None else take(state.q),
-        molecule=None if state.molecule is None else take(state.molecule),
-    )
+    return map_per_atom(state, take)
 
 
 def pad_state(state: MDState, capacity: int) -> MDState:
     """Pad per-atom arrays to the grid capacity (invalid slots at the end)."""
+    from tpumd.core.state import map_per_atom
     n = state.x.shape[0]
     extra = capacity - n
     if extra < 0:
@@ -150,17 +146,11 @@ def pad_state(state: MDState, capacity: int) -> MDState:
     if extra == 0:
         return state
 
-    def pad(a, value=0):
-        if a is None:
-            return None
+    def pad(a):
         width = ((0, extra),) + ((0, 0),) * (a.ndim - 1)
-        return jnp.pad(a, width, constant_values=value)
+        return jnp.pad(a, width, constant_values=0)
 
-    return state.replace(
-        x=pad(state.x), v=pad(state.v), f=pad(state.f),
-        type=pad(state.type), tag=pad(state.tag), image=pad(state.image),
-        gmask=pad(state.gmask), q=pad(state.q), molecule=pad(state.molecule),
-    )
+    return map_per_atom(state, pad)
 
 
 def _offs(n: int):
@@ -184,18 +174,10 @@ def _roll_nbr(a, o: int, axis: int, corr):
 
 def compact_state(state: MDState, valid, natoms: int) -> MDState:
     """Gather valid atoms to the front and truncate to natoms rows."""
+    from tpumd.core.state import map_per_atom
     order = jnp.argsort(~valid)  # stable: valid slots first
     idx = order[:natoms]
-
-    def take(a):
-        return None if a is None else jnp.take(a, idx, axis=0)
-
-    return state.replace(
-        x=take(state.x), v=take(state.v), f=take(state.f),
-        type=take(state.type), tag=take(state.tag), image=take(state.image),
-        gmask=take(state.gmask), q=take(state.q),
-        molecule=take(state.molecule),
-    )
+    return map_per_atom(state, lambda a: jnp.take(a, idx, axis=0))
 
 
 def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
@@ -281,9 +263,8 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
 
 
 def displacement_exceeded(x, xhold, valid, box: Box, skin: float):
-    d = x - xhold
-    ell = box.lengths
-    d = d - ell * jnp.round(d / ell)
+    from tpumd.core.state import minimum_image
+    d = minimum_image(x - xhold, box)
     rsq = jnp.sum(d * d, axis=-1)
     rsq = jnp.where(valid, rsq, 0)
     delta = 0.5 * skin

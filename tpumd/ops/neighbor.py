@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from tpumd.core.state import Box
+from tpumd.core.state import Box, minimum_image
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +57,9 @@ class NeighborConfig:
     check: bool = True
     # special-bond exclusion data present?
     has_special: bool = False
+    # group-pair exclusions (neigh_modify exclude group g1 g2): pairs of
+    # gmask bits; a pair (i,j) is dropped when i,j are in the two groups
+    exclude_bits: tuple = ()
 
     @property
     def ncells(self) -> int:
@@ -72,6 +75,10 @@ class NeighborState:
     nbuilds: jnp.ndarray    # int32 total builds
     overflow: jnp.ndarray   # bool: K or cell_cap exceeded at some build
     max_count: jnp.ndarray  # int32 max neighbors seen in last build
+    # per-contact history (granular shear accumulators), slot-aligned with
+    # idx; remapped by j-match at every rebuild (reference
+    # FixNeighHistory, src/fix_neigh_history.cpp)
+    shear: jnp.ndarray | None = None  # (N, K, 3)
 
 
 def choose_config(
@@ -155,12 +162,14 @@ def build_neighbors(
     special_tags: jnp.ndarray | None = None,
     special_codes: jnp.ndarray | None = None,
     tag: jnp.ndarray | None = None,
+    gmask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Build the padded neighbor matrix.
 
     x must be wrapped into the box. Returns (idx, sbits, max_count, overflow).
     special_tags: (N, S) int32 global tags of special neighbors of each atom
     (0-padded); special_codes: (N, S) their weight codes (1/2/3).
+    gmask is required when cfg.exclude_bits is non-empty.
     """
     n = x.shape[0]
     cell_id, ci = _cell_index(x, box, cfg)
@@ -184,15 +193,25 @@ def build_neighbors(
 
     xp = jnp.concatenate([x, jnp.full((1, 3), 2 * cfg.cutneigh, x.dtype) + box.hi])
     self_pad = jnp.arange(npad, dtype=jnp.int32)  # row's own index = padding value
+    if cfg.exclude_bits:
+        gm_p = jnp.concatenate([gmask, jnp.zeros((1,), gmask.dtype)])
+        gm_pad = jnp.pad(gmask, (0, npad - n))
 
     def build_block(args):
-        sten_b, xi_b, self_b = args  # (B,27), (B,3), (B,)
+        sten_b, xi_b, self_b, gm_b = args  # (B,27), (B,3), (B,), (B,)
         cand = cells[sten_b].reshape(sten_b.shape[0], -1)  # (B, 27*cap)
         xj = xp[cand]  # sentinel n -> far-away point
         d = xi_b[:, None, :] - xj
-        d = d - ell * jnp.round(d / ell)  # minimum image (orthogonal)
+        d = minimum_image(d, box)
         r2 = jnp.sum(d * d, axis=-1)
         ok = (r2 < cut2) & (cand != self_b[:, None]) & (cand < n)
+        if cfg.exclude_bits:
+            gj = gm_p[cand]
+            gi = gm_b[:, None]
+            for b1, b2 in cfg.exclude_bits:
+                both = (((gi & b1) > 0) & ((gj & b2) > 0)) | (
+                    ((gi & b2) > 0) & ((gj & b1) > 0))
+                ok = ok & ~both
         pos = jnp.cumsum(ok, axis=1) - 1
         count = jnp.sum(ok, axis=1)
         col = jnp.where(ok, jnp.minimum(pos, cfg.kmax), cfg.kmax)
@@ -206,12 +225,15 @@ def build_neighbors(
     pad = npad - n
     sten_p = jnp.pad(stencil, ((0, pad), (0, 0)))
     xi_p = jnp.pad(x, ((0, pad), (0, 0)))
+    gm_arg = (gm_pad if cfg.exclude_bits
+              else jnp.zeros((npad,), jnp.int32))
     idx, counts = jax.lax.map(
         build_block,
         (
             sten_p.reshape(nblocks, cfg.block, nsten),
             xi_p.reshape(nblocks, cfg.block, 3),
             self_pad.reshape(nblocks, cfg.block),
+            gm_arg.reshape(nblocks, cfg.block),
         ),
     )
     idx = idx.reshape(npad, cfg.kmax)[:n]
@@ -239,8 +261,7 @@ def displacement_exceeded(x, xhold, box: Box, skin: float) -> jnp.ndarray:
     src/neighbor.cpp:2322-2360)."""
     d = x - xhold
     # account for possible wrap between build steps via minimum image
-    ell = box.lengths
-    d = d - ell * jnp.round(d / ell)
+    d = minimum_image(d, box)
     rsq = jnp.sum(d * d, axis=-1)
     delta = 0.5 * skin
     return jnp.max(rsq) > delta * delta

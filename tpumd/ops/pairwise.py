@@ -17,10 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-
-def minimum_image(d, box):
-    ell = box.lengths
-    return d - ell * jnp.round(d / ell)
+from tpumd.core.state import minimum_image  # noqa: F401 (re-export)
 
 
 def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,

@@ -149,8 +149,21 @@ class LammpsScript:
         self.atom_style = a[0]
 
     def cmd_boundary(self, a):
-        if any(c not in ("p", "pp", "ppp") for c in a):
-            raise ScriptError("only periodic boundaries supported")
+        sim = self._require_sim()
+        toks = []
+        for tok in a[:3]:
+            if not all(c in "pfsm" for c in tok) or len(tok) > 2:
+                raise ScriptError(f"boundary token {tok!r} not supported")
+            toks.append(tok)
+        while len(toks) < 3:
+            toks.append("p")
+        sim.boundary = tuple(toks)
+
+    def cmd_newton(self, a):
+        pass  # physics-identical by construction (i-centric full lists)
+
+    def cmd_comm_modify(self, a):
+        pass  # ghost velocity comm is implicit (no ghosts)
 
     def cmd_lattice(self, a):
         sim = self._require_sim()
@@ -364,13 +377,29 @@ class LammpsScript:
 
     def cmd_neigh_modify(self, a):
         sim = self._require_sim()
-        kw = dict(zip(a[::2], a[1::2]))
-        if "delay" in kw:
-            sim.neigh_delay = int(kw["delay"])
-        if "every" in kw:
-            sim.neigh_every = int(kw["every"])
-        if "check" in kw:
-            sim.neigh_check = kw["check"] == "yes"
+        i = 0
+        while i < len(a):
+            key = a[i]
+            if key == "delay":
+                sim.neigh_delay = int(a[i + 1]); i += 2
+            elif key == "every":
+                sim.neigh_every = int(a[i + 1]); i += 2
+            elif key == "check":
+                sim.neigh_check = a[i + 1] == "yes"; i += 2
+            elif key == "exclude":
+                # exclude group g1 g2 (src/neighbor.cpp exclusion lists)
+                if a[i + 1] != "group":
+                    raise ScriptError(
+                        f"neigh_modify exclude {a[i + 1]} not supported")
+                b1 = sim.groups[a[i + 2]]
+                b2 = sim.groups[a[i + 3]]
+                excl = getattr(sim, "neigh_exclude", ())
+                sim.neigh_exclude = excl + ((b1, b2),)
+                i += 4
+            elif key in ("page", "one", "binsize"):
+                i += 2
+            else:
+                raise ScriptError(f"neigh_modify keyword {key} not supported")
 
     def cmd_timestep(self, a):
         self.sim.dt = float(a[0])
@@ -456,6 +485,15 @@ class LammpsScript:
             from tpumd.md.fix_misc import FixTempBerendsen
             sim.fixes.append(FixTempBerendsen(
                 float(args[0]), float(args[1]), float(args[2])))
+        elif style == "nve/sphere":
+            from tpumd.md.fix_sphere import FixNVESphere
+            sim.fixes.append(FixNVESphere())
+        elif style == "freeze":
+            from tpumd.md.fix_sphere import FixFreeze
+            sim.fixes.append(FixFreeze())
+        elif style == "gravity":
+            from tpumd.md.fix_sphere import FixGravity
+            sim.fixes.append(FixGravity(float(args[0]), args[1], *args[2:]))
         elif style in ("recenter", "enforce2d", "balance"):
             pass  # harmless no-ops for now
         else:
@@ -502,6 +540,20 @@ class LammpsScript:
             reg = self.regions[a[2]]
             x = np.asarray(jax.device_get(sim.state.x), dtype=np.float64)
             sel = reg.inside(x)
+        elif style == "subtract":
+            gm = np.asarray(jax.device_get(sim.state.gmask))
+            sel = (gm & sim.groups[a[2]]) > 0
+            for gname in a[3:]:
+                sel &= ~((gm & sim.groups[gname]) > 0)
+        elif style == "union":
+            gm = np.asarray(jax.device_get(sim.state.gmask))
+            for gname in a[2:]:
+                sel |= (gm & sim.groups[gname]) > 0
+        elif style == "intersect":
+            gm = np.asarray(jax.device_get(sim.state.gmask))
+            sel[:] = True
+            for gname in a[2:]:
+                sel &= (gm & sim.groups[gname]) > 0
         else:
             raise ScriptError(f"group style {style} not supported")
         gm = np.asarray(jax.device_get(sim.state.gmask)).copy()
@@ -674,9 +726,13 @@ class LammpsScript:
         d = read_data(path, self.atom_style)
         sim.ntypes = d.natomtypes
         sim.mass = d.masses.copy()
-        box = Box.orthogonal(d.box_lo, d.box_hi, dtype=self.dtype)
+        periodic = tuple(tok == "p" for tok in sim.boundary)
+        box = Box.orthogonal(d.box_lo, d.box_hi, dtype=self.dtype,
+                             periodic=periodic)
         sim.state = make_state(d.x, d.v, d.types, box, q=d.q,
-                               molecule=d.molecule, dtype=self.dtype)
+                               molecule=d.molecule, radius=d.radius,
+                               rmass=d.rmass, omega=d.omega,
+                               dtype=self.dtype)
         sim.state = sim.state.replace(
             image=jnp.asarray(d.image, dtype=jnp.int32))
         sim.topology = {}
