@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Run every reference benchmark deck on the available accelerator and
+print a per-deck throughput table (Matom-step/s) vs the shipped 1-rank
+baselines (/root/reference/bench/log.6Oct16.*.fixed.icc.1).
+
+Usage: python tools/bench_all.py [lj eam chain chute] [--steps N]
+Writes results to BENCH_TABLE.json in the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+BENCH = "/root/reference/bench"
+
+# 1-rank icc baselines in Matom-step/s (timesteps/s x 32000 / 1e6)
+BASELINES = {"lj": 1.41, "chain": 3.27, "eam": 0.536, "chute": 6.0,
+             "rhodo": 0.091}
+
+IN_LJ = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 20 0 20 0 20
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+neigh_modify    delay 0 every 20 check no
+fix             1 all nve
+"""
+
+# energy sanity targets: (key, value, abs tolerance) near the reference's
+# step-100 thermo values — a silent physics regression must not ship a
+# perf number
+SANITY = {
+    "lj": ("epair", -5.76, 0.2),
+    "chain": ("etotal", 22.4, 0.3),
+    "eam": ("epair", -3.32 * 32000, 0.02 * 32000),
+    "chute": ("ke", 784200.0, 2000.0),
+}
+
+
+def build(deck_name):
+    from tpumd.script.parser import LammpsScript
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    script = LammpsScript(dtype=dtype, data_dir=BENCH)
+    if deck_name == "lj":
+        script.run_string(IN_LJ)
+    else:
+        deck = open(f"{BENCH}/in.{deck_name}").read()
+        # strip the run so we control segmenting
+        deck = "\n".join(ln for ln in deck.splitlines()
+                         if not ln.strip().startswith(("run ", "run\t")))
+        script.run_string(deck)
+    script._finalize_atoms()
+    sim = script.sim
+    sim.verbose = False
+    sim.thermo_every = 0
+    return sim
+
+
+def bench_deck(name, nsteps):
+    t_build = time.perf_counter()
+    sim = build(name)
+    t0 = time.perf_counter()
+    sim.run(nsteps)              # compile + warmup
+    compile_s = time.perf_counter() - t0
+    key, target, tol = SANITY[name]
+    val = sim.last_thermo[key]
+    ok = abs(val - target) < tol
+    t0 = time.perf_counter()
+    sim.run(nsteps)              # timed (same segment length -> cached)
+    dt = time.perf_counter() - t0
+    sps = nsteps / dt
+    matom = sps * sim.natoms / 1e6
+    mode = "cellgrid" if sim._ctx.is_cellgrid else "matrix"
+    return {
+        "deck": name, "natoms": sim.natoms, "steps": nsteps,
+        "timesteps_per_s": round(sps, 3),
+        "matom_steps_per_s": round(matom, 4),
+        "baseline": BASELINES[name],
+        "vs_baseline": round(matom / BASELINES[name], 2),
+        "engine": mode, "compile_s": round(compile_s, 1),
+        "sanity_ok": bool(ok), "sanity_value": float(val),
+        "backend": jax.default_backend(),
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    decks = args or ["lj", "chain", "eam", "chute"]
+    nsteps = 500 if jax.default_backend() != "cpu" else 100
+    for a in sys.argv[1:]:
+        if a.startswith("--steps"):
+            nsteps = int(a.split("=")[1])
+    results = []
+    for name in decks:
+        try:
+            r = bench_deck(name, nsteps)
+        except Exception as e:  # noqa: BLE001
+            r = {"deck": name, "error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    out = os.path.join(REPO, "BENCH_TABLE.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

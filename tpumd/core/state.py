@@ -82,6 +82,11 @@ class MDState:
     rmass: jnp.ndarray | None = None     # (N,) per-atom mass
     omega: jnp.ndarray | None = None     # (N, 3) angular velocity
     torque: jnp.ndarray | None = None    # (N, 3) torque accumulator
+    # special 1-2/1-3/1-4 neighbor lists (tags + weight codes), carried as
+    # per-atom state so they permute with the atoms AND stay out of
+    # compiled graphs as baked constants (large-topology compile times)
+    special_tags: jnp.ndarray | None = None   # (N, S) int32, 0-padded
+    special_codes: jnp.ndarray | None = None  # (N, S) int32 1/2/3
 
     @property
     def capacity(self) -> int:
@@ -90,7 +95,8 @@ class MDState:
 
 # every per-atom array field of MDState (for generic permute/pad/compact)
 PER_ATOM_FIELDS = ("x", "v", "f", "type", "tag", "image", "gmask", "q",
-                   "molecule", "radius", "rmass", "omega", "torque")
+                   "molecule", "radius", "rmass", "omega", "torque",
+                   "special_tags", "special_codes")
 
 
 def map_per_atom(state: MDState, fn) -> MDState:

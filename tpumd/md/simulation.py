@@ -82,6 +82,7 @@ class Simulation:
         return self._natoms
 
     _natoms = None
+    _consts = None
 
     def mass_per_atom_np(self):
         if self.state.rmass is not None:
@@ -146,16 +147,11 @@ class Simulation:
             self.special_lj, dtype=self.dtype)
         sc = None if self.special_coul is None else jnp.asarray(
             self.special_coul, dtype=self.dtype)
-        st = None if self.special_tags is None else jnp.asarray(
-            self.special_tags, dtype=jnp.int32)
-        scod = None if self.special_codes is None else jnp.asarray(
-            self.special_codes, dtype=jnp.int32)
         return StepContext(
             units=self.units, dt=self.dt, neigh_cfg=cfg,
             pair=self.pair, bonded=tuple(self.bonded), kspace=self.kspace,
             fixes=tuple(self.fixes), mass_table=mass_table,
             special_lj=sl, special_coul=sc,
-            special_tags=st, special_codes=scod,
             natoms=self.natoms, tdof=self.dof(),
             shrink=self._shrink_spec(),
         )
@@ -221,6 +217,11 @@ class Simulation:
                 self.pair.set_max_radius(float(rad.max()))
         if self.atom_sort:
             self._sort_atoms_host()
+        if self.special_tags is not None:
+            # per-atom special lists ride the state (traced, not baked)
+            self.state = self.state.replace(
+                special_tags=jnp.asarray(self.special_tags, jnp.int32),
+                special_codes=jnp.asarray(self.special_codes, jnp.int32))
         row_of_tag = None
         if self.topology:
             tags = np.asarray(jax.device_get(self.state.tag))
@@ -246,6 +247,8 @@ class Simulation:
                 # (re)build incidence with the current (post-sort) ordering
                 b.set_topology(self.natoms, tuples, row_of_tag)
             b.init()
+        self._consts = (tuple(b.device_incidence() for b in self.bonded)
+                        or None)
         if self.kspace is not None:
             self.kspace.init(self)
         for attempt in range(6):
@@ -268,8 +271,8 @@ class Simulation:
             else:
                 idx, sbits, max_count, over = nb.build_neighbors(
                     s.x, s.box, ctx.neigh_cfg,
-                    special_tags=ctx.special_tags,
-                    special_codes=ctx.special_codes, tag=s.tag,
+                    special_tags=s.special_tags,
+                    special_codes=s.special_codes, tag=s.tag,
                     gmask=s.gmask)
                 shear = None
                 if getattr(self.pair, "is_granular", False):
@@ -294,7 +297,8 @@ class Simulation:
                     np.ceil(ctx.neigh_cfg.cell_cap * 1.5 / 8) * 8)
         self._check_overflow(neigh)
 
-        f, energies, virial, torque = eval_energies(s, neigh, ctx)
+        f, energies, virial, torque = eval_energies(
+            s, neigh, ctx, consts=self._consts)
         s = s.replace(f=f)
         if torque is not None:
             s = s.replace(torque=torque)
@@ -416,7 +420,8 @@ class Simulation:
             xs = self._segment_inputs(seg, ctx)
             while True:
                 snapshot = self._carry
-                carry = run_segment(self._carry, ctx, seg, xs)
+                carry = run_segment(self._carry, ctx, seg, xs,
+                                    consts=self._consts)
                 if bool(jax.device_get(carry[1].overflow)):
                     # grow capacities, redo the segment from the snapshot
                     # (same xs: host RNG streams are not re-drawn)
@@ -434,7 +439,8 @@ class Simulation:
                 self.state = s
             # carry keeps the in-step f/torque; this eval only refreshes
             # energies and the virial for thermo
-            f, energies, virial, _ = eval_energies(s, neigh, ctx)
+            f, energies, virial, _ = eval_energies(s, neigh, ctx,
+                                                   consts=self._consts)
             for i, fx in enumerate(self.fixes):
                 if getattr(fx, "contributes_virial", False):
                     virial = virial + fstates[i]
@@ -493,8 +499,8 @@ class Simulation:
             jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
             return (time.perf_counter() - t0) / reps
 
-        force_fn = jax.jit(lambda st, ne: compute_forces(st, ne, ctx,
-                                                         False, False)[0])
+        force_fn = jax.jit(lambda st, ne: compute_forces(
+            st, ne, ctx, False, False, consts=self._consts)[0])
         t_force = timeit(lambda: force_fn(s, neigh))
         if ctx.is_cellgrid:
             build_fn = jax.jit(lambda x, v: cg.bin_permutation(
@@ -502,8 +508,8 @@ class Simulation:
             t_build = timeit(lambda: build_fn(s.x, neigh.valid))
         else:
             build_fn = jax.jit(lambda x: nb.build_neighbors(
-                x, s.box, ctx.neigh_cfg, special_tags=ctx.special_tags,
-                special_codes=ctx.special_codes, tag=s.tag,
+                x, s.box, ctx.neigh_cfg, special_tags=s.special_tags,
+                special_codes=s.special_codes, tag=s.tag,
                 gmask=s.gmask)[0])
             t_build = timeit(lambda: build_fn(s.x))
         nbuilds = max(int(jax.device_get(neigh.nbuilds)) - 1, 0)
@@ -557,8 +563,8 @@ class Simulation:
             s0 = wrap_pbc(s0)
             idx, sbits, max_count, over = nb.build_neighbors(
                 s0.x, s0.box, ctx.neigh_cfg,
-                special_tags=ctx.special_tags,
-                special_codes=ctx.special_codes, tag=s0.tag,
+                special_tags=s0.special_tags,
+                special_codes=s0.special_codes, tag=s0.tag,
                 gmask=s0.gmask)
             shear = neigh0.shear
             if shear is not None:
@@ -609,7 +615,8 @@ class Simulation:
         if self._ctx is None:
             return
         s, neigh, fstates, istep = self._carry
-        f, energies, virial, torque = eval_energies(s, neigh, self._ctx)
+        f, energies, virial, torque = eval_energies(
+            s, neigh, self._ctx, consts=self._consts)
         s = s.replace(f=f)
         if torque is not None:
             s = s.replace(torque=torque)

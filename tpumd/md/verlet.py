@@ -37,8 +37,6 @@ class StepContext:
     mass_table: Any                # (ntypes+1,) jnp array
     special_lj: Any = None         # (4,) weights or None
     special_coul: Any = None
-    special_tags: Any = None       # (N, S) per-atom special tag lists
-    special_codes: Any = None
     natoms: int = 0                # true atom count (excludes padding)
     tdof: float = 0.0              # thermostat degrees of freedom
     # shrink-wrapped boundaries: tuples (dim, shrink_lo, shrink_hi, small)
@@ -57,12 +55,15 @@ class StepContext:
 
 
 def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
-                   eflag: bool, vflag: bool, shearupdate: bool = False):
+                   eflag: bool, vflag: bool, shearupdate: bool = False,
+                   consts=None):
     """Sum forces from all styles.
 
     Returns (f, energies dict, virial6, neigh, torque): neigh carries
     updated per-contact history for granular styles (unchanged otherwise);
-    torque is None unless a style produces torques."""
+    torque is None unless a style produces torques.  consts: per-bonded-
+    style device constants (incidence lists), threaded as traced arguments
+    so large topologies are not baked into compiled graphs."""
     zero = jnp.zeros((), s.x.dtype)
     f = jnp.zeros_like(s.x)
     energies = {"evdwl": zero, "ecoul": zero, "ebond": zero, "eangle": zero,
@@ -93,8 +94,9 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
         if vflag:
             virial = virial + vir
 
-    for style in ctx.bonded:
-        fb, ed, vir = style.compute(s, ctx, eflag, vflag)
+    bconsts = consts if consts is not None else (None,) * len(ctx.bonded)
+    for style, bc in zip(ctx.bonded, bconsts):
+        fb, ed, vir = style.compute(s, ctx, eflag, vflag, consts=bc)
         f = f + fb
         if eflag and ed:
             for key, val in ed.items():
@@ -163,7 +165,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
         return s, neigh
     idx, sbits, max_count, over = nb.build_neighbors(
         s.x, s.box, ctx.neigh_cfg,
-        special_tags=ctx.special_tags, special_codes=ctx.special_codes,
+        special_tags=s.special_tags, special_codes=s.special_codes,
         tag=s.tag, gmask=s.gmask)
     shear = neigh.shear
     if shear is not None:
@@ -195,10 +197,11 @@ def decide_rebuild(s: MDState, neigh, ctx: StepContext):
     return sched
 
 
-def make_step_fn(ctx: StepContext):
+def make_step_fn(ctx: StepContext, consts=None):
     """Returns step(carry, xs) for lax.scan; carry = (s, neigh, fix_states,
     step); xs = per-step per-fix host-generated inputs (e.g. exact RanMars
-    streams), or a tuple of Nones."""
+    streams), or a tuple of Nones.  consts: traced per-style constants
+    (see compute_forces)."""
 
     def step(carry, xs):
         s, neigh, fstates, istep = carry
@@ -228,7 +231,8 @@ def make_step_fn(ctx: StepContext):
         need_virial = any(getattr(fx, "needs_virial", False)
                           for fx in ctx.fixes)
         f, _, virial, neigh, torque = compute_forces(
-            s, neigh, ctx, eflag=False, vflag=need_virial, shearupdate=True)
+            s, neigh, ctx, eflag=False, vflag=need_virial, shearupdate=True,
+            consts=consts)
         s = s.replace(f=f)
         if torque is not None:
             s = s.replace(torque=torque)
@@ -253,8 +257,8 @@ def make_step_fn(ctx: StepContext):
 
 
 @partial(jax.jit, static_argnames=("ctx", "nsteps"))
-def run_segment(carry, ctx: StepContext, nsteps: int, xs=None):
-    step = make_step_fn(ctx)
+def run_segment(carry, ctx: StepContext, nsteps: int, xs=None, consts=None):
+    step = make_step_fn(ctx, consts)
     if xs is None:
         xs = tuple(None for _ in ctx.fixes)
     carry, _ = jax.lax.scan(step, carry, xs, length=nsteps)
@@ -262,12 +266,14 @@ def run_segment(carry, ctx: StepContext, nsteps: int, xs=None):
 
 
 @partial(jax.jit, static_argnames=("ctx",))
-def eval_energies(s: MDState, neigh: nb.NeighborState, ctx: StepContext):
+def eval_energies(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
+                  consts=None):
     """Force + energy + virial evaluation for thermo output steps.
 
     Shear history is NOT advanced here (reference: shearupdate=0 during
     setup, pair_gran_hooke_history.cpp:187); recomputation from the stored
     post-rescale shear reproduces the in-step force exactly."""
     f, energies, virial, _, torque = compute_forces(
-        s, neigh, ctx, eflag=True, vflag=True, shearupdate=False)
+        s, neigh, ctx, eflag=True, vflag=True, shearupdate=False,
+        consts=consts)
     return f, energies, virial, torque

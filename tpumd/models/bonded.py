@@ -64,6 +64,7 @@ class BondedStyle:
     def __init__(self, ntypes: int):
         self.ntypes = ntypes
         self._incidence = None
+        self._dev_inc = None
 
     def coeff(self, *args):
         raise NotImplementedError
@@ -76,8 +77,21 @@ class BondedStyle:
         self._n = n
         self._incidence = build_incidence(n, self._tuples, self.arity,
                                           row_of_tag)
+        self._dev_inc = None
 
-    def compute(self, s, ctx, eflag: bool, vflag: bool):
+    def device_incidence(self):
+        """Incidence arrays as device arrays, built once — passed into
+        compiled step functions as traced arguments so large topologies
+        are not baked into the jit graphs as constants."""
+        if self._incidence is None:
+            return None
+        if self._dev_inc is None:
+            idx, typ, role, mask = self._incidence
+            self._dev_inc = (jnp.asarray(idx), jnp.asarray(typ),
+                             jnp.asarray(role), jnp.asarray(mask))
+        return self._dev_inc
+
+    def compute(self, s, ctx, eflag: bool, vflag: bool, consts=None):
         """Returns (f (N,3), {energy_key: scalar} or None, virial6 or None)."""
         raise NotImplementedError
 
@@ -91,12 +105,9 @@ class BondStyle(BondedStyle):
         """Return (fbond, ebond): f_on_atom1 = fbond * (x1 - x2)."""
         raise NotImplementedError
 
-    def compute(self, s, ctx, eflag: bool, vflag: bool):
-        idx, typ, role, mask = self._incidence
-        idx = jnp.asarray(idx)
-        typ_j = jnp.asarray(typ)
-        mask_j = jnp.asarray(mask)
-        role_j = jnp.asarray(role)
+    def compute(self, s, ctx, eflag: bool, vflag: bool, consts=None):
+        inc = consts if consts is not None else self.device_incidence()
+        idx, typ_j, role_j, mask_j = inc
         # partner of each incidence: the other atom of the bond
         partner = jnp.where(role_j[..., None] == 0, idx[:, :, 1:2],
                             idx[:, :, 0:1])[..., 0]
@@ -218,21 +229,19 @@ class TupleStyle(BondedStyle):
     1/arity); only the member's own force lands in its row — scatter-free.
     """
 
-    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag):
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, **kw):
         """xs: list of arity (N,P,3) member positions.
         Returns (forces [arity x (N,P,3)], edict_per_tuple or None,
         virial_pairs or None, extra (f_extra, edict_extra) or None)."""
         raise NotImplementedError
 
-    def compute(self, s, ctx, eflag: bool, vflag: bool):
-        idx, typ, role, mask = self._incidence
-        idx_j = jnp.asarray(idx)
-        typ_j = jnp.asarray(typ)
-        role_j = jnp.asarray(role)
-        mask_j = jnp.asarray(mask)
+    def compute(self, s, ctx, eflag: bool, vflag: bool, consts=None):
+        inc = consts if consts is not None else self.device_incidence()
+        idx_j, typ_j, role_j, mask_j = inc
         xs = [s.x[idx_j[:, :, r]] for r in range(self.arity)]
         flist, ed, vpairs, extra = self.tuple_terms(
-            xs, typ_j, s.box, ctx, eflag, vflag, s=s, idx=idx_j, mask=mask_j)
+            xs, typ_j, s.box, ctx, eflag, vflag, s=s, idx=idx_j, mask=mask_j,
+            role=role_j)
         # select this atom's own force by role
         f_own = jnp.zeros_like(xs[0])
         for r in range(self.arity):
@@ -282,7 +291,7 @@ class AngleHarmonic(AngleStyle):
     k_ub = None
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None):
+                    idx=None, mask=None, role=None):
         dt_ = xs[0].dtype
         x1, x2, x3 = xs
         d1 = _mi(x1 - x2, box)
@@ -408,7 +417,7 @@ class DihedralHarmonic(DihedralStyle):
         return cos_shift, sin_shift
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None):
+                    idx=None, mask=None, role=None):
         dt_ = xs[0].dtype
         (vb1, vb2, vb2m, vb3, a, b, rg, rginv,
          ra2inv, rb2inv, c, sv) = _dihedral_geometry(xs, box)
@@ -469,7 +478,7 @@ class DihedralCharmm(DihedralHarmonic):
         return np.cos(rad), np.sin(rad)
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None):
+                    idx=None, mask=None, role=None):
         flist, ed, vp, _ = super().tuple_terms(
             xs, ttype, box, ctx, eflag, vflag, s=s, idx=idx, mask=mask)
         # ---- 1-4 nonbonded term between atoms 1 and 4 -------------------
@@ -501,9 +510,7 @@ class DihedralCharmm(DihedralHarmonic):
         # the number of times each (role0/role3) row sees this tuple: each
         # tuple appears in exactly 4 rows, roles 0..3; rows with role 0 add
         # +f, role 3 add -f, others 0 => no double counting.
-        role = self._incidence[2]
-        role_j = jnp.asarray(role)
-        sign = jnp.where(role_j == 0, 1.0, jnp.where(role_j == 3, -1.0, 0.0))
+        sign = jnp.where(role == 0, 1.0, jnp.where(role == 3, -1.0, 0.0))
         fx = jnp.sum(sign[..., None] * fpair[..., None] * d14, axis=1)
         exd = None
         vx = None
@@ -540,7 +547,7 @@ class ImproperHarmonic(ImproperStyle):
         self.chi[itype] = chi_deg * np.pi / 180.0
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None):
+                    idx=None, mask=None, role=None):
         dt_ = xs[0].dtype
         x1, x2, x3, x4 = xs
         vb1 = _mi(x1 - x2, box)

@@ -92,10 +92,27 @@ class _Funcfl:
         self.rhor[1:] = body[self.nrho + self.nr:need]
 
 
+def _spline_val_np(sp, delta, n, r):
+    """Exact host-side evaluation of an interpolate() table (value)."""
+    p = r / delta + 1.0
+    m = np.clip(p.astype(np.int64), 1, n - 1)
+    p = np.minimum(p - m, 1.0)
+    c = sp[m]
+    return ((c[:, 3] * p + c[:, 4]) * p + c[:, 5]) * p + c[:, 6]
+
+
+def _spline_der_np(sp, delta, n, r):
+    p = r / delta + 1.0
+    m = np.clip(p.astype(np.int64), 1, n - 1)
+    p = np.minimum(p - m, 1.0)
+    c = sp[m]
+    return (c[:, 0] * p + c[:, 1]) * p + c[:, 2]
+
+
 @register_pair("eam")
 class PairEAM(PairStyle):
     name = "eam"
-    supports_cellgrid = False  # two-pass; cell-grid variant comes later
+    supports_cellgrid = False  # enabled at init() for single-element systems
 
     def __init__(self, ntypes: int):
         super().__init__(ntypes)
@@ -123,6 +140,152 @@ class PairEAM(PairStyle):
             if self.funcfl[i] not in files:
                 files.append(self.funcfl[i])
         self._file2array(files)
+        self._init_cellgrid_tables()
+
+    def _init_cellgrid_tables(self):
+        """Refit the radial splines as branchless segment polynomials for
+        the gather-free cell-grid engine (single-element systems only —
+        per-pair table selection would need in-block gathers)."""
+        if self.ntypes != 1:
+            self.supports_cellgrid = False
+            return
+        from tpumd.ops.segpoly import fit_segpoly
+        rhor = self.rhor_spline[0]
+        z2r = self.z2r_spline[0]
+        lo, hi = 0.22 * self.cutmax, self.cutmax
+        tabs = {}
+        fns = {
+            "rho_val": lambda r: _spline_val_np(rhor, self.dr, self.nr, r),
+            "rho_der": lambda r: _spline_der_np(rhor, self.dr, self.nr, r),
+            "z2_val": lambda r: _spline_val_np(z2r, self.dr, self.nr, r),
+            "z2_der": lambda r: _spline_der_np(z2r, self.dr, self.nr, r),
+        }
+        for name, fn in fns.items():
+            # segment count is a compile-time/step-time cost (masked
+            # selects per coefficient), so stay small: residual error at
+            # these settings is dominated by digitization noise in the
+            # source tables' cutoff tails (absolute size ~1e-6 of the
+            # function peak) — physically negligible.  Anything worse
+            # than 5e-3 means the fit failed; fall back to the exact path.
+            for nseg, deg in ((8, 10), (12, 10)):
+                t = fit_segpoly(fn, lo, hi, nseg, deg)
+                if t.max_rel_err < 3e-4:
+                    break
+            if t.max_rel_err > 2e-3:
+                self.supports_cellgrid = False
+                return
+            tabs[name] = t
+        self._segpoly = tabs
+        self.supports_cellgrid = True
+
+    def compute_cellgrid(self, x, type_, valid, box, cfg, eflag: bool,
+                         vflag: bool, q=None):
+        """Two-pass EAM on the rolled cell grid (gather-free except the
+        per-ATOM embedding spline): pass 1 sweeps the 9 shift blocks
+        accumulating host densities, F'(rho) is evaluated per slot from the
+        exact frho spline, its grid is rolled alongside positions, and
+        pass 2 sweeps again for forces.  This is the TPU replacement for
+        the reference's rho reverse_comm / fp forward_comm mid-force
+        exchanges (src/MANYBODY/pair_eam.cpp:224,251)."""
+        from tpumd.ops.cellgrid import _offs, _roll_nbr
+        dtype = x.dtype
+        cap = cfg.cap
+        gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
+        sp = self._segpoly
+
+        xg = [x[:, c].reshape(gshape) for c in range(3)]
+        vg = valid.reshape(gshape)
+        xoffs = _offs(cfg.nx)
+        Lx, Ly, Lz = box.lengths[0], box.lengths[1], box.lengths[2]
+
+        def xrow(a, corr):
+            return jnp.concatenate(
+                [_roll_nbr(a, o, 2, corr) for o in xoffs], axis=-1)
+
+        rows = [xrow(xg[0], Lx), xrow(xg[1], None), xrow(xg[2], None)]
+        vrow = xrow(vg, None)
+        rowlen = len(xoffs) * cap
+        zero_seg = xoffs.index(0)
+        import jax
+        ii = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 1)
+        not_self = jj != ii + zero_seg * cap
+        cut2 = jnp.asarray(self.cutforcesq, dtype)
+
+        def shift_blocks(extra_rows=()):
+            """Yield (d, r, mask, extras_j) for the 9 y/z shifts."""
+            for dz in _offs(cfg.nz):
+                for dy in _offs(cfg.ny):
+                    xj = []
+                    for comp in range(3):
+                        a = _roll_nbr(rows[comp], dz, 0,
+                                      Lz if comp == 2 else None)
+                        a = _roll_nbr(a, dy, 1, Ly if comp == 1 else None)
+                        xj.append(a)
+                    vj = _roll_nbr(_roll_nbr(vrow, dz, 0, None), dy, 1, None)
+                    ej = [_roll_nbr(_roll_nbr(er, dz, 0, None), dy, 1, None)
+                          for er in extra_rows]
+                    d = [xg[c][..., :, None] - xj[c][..., None, :]
+                         for c in range(3)]
+                    r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                    mask = vg[..., :, None] & vj[..., None, :]
+                    if dz == 0 and dy == 0:
+                        mask = mask & not_self
+                    mask = mask & (r2 < cut2)
+                    r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
+                    yield d, r, mask, ej
+
+        # ---- pass 1: host densities --------------------------------------
+        rho_g = jnp.zeros(gshape, dtype)
+        for d, r, mask, _ in shift_blocks():
+            rho_g = rho_g + jnp.sum(
+                jnp.where(mask, sp["rho_val"](r), 0.0), axis=-1)
+
+        # ---- embedding: exact per-atom spline (small gather) -------------
+        rho_flat = rho_g.reshape(-1)
+        frho = jnp.asarray(self.frho_spline[0], dtype=dtype)
+        p = rho_flat * jnp.asarray(1.0 / self.drho, dtype) + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, self.nrho - 1)
+        p = jnp.minimum(p - m, 1.0)
+        cf = frho[m]
+        fp = (cf[:, 0] * p + cf[:, 1]) * p + cf[:, 2]
+        e_embed = None
+        if eflag:
+            fval = ((cf[:, 3] * p + cf[:, 4]) * p + cf[:, 5]) * p + cf[:, 6]
+            fval = fval + jnp.where(rho_flat > self.rhomax,
+                                    fp * (rho_flat - self.rhomax), 0.0)
+            e_embed = jnp.sum(jnp.where(valid, fval, 0.0))
+
+        fp_g = fp.reshape(gshape)
+        fprow = xrow(fp_g, None)
+
+        # ---- pass 2: pair forces ------------------------------------------
+        fx = [jnp.zeros(gshape, dtype) for _ in range(3)]
+        e_pair = jnp.zeros((), dtype)
+        virial = jnp.zeros((6,), dtype) if vflag else None
+        for d, r, mask, (fpj,) in shift_blocks((fprow,)):
+            recip = 1.0 / r
+            rhop = sp["rho_der"](r)
+            z2 = sp["z2_val"](r)
+            z2p = sp["z2_der"](r)
+            phi = z2 * recip
+            phip = z2p * recip - phi * recip
+            psip = ((fp_g[..., :, None] + fpj[..., None, :]) * rhop + phip)
+            fpair = jnp.where(mask, -psip * recip, 0.0)
+            for c in range(3):
+                fx[c] = fx[c] + jnp.sum(d[c] * fpair, axis=-1)
+            if eflag:
+                e_pair = e_pair + 0.5 * jnp.sum(jnp.where(mask, phi, 0.0))
+            if vflag:
+                virial = virial + 0.5 * jnp.stack([
+                    jnp.sum(fpair * d[0] * d[0]), jnp.sum(fpair * d[1] * d[1]),
+                    jnp.sum(fpair * d[2] * d[2]), jnp.sum(fpair * d[0] * d[1]),
+                    jnp.sum(fpair * d[0] * d[2]), jnp.sum(fpair * d[1] * d[2]),
+                ])
+
+        f = jnp.stack([c.reshape(-1) for c in fx], axis=1)
+        evdwl = (e_embed + e_pair) if eflag else None
+        return f, evdwl, None, virial
 
     def _file2array(self, files):
         # unified grids (PairEAM::file2array, src/MANYBODY/pair_eam.cpp:620-)
@@ -351,6 +514,7 @@ class PairEAMAlloy(PairEAM):
              for i in range(ne) for j in range(ne)])
         self.cutmax = f.cut
         self.cutforcesq = f.cut * f.cut
+        self._init_cellgrid_tables()
 
     def _build_rhor(self, f, ne):
         self.rhor_spline = np.stack(
