@@ -13,33 +13,61 @@ from tpumd.script.parser import LammpsScript
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def run_case(name):
+def run_case(name, tmpdir=None):
+    """Parse the fixture deck VERBATIM (velocity/dump/dump_modify included);
+    run in a scratch dir so the produced dump doesn't clobber the golden
+    dump.water fixture."""
+    import shutil
+    import tempfile
     d = os.path.join(GOLDEN, name)
-    script = LammpsScript()
-    script.data_dir = d
+    tmpdir = tmpdir or tempfile.mkdtemp(prefix=f"tpumd_{name}_")
+    shutil.copy(os.path.join(d, "data.water"), tmpdir)
+    script = LammpsScript(data_dir=tmpdir)
     with open(os.path.join(d, "in.test")) as fh:
         deck = fh.read()
-    # strip dump commands (not implemented as commands yet)
-    deck = "\n".join(l for l in deck.splitlines()
-                     if not l.startswith(("dump", "velocity")))
-    # use the same deterministic velocities as the reference run
-    deck = deck.replace("run             10",
-                        "velocity        all create 300.0 48291 loop geom\n"
-                        "run             10")
     script.run_string(deck)
     thermo = np.loadtxt(os.path.join(d, "thermo.csv"))
-    return script.sim, thermo
+    return script.sim, thermo, os.path.join(tmpdir, "dump.water"), d
+
+
+def _parse_dump(path):
+    """{step: (n, cols) array} from a LAMMPS text dump."""
+    out = {}
+    with open(path) as fh:
+        lines = fh.readlines()
+    i = 0
+    while i < len(lines):
+        assert lines[i].startswith("ITEM: TIMESTEP")
+        step = int(lines[i + 1])
+        n = int(lines[i + 3])
+        i += 9  # TIMESTEP,val,NATOMS,val,BOX,3 bounds,ATOMS hdr
+        rows = np.loadtxt(lines[i:i + n]).reshape(n, -1)
+        out[step] = rows[np.argsort(rows[:, 0])]
+        i += n
+    return out
 
 
 @pytest.mark.parametrize("name", ["water_nve", "water_shake", "water_npt"])
 def test_water_thermo(name):
-    sim, ref = run_case(name)
+    sim, ref, dump_path, fixture_dir = run_case(name)
+    # per-atom force parity against the reference binary's dump
+    ours = _parse_dump(dump_path)
+    theirs = _parse_dump(os.path.join(fixture_dir, "dump.water"))
+    common = sorted(set(ours) & set(theirs))
+    assert common, "no common dump steps"
+    for step in common:
+        scale = max(1.0, np.abs(theirs[step][:, 1:]).max())
+        np.testing.assert_allclose(
+            ours[step][:, 1:], theirs[step][:, 1:],
+            atol=2e-4 * scale,
+            err_msg=f"{name} per-atom forces differ at step {step}")
     v = sim.last_thermo
     last = ref[-1]
-    # under NPT the reference recomputes the PPPM Green's function at every
-    # half-step box remap; we freeze it per segment, so long-range energies
-    # carry an O(dV/V) offset (~4e-5 here) until device-side gf recompute
-    etol = 2e-4 if name == "water_npt" else 2e-5
+    # under NPT the PPPM Green's function/fk/vg are recomputed on device
+    # from the carried box every evaluation (PPPM.dynamic_box), matching
+    # the reference's per-remap kspace->setup; npt now agrees to the same
+    # ~1e-6 as the rest of the SHAKE stack
+    etol = 2e-5
     # columns: step temp epair emol etotal press vol
     assert v["temp"] == pytest.approx(last[1], rel=2e-5, abs=1e-7)
     assert v["epair"] == pytest.approx(last[2], rel=etol)

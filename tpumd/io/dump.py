@@ -26,9 +26,30 @@ class Dump:
             self.fields = ["type", "x", "y", "z"]
         self._opened = False
 
-    def modify(self, kw: dict):
-        if kw.get("sort") == "id":
-            self.sort = True
+    float_fmt = "%.8g"
+
+    def modify(self, args):
+        """dump_modify keywords (src/dump.cpp modify_params)."""
+        if isinstance(args, dict):  # legacy call form
+            args = [t for kv in args.items() for t in kv]
+        i = 0
+        while i < len(args):
+            key = args[i]
+            if key == "sort":
+                self.sort = args[i + 1] == "id"
+                i += 2
+            elif key == "format":
+                # 'format float %fmt' / 'format int %fmt' / 'format line ...'
+                if args[i + 1] == "float":
+                    self.float_fmt = args[i + 2]
+                i += 3
+            elif key in ("first", "pad", "append", "flush", "units", "time"):
+                i += 2
+            elif key == "every":
+                self.every = int(args[i + 1])
+                i += 2
+            else:
+                raise ValueError(f"dump_modify keyword {key!r} not supported")
 
     def _columns(self, sim):
         s = sim.state
@@ -95,6 +116,6 @@ class Dump:
             fh.write("ITEM: ATOMS " + " ".join(self.fields) + "\n")
             mat = np.column_stack([cols[f] for f in self.fields])
             int_fields = {"id", "type", "mol", "ix", "iy", "iz"}
-            fmt = " ".join("%d" if f in int_fields else "%.8g"
+            fmt = " ".join("%d" if f in int_fields else self.float_fmt
                            for f in self.fields)
             np.savetxt(fh, mat, fmt=fmt)

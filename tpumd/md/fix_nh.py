@@ -47,6 +47,10 @@ class FixNH(Fix):
     name = "nh"
     needs_virial = True
     needs_step = True
+    # group-restricted thermostatting (ComputeTemp group semantics,
+    # src/compute_temp.cpp:53-67): set by Simulation at setup when the
+    # fix's group is not "all"
+    group_tdof = None
 
     def __init__(self, t_start=None, t_stop=None, t_period=None,
                  p_flags=None, p_start=None, p_stop=None, p_period=None,
@@ -153,14 +157,25 @@ class FixNH(Fix):
             hydro = hydro / self.pdim
         return jnp.stack(p_t), hydro
 
+    def _tdof(self, ctx):
+        return ctx.tdof if self.group_tdof is None else self.group_tdof
+
     def _t_current(self, s, ctx):
         m = ctx.mass_per_atom(s)
         u = ctx.units
-        return computes.temperature(s.v, m, ctx.tdof, u.boltz, u.mvv2e)
+        if self.groupbit == 1:
+            return computes.temperature(s.v, m, ctx.tdof, u.boltz, u.mvv2e)
+        sel = self.group_sel(s)
+        mvv = jnp.sum(jnp.where(sel, m * jnp.sum(s.v * s.v, axis=1), 0.0))
+        return u.mvv2e * mvv / (self._tdof(ctx) * u.boltz)
 
     def _mvv_vec(self, s, ctx):
         m = ctx.mass_per_atom(s)
-        return ctx.units.mvv2e * jnp.sum(m[:, None] * s.v * s.v, axis=0)
+        if self.groupbit == 1:
+            return ctx.units.mvv2e * jnp.sum(m[:, None] * s.v * s.v, axis=0)
+        sel = self.group_sel(s)[:, None]
+        return ctx.units.mvv2e * jnp.sum(
+            jnp.where(sel, m[:, None] * s.v * s.v, 0.0), axis=0)
 
     def _p_current(self, s, ctx, virial):
         """Per-axis pressure vector (compute_pressure::compute_vector);
@@ -177,7 +192,7 @@ class FixNH(Fix):
         boltz = u.boltz
         dt = ctx.dt
         dthalf, dt4, dt8 = 0.5 * dt, 0.25 * dt, 0.125 * dt
-        tdof = ctx.tdof
+        tdof = self._tdof(ctx)
         t_target = fst.t_target
         ke_target = tdof * boltz * t_target
         t_freq = 1.0 / self.t_period
@@ -221,7 +236,11 @@ class FixNH(Fix):
                 eta_dotdot = eta_dotdot.at[ich].set(dd)
                 eta_dot = eta_dot.at[ich].set(
                     (eta_dot[ich] * expfac + dd * ncfac * dt4) * expfac)
-        v = s.v * factor_total
+        if self.groupbit == 1:
+            v = s.v * factor_total
+        else:
+            sel = self.group_sel(s)[:, None]
+            v = jnp.where(sel, s.v * factor_total, s.v)
         return (s.replace(v=v),
                 fst.replace(eta=eta, eta_dot=eta_dot,
                             eta_dotdot=eta_dotdot),
@@ -311,7 +330,7 @@ class FixNH(Fix):
         if self.mtk:
             if self.iso:
                 # nh_omega_dot (fix_nh.cpp:2257): ISO uses tdof*kT directly
-                mtk_term1 = ctx.tdof * boltz * t_current
+                mtk_term1 = self._tdof(ctx) * boltz * t_current
             else:
                 mvv = self._mvv_vec(s, ctx)
                 mtk_term1 = sum(mvv[i] for i in range(3) if self.p_flags[i])
@@ -345,6 +364,8 @@ class FixNH(Fix):
                 factors.append(jnp.ones((), s.x.dtype))
         fvec = jnp.stack(factors)
         v = s.v * (fvec * fvec)[None, :]
+        if self.groupbit != 1:
+            v = jnp.where(self.group_sel(s)[:, None], v, s.v)
         return s.replace(v=v)
 
     def _remap(self, s, fst, ctx):
@@ -394,10 +415,15 @@ class FixNH(Fix):
 
         m = ctx.mass_per_atom(s)
         v = s.v + dtf * s.f / m[:, None]
+        if self.groupbit != 1:
+            v = jnp.where(self.group_sel(s)[:, None], v, s.v)
         s = s.replace(v=v)
         if self.pstat:
             s, fst = self._remap(s, fst, ctx)
-        s = s.replace(x=s.x + ctx.dt * s.v)
+        x = s.x + ctx.dt * s.v
+        if self.groupbit != 1:
+            x = jnp.where(self.group_sel(s)[:, None], x, s.x)
+        s = s.replace(x=x)
         if self.pstat:
             s, fst = self._remap(s, fst, ctx)
         return s, fst
@@ -406,7 +432,10 @@ class FixNH(Fix):
         u = ctx.units
         dtf = 0.5 * ctx.dt * u.ftm2v
         m = ctx.mass_per_atom(s)
-        s = s.replace(v=s.v + dtf * s.f / m[:, None])
+        v = s.v + dtf * s.f / m[:, None]
+        if self.groupbit != 1:
+            v = jnp.where(self.group_sel(s)[:, None], v, s.v)
+        s = s.replace(v=v)
 
         if self.pstat:
             # mtk_term2 from current omega_dot

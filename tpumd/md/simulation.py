@@ -57,6 +57,7 @@ class Simulation:
         self.computes: dict = {}       # id -> Compute object
         self.groups: dict = {"all": 1}  # name -> gmask bit
         self.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
+        self.thermo_multi = False      # thermo_style multi format
         self.thermo_norm = units == "lj"
         self.log_lines: list[str] = []
         self.dimension = 3
@@ -217,6 +218,14 @@ class Simulation:
                 self.pair.set_max_radius(float(rad.max()))
         if self.atom_sort:
             self._sort_atoms_host()
+        # group-restricted thermostats: group temperature dof
+        # (ComputeTemp::dof_compute over the fix group)
+        for fx in self.fixes:
+            if getattr(fx, "name", "") == "nh" and fx.groupbit != 1:
+                gm = np.asarray(jax.device_get(self.state.gmask))
+                ngroup = int(((gm & fx.groupbit) > 0).sum())
+                fx.group_tdof = float(self.dimension * ngroup
+                                      - self.dimension)
         if self.special_tags is not None:
             # per-atom special lists ride the state (traced, not baked)
             self.state = self.state.replace(
@@ -411,6 +420,8 @@ class Simulation:
                 fstates0[i] = fx.pre_run(fstates0[i], self.step, target)
         self._carry = (s0, neigh0, tuple(fstates0), istep0)
         t0 = time.perf_counter()
+        if not hasattr(self, "_cpu_start"):
+            self._cpu_start = t0
         while self.step < target:
             nxt = target
             for every in [self.thermo_every] + [d.every for d in self.dumps]:
@@ -692,10 +703,37 @@ class Simulation:
         "vol": "Volume",
     }
 
+    _MULTI_FIELDS = [
+        ("TotEng", "etotal"), ("KinEng", "ke"), ("Temp", "temp"),
+        ("PotEng", "pe"), ("E_bond", "ebond"), ("E_angle", "eangle"),
+        ("E_dihed", "edihed"), ("E_impro", "eimp"), ("E_vdwl", "evdwl"),
+        ("E_coul", "ecoul"), ("E_long", "elong"), ("Press", "press"),
+    ]
+
     def _thermo_header(self):
+        if self.thermo_multi:
+            return
         line = " ".join(self._THERMO_HEADERS.get(k, k).ljust(12)
                         for k in self.thermo_style)
         self._log(line.rstrip())
+
+    def _thermo_line_multi(self, vals):
+        """thermo_style multi (src/thermo.cpp FORMAT_MULTI_HEADER + 3
+        'name = value' fields per line; Volume appended when the box
+        changes, i.e. under a barostat)."""
+        cpu = time.perf_counter() - getattr(self, "_cpu_start",
+                                            time.perf_counter())
+        self._log(f"---------------- Step {self.step:8d} ----- "
+                  f"CPU = {cpu:11.4f} (sec) ----------------")
+        fields = list(self._MULTI_FIELDS)
+        if self._barostat_active():
+            fields.append(("Volume", "vol"))
+        parts = []
+        for i, (label, key) in enumerate(fields):
+            parts.append(f"{label:<8} = {vals[key]:14.4f}")
+            if (i + 1) % 3 == 0 or i == len(fields) - 1:
+                self._log(" ".join(parts) + " ")
+                parts = []
 
     def _thermo_value(self, vals, key):
         if key in vals:
@@ -712,6 +750,8 @@ class Simulation:
 
     def _thermo_line(self):
         vals = self.thermo_values()
+        if self.thermo_multi:
+            return self._thermo_line_multi(vals)
         parts = []
         for k in self.thermo_style:
             v = self._thermo_value(vals, k)

@@ -87,6 +87,12 @@ class PPPM:
         self.order = order
         self.g_ewald = 0.0
         self.energy_corr = 0.0
+        # recompute box-dependent coefficients (Green's fn, fk, vg) from
+        # the carried box inside the compiled step — the analog of the
+        # reference's kspace->setup() call on every NPT box remap
+        # (src/fix_nh.cpp:877, src/KSPACE/pppm.cpp setup()).  Enabled at
+        # init when a barostat is present.
+        self.dynamic_box = False
 
     # ---------------------------------------------------------------- init
     def init(self, sim):
@@ -110,6 +116,8 @@ class PPPM:
         self._adjust_gewald()
         self._setup_coeffs()
         sim.pair.g_ewald = self.g_ewald
+        self.dynamic_box = any(getattr(fx, "pstat", False)
+                               for fx in sim.fixes)
 
     def _estimate_ik_error(self, h, prd):
         acons = _ACONS[self.order]
@@ -284,6 +292,74 @@ class PPPM:
         self.nlower = (1 - order) // 2
         self.shiftone = 0.0 if order % 2 else 0.5
 
+        # box-INdependent pieces for the device-side recompute under NPT:
+        # alias-window weights w(o) = powsinxx(pi*(k + n*o)/n, 2*order) and
+        # the integer wavevectors only involve k/n ratios
+        self._kx, self._ky, self._kz = kx, ky, kz
+        self._denom = denom
+        self._nb = (nbx, nby, nbz)
+        self._wx = {ox: powsinxx(np.pi * (kx + nx * ox) / nx, two_ord)
+                    for ox in range(-nbx, nbx + 1)}
+        self._wy = {oy: powsinxx(np.pi * (ky + ny * oy) / ny, two_ord)
+                    for oy in range(-nby, nby + 1)}
+        self._wz = {oz: powsinxx(np.pi * (kz + nz * oz) / nz, two_ord)
+                    for oz in range(-nbz, nbz + 1)}
+
+    def _coeffs_device(self, ell, dt_):
+        """Box-dependent coefficients (greens, vg, fkx/fky/fkz) as traced
+        functions of the carried box lengths — PPPM::setup() +
+        compute_gf_ik() evaluated on device so NPT box remaps see exact
+        long-range coefficients every step."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nbx, nby, nbz = self._nb
+        g = self.g_ewald
+        unit = 2.0 * np.pi / ell  # (3,) traced
+        kx = jnp.asarray(self._kx, dt_)
+        ky = jnp.asarray(self._ky, dt_)
+        kz = jnp.asarray(self._kz, dt_)
+        fkx = unit[0] * kx
+        fky = unit[1] * ky
+        fkz = unit[2] * kz
+        sqk = fkx * fkx + fky * fky + fkz * fkz
+        denom = jnp.asarray(self._denom, dt_)
+
+        sum1 = jnp.zeros((nz, ny, nx), dt_)
+        for ox in range(-nbx, nbx + 1):
+            qx = unit[0] * (kx + nx * ox)
+            sxwx = jnp.exp(-0.25 * (qx / g) ** 2) * jnp.asarray(
+                self._wx[ox], dt_)
+            for oy in range(-nby, nby + 1):
+                qy = unit[1] * (ky + ny * oy)
+                sywy = jnp.exp(-0.25 * (qy / g) ** 2) * jnp.asarray(
+                    self._wy[oy], dt_)
+                for oz in range(-nbz, nbz + 1):
+                    qz = unit[2] * (kz + nz * oz)
+                    szwz = jnp.exp(-0.25 * (qz / g) ** 2) * jnp.asarray(
+                        self._wz[oz], dt_)
+                    dot1 = fkx * qx + fky * qy + fkz * qz
+                    dot2 = qx * qx + qy * qy + qz * qz
+                    term = jnp.where(dot2 > 0,
+                                     dot1 / jnp.where(dot2 == 0, 1.0, dot2),
+                                     0.0)
+                    sum1 = sum1 + term * sxwx * sywy * szwz
+        nonzero = sqk != 0.0
+        greens = jnp.where(
+            nonzero,
+            (4.0 * np.pi / jnp.where(nonzero, sqk, 1.0)) * sum1 / denom, 0.0)
+        vterm = jnp.where(
+            nonzero,
+            -2.0 * (1.0 / jnp.where(nonzero, sqk, 1.0)
+                    + 0.25 / (g * g)), 0.0)
+        vg = jnp.stack([
+            jnp.where(nonzero, 1.0 + vterm * fkx * fkx, 0.0),
+            jnp.where(nonzero, 1.0 + vterm * fky * fky, 0.0),
+            jnp.where(nonzero, 1.0 + vterm * fkz * fkz, 0.0),
+            jnp.where(nonzero, vterm * fkx * fky, 0.0),
+            jnp.where(nonzero, vterm * fkx * fkz, 0.0),
+            jnp.where(nonzero, vterm * fky * fkz, 0.0),
+        ])
+        return greens, vg, fkx, fky, fkz
+
     # -------------------------------------------------------------- compute
     def compute(self, s, eflag: bool, vflag: bool):
         dt_ = s.x.dtype
@@ -331,17 +407,18 @@ class PPPM:
         rho_k = jnp.fft.fftn(grid.astype(jnp.complex128
                                          if dt_ == jnp.float64
                                          else jnp.complex64))
-        greens = jnp.asarray(self.greensfn, dt_)
-        scaleinv = 1.0 / (nx * ny * nz)
-        # density was accumulated per cell; reference scales by inverse
-        # cell volume during brick2fft? No: charge density scaling folds
-        # into qscale below via delvolinv
+        if self.dynamic_box:
+            greens, vg_dyn, fkx, fky, fkz = self._coeffs_device(ell, dt_)
+        else:
+            greens = jnp.asarray(self.greensfn, dt_)
+            vg_dyn = None
+            fkx = jnp.asarray(self.fkx, dt_)
+            fky = jnp.asarray(self.fky, dt_)
+            fkz = jnp.asarray(self.fkz, dt_)
+        # density was accumulated per cell; the inverse cell volume folds
+        # into the field prefactor below
         delvol = (ell[0] / nx) * (ell[1] / ny) * (ell[2] / nz)
         phi_k = rho_k * greens
-
-        fkx = jnp.asarray(self.fkx, dt_)
-        fky = jnp.asarray(self.fky, dt_)
-        fkz = jnp.asarray(self.fkz, dt_)
         imag = jnp.asarray(1j, phi_k.dtype)
         ex = jnp.fft.ifftn(-imag * fkx * phi_k).real
         ey = jnp.fft.ifftn(-imag * fky * phi_k).real
@@ -375,7 +452,8 @@ class PPPM:
                     / (self.g_ewald**2 * volume)
                 elong = qscale * e
             if vflag:
-                vg = jnp.asarray(self.vg, dt_)
+                vg = (vg_dyn if vg_dyn is not None
+                      else jnp.asarray(self.vg, dt_))
                 virial = 0.5 * qscale * jnp.stack([
                     jnp.sum(vg[i] * greens * rk2) for i in range(6)
                 ]) / volume

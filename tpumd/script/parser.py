@@ -327,6 +327,9 @@ class LammpsScript:
             name, args = self._pending_pair
             sim.pair = create_pair_style(name, sim.ntypes, args,
                                          units=sim.units)
+            if getattr(self, "_pending_pair_modify", None):
+                self._apply_pair_modify(sim.pair, self._pending_pair_modify)
+                self._pending_pair_modify = {}
         for kind, name in list(getattr(self, "_pending_bonded", {}).items()):
             self._add_bonded(kind, name)
         self._pending_bonded = {}
@@ -364,11 +367,20 @@ class LammpsScript:
 
     def cmd_pair_modify(self, a):
         kw = dict(zip(a[::2], a[1::2]))
-        sim = self.sim
+        sim = self._require_sim()
+        if sim.pair is None:   # before box/data: defer to materialize
+            self._pending_pair_modify = getattr(
+                self, "_pending_pair_modify", {})
+            self._pending_pair_modify.update(kw)
+            return
+        self._apply_pair_modify(sim.pair, kw)
+
+    @staticmethod
+    def _apply_pair_modify(pair, kw):
         if "shift" in kw:
-            sim.pair.shift = kw["shift"] == "yes"
+            pair.shift = kw["shift"] == "yes"
         if "mix" in kw:
-            sim.pair.mix = kw["mix"]
+            pair.mix = kw["mix"]
 
     def cmd_neighbor(self, a):
         sim = self._require_sim()
@@ -414,7 +426,7 @@ class LammpsScript:
         elif a[0] == "custom":
             sim.thermo_style = a[1:]
         elif a[0] == "multi":
-            sim.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
+            sim.thermo_multi = True
         else:
             raise ScriptError(f"thermo_style {a[0]} not supported")
 
@@ -440,7 +452,7 @@ class LammpsScript:
             if group != "all":
                 if group not in sim.groups:
                     raise ScriptError(f"undefined group {group!r}")
-                if style in ("nvt", "npt", "nph", "shake"):
+                if style == "shake":
                     raise ScriptError(
                         f"fix {style} on a subgroup not supported yet")
                 fx.groupbit = sim.groups[group]
@@ -649,7 +661,7 @@ class LammpsScript:
     def cmd_dump_modify(self, a):
         sim = self.sim
         d = next(dd for dd in sim.dumps if dd.id == a[0])
-        d.modify(dict(zip(a[1::2], a[2::2])))
+        d.modify(a[1:])
 
     def cmd_undump(self, a):
         sim = self.sim
