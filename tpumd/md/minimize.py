@@ -32,8 +32,8 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
     invm = jnp.repeat(1.0 / m, 3)
 
     def energy_and_force(s, neigh):
-        f, energies, _ = compute_forces(s, neigh, ctx, eflag=True,
-                                        vflag=False)
+        f, energies, _, _, _ = compute_forces(
+            s, neigh, ctx, eflag=True, vflag=False, consts=sim._consts)
         e = sum(energies.values())
         return f, e
 
@@ -92,7 +92,8 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
     sim._carry = (s, neigh, fstates, istep)
     sim.state = s
     from tpumd.md.verlet import eval_energies
-    f, energies, virial, _ = eval_energies(s, neigh, ctx)
+    f, energies, virial, _ = eval_energies(s, neigh, ctx,
+                                            consts=sim._consts)
     sim._last_energies = energies
     sim._last_virial = virial
     return (bool(jax.device_get(done)), int(jax.device_get(it)),
