@@ -46,7 +46,7 @@ fix             1 all nve
 SANITY = {
     "lj": ("epair", -5.76, 0.2),
     "chain": ("etotal", 22.4, 0.3),
-    "eam": ("epair", -3.32 * 32000, 0.02 * 32000),
+    "eam": ("epair", -109900.0, 900.0),  # equilibrated melt (ref -109957)
     "chute": ("ke", 784200.0, 2000.0),
 }
 
