@@ -1,0 +1,133 @@
+"""Observability wave: formula variables, per-atom tallies, compute
+reduce/chunk, fix ave/time|chunk, fix print, fix halt."""
+
+import numpy as np
+import pytest
+
+from tpumd.script.parser import LammpsScript, ScriptError
+
+HEAD = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 5 0 5 0 5
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+neigh_modify    delay 0 every 5 check no
+fix             1 all nve
+"""
+
+
+def _run(extra, nsteps=10):
+    s = LammpsScript()
+    s.run_string(HEAD + extra + f"\nrun {nsteps}\n")
+    return s
+
+
+def test_equal_variable_formula():
+    s = _run("""
+variable a equal 2^3+sqrt(16.0)
+variable b equal v_a*2
+variable t equal temp*1.0
+""", nsteps=0)
+    assert float(s.evaluate_variable("a")) == 12.0
+    assert float(s.evaluate_variable("b")) == 24.0
+    assert float(s.evaluate_variable("t")) == pytest.approx(
+        s.sim.last_thermo["temp"])
+
+
+def test_atom_style_variable():
+    s = _run("variable up equal 0\nvariable zsq atom z*z+x\n", nsteps=0)
+    out = s.evaluate_variable("zsq")
+    import jax
+    sim = s.sim
+    tag = np.asarray(jax.device_get(sim.state.tag))
+    order = np.argsort(tag)
+    x = np.asarray(jax.device_get(sim.state.x), np.float64)[order]
+    np.testing.assert_allclose(out, x[:, 2] ** 2 + x[:, 0], rtol=1e-12)
+
+
+def test_peratom_tallies_sum_to_globals():
+    s = _run("""
+compute pea all pe/atom
+compute st all stress/atom
+compute kea all ke/atom
+compute red all reduce sum c_pea
+""", nsteps=10)
+    sim = s.sim
+    v = sim.thermo_values()
+    eatom = sim.computes["pea"].evaluate(sim)
+    # sum of per-atom energies == total pair energy
+    assert eatom.sum() == pytest.approx(v["epair"] * sim.natoms, rel=1e-10)
+    assert float(sim.computes["red"].evaluate(sim)) == pytest.approx(
+        eatom.sum())
+    # sum of per-atom stress trace == -3 P V (compute_stress_atom contract)
+    st = sim.computes["st"].evaluate(sim)
+    trace = st[:, :3].sum()
+    vol = v["vol"]
+    assert -trace / (3.0 * vol) == pytest.approx(v["press"], rel=1e-8)
+    kea = sim.computes["kea"].evaluate(sim)
+    assert kea.sum() == pytest.approx(v["ke"] * sim.natoms, rel=1e-10)
+
+
+def test_ave_time_and_chunk(tmp_path):
+    out = tmp_path / "ave.out"
+    prof = tmp_path / "prof.out"
+    s = _run(f"""
+compute myT all temp
+compute ch all chunk/atom bin/1d z lower 2.0
+fix at all ave/time 2 3 10 c_myT file {out}
+fix ac all ave/chunk 5 2 10 ch vx density/number file {prof}
+""", nsteps=20)
+    sim = s.sim
+    data = np.loadtxt(out)
+    assert data.shape == (2, 2)       # steps 10, 20
+    avg = sim._thermo_value(sim.thermo_values(), "f_at")
+    assert np.isfinite(avg) and 0.3 < avg < 2.0
+    prof_data = np.loadtxt(prof)
+    nchunk = sim.computes["ch"].nchunk
+    assert prof_data.shape[1] == 1 + 2 * nchunk
+    # total atom count preserved in the density column
+    counts = prof_data[-1, 2::2]
+    assert counts.sum() == pytest.approx(sim.natoms)
+
+
+def test_fix_print_and_halt():
+    s = _run("""
+variable s equal step
+fix out all print 5 "step ${s} now"
+fix stop all halt 2 step >= 6
+""", nsteps=20)
+    sim = s.sim
+    assert sim.step == 6              # halted early
+    assert any("step 5 now" in ln for ln in sim.log_lines)
+
+
+def test_bonded_peratom_chain():
+    deck = """
+units           lj
+atom_style      bond
+special_bonds   fene
+read_data       /root/reference/bench/data.chain
+neighbor        0.4 bin
+bond_style      fene
+bond_coeff      1 30.0 1.5 1.0 1.0
+pair_style      lj/cut 1.12246204830937
+pair_coeff      1 1 1.0 1.0 1.12246204830937
+pair_modify     shift yes
+fix             1 all nve
+compute         pea all pe/atom
+run 0
+"""
+    s = LammpsScript(data_dir="/root/reference/bench")
+    s.run_string(deck)
+    sim = s.sim
+    eatom = sim.computes["pea"].evaluate(sim)
+    v = sim.thermo_values()
+    assert eatom.sum() == pytest.approx(
+        (v["epair"] + v["emol"]) * sim.natoms, rel=1e-9)

@@ -49,6 +49,15 @@ class Box:
                    periodic=tuple(periodic))
 
 
+def minimum_image_c(dc, box: Box, c: int):
+    """Per-component minimum image (for kernels on (N, K) component
+    arrays — full-lane VPU tiling instead of 3/128)."""
+    if not box.periodic[c]:
+        return dc
+    ell = box.lengths[c]
+    return dc - ell * jnp.round(dc / ell)
+
+
 def minimum_image(d, box: Box):
     """Nearest-image displacement correction, skipping non-periodic dims."""
     ell = box.lengths

@@ -153,13 +153,149 @@ class ComputeGyration(Compute):
         return float(np.sqrt((m * ((xu - com) ** 2).sum(1)).sum() / m.sum()))
 
 
+class ComputePEAtom(Compute):
+    """Per-atom potential energy (src/compute_pe_atom.cpp); tag order."""
+
+    style = "pe/atom"
+    scalar = False
+    peratom = True
+
+    def evaluate(self, sim):
+        from tpumd.md.peratom import pair_bonded_tallies
+        eatom, _ = pair_bonded_tallies(sim)
+        return eatom
+
+
+class ComputeKEAtom(Compute):
+    style = "ke/atom"
+    scalar = False
+    peratom = True
+
+    def evaluate(self, sim):
+        from tpumd.md.peratom import _tag_order, mass_tag_order
+        order = _tag_order(sim)
+        v = np.asarray(jax.device_get(sim.state.v), np.float64)[order]
+        m = mass_tag_order(sim)
+        return 0.5 * sim.units.mvv2e * m * (v * v).sum(1)
+
+
+class ComputeStressAtom(Compute):
+    """Per-atom stress tensor * volume (src/compute_stress_atom.cpp):
+    6 columns xx yy zz xy xz yz."""
+
+    style = "stress/atom"
+    scalar = False
+    peratom = True
+
+    def evaluate(self, sim):
+        from tpumd.md.peratom import stress_atom
+        return stress_atom(sim)
+
+
+class ComputePropertyAtom(Compute):
+    style = "property/atom"
+    scalar = False
+    peratom = True
+
+    def __init__(self, cid, group, fields=()):
+        super().__init__(cid, group)
+        self.fields = list(fields)
+
+    def evaluate(self, sim):
+        from tpumd.script.formula import SimFormulaContext
+        ctx = SimFormulaContext(sim, sim.script)
+        cols = [ctx.peratom(f) for f in self.fields]
+        if any(c is None for c in cols):
+            bad = [f for f, c in zip(self.fields, cols) if c is None]
+            raise ValueError(f"property/atom fields {bad} not available")
+        return cols[0] if len(cols) == 1 else np.stack(cols, axis=1)
+
+
+class ComputeReduce(Compute):
+    """compute reduce sum/min/max/ave over per-atom inputs
+    (src/compute_reduce.cpp)."""
+
+    style = "reduce"
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+        self.mode = args[0]
+        self.inputs = list(args[1:])
+
+    def _input(self, sim, name):
+        from tpumd.script.formula import SimFormulaContext
+        if name.startswith("c_"):
+            base = name[2:]
+            col = None
+            if "[" in base:
+                base, rest = base.split("[", 1)
+                col = int(rest.rstrip("]")) - 1
+            out = np.asarray(sim.computes[base].evaluate(sim))
+            return out if col is None else out[:, col]
+        if name.startswith("v_"):
+            return np.asarray(sim.script.evaluate_variable(name[2:]))
+        ctx = SimFormulaContext(sim, sim.script)
+        pa = ctx.peratom(name)
+        if pa is None:
+            raise ValueError(f"reduce input {name!r} not available")
+        return pa
+
+    def evaluate(self, sim):
+        fn = {"sum": np.sum, "min": np.min, "max": np.max,
+              "ave": np.mean, "sumsq": lambda a: np.sum(a * a)}[self.mode]
+        out = np.array([fn(self._input(sim, nm)) for nm in self.inputs])
+        return out[0] if len(out) == 1 else out
+
+
+class ComputeChunkAtom(Compute):
+    """compute chunk/atom bin/1d|type: per-atom chunk ids, 1-based
+    (src/compute_chunk_atom.cpp); .nchunk set after evaluate."""
+
+    style = "chunk/atom"
+    scalar = False
+    peratom = True
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+        self.args = list(args)
+        self.nchunk = 0
+
+    def evaluate(self, sim):
+        import jax as _jax
+        from tpumd.md.peratom import _tag_order
+        order = _tag_order(sim)
+        style = self.args[0]
+        if style == "type":
+            typ = np.asarray(_jax.device_get(sim.state.type))[order]
+            self.nchunk = int(sim.ntypes)
+            return typ.astype(np.float64)
+        if style == "bin/1d":
+            dim = "xyz".index(self.args[1])
+            x = np.asarray(_jax.device_get(sim.state.x),
+                           np.float64)[order, dim]
+            lo = float(np.asarray(_jax.device_get(sim.state.box.lo))[dim])
+            hi = float(np.asarray(_jax.device_get(sim.state.box.hi))[dim])
+            origin = lo if self.args[2] == "lower" else (
+                hi if self.args[2] == "upper" else float(self.args[2]))
+            delta = float(self.args[3])
+            ids = np.floor((x - origin) / delta).astype(np.int64) + 1
+            self.nchunk = int(np.ceil((hi - lo) / delta))
+            return np.clip(ids, 1, self.nchunk).astype(np.float64)
+        raise ValueError(f"chunk/atom style {style!r} not supported")
+
+
 _STYLES = {c.style: c for c in (ComputeTemp, ComputePE, ComputeKE,
                                 ComputePressure, ComputeCOM, ComputeMSD,
                                 ComputeVACF, ComputeGyration,
-                                ComputeERotateSphere)}
+                                ComputeERotateSphere, ComputePEAtom,
+                                ComputeKEAtom, ComputeStressAtom)}
+_ARG_STYLES = {"property/atom": ComputePropertyAtom,
+               "reduce": ComputeReduce, "chunk/atom": ComputeChunkAtom}
 
 
-def create_compute(cid, group, style):
+def create_compute(cid, group, style, args=()):
+    if style in _ARG_STYLES:
+        return _ARG_STYLES[style](cid, group, args)
     if style not in _STYLES:
         raise ValueError(f"Unknown compute style {style!r}")
     return _STYLES[style](cid, group)

@@ -84,6 +84,7 @@ class Simulation:
 
     _natoms = None
     _consts = None
+    script = None
 
     def mass_per_atom_np(self):
         if self.state.rmass is not None:
@@ -103,10 +104,16 @@ class Simulation:
     def _resolve_mode(self) -> str:
         if self.neighbor_mode != "auto":
             return self.neighbor_mode
+        # special weighting rides the grid kernel only for styles without
+        # an in-kernel coul exclusion correction (pair_fn_ex)
+        special_ok = (self.special_tags is None
+                      or getattr(self.pair, "pair_fn_ex", None) is None)
         eligible = (
-            self.special_tags is None and not self.bonded
-            and self.kspace is None and self.pair is not None
+            self.kspace is None and self.pair is not None
+            and not any(getattr(fx, "name", "") == "shake"
+                        for fx in self.fixes)
             and getattr(self.pair, "supports_cellgrid", False)
+            and special_ok
             and all(self.state.box.periodic)
         )
         if eligible and jax.default_backend() != "cpu":
@@ -231,8 +238,11 @@ class Simulation:
             self.state = self.state.replace(
                 special_tags=jnp.asarray(self.special_tags, jnp.int32),
                 special_codes=jnp.asarray(self.special_codes, jnp.int32))
+        mode = self._resolve_mode()
         row_of_tag = None
-        if self.topology:
+        if self.topology and mode != "cellgrid":
+            # matrix mode: incidence in (static) row space.  cellgrid mode
+            # keeps incidence in TAG space and maps tags->slots per step.
             tags = np.asarray(jax.device_get(self.state.tag))
             row_of_tag = np.zeros(self.natoms + 1, dtype=np.int64)
             row_of_tag[tags] = np.arange(self.natoms)
@@ -422,9 +432,12 @@ class Simulation:
         t0 = time.perf_counter()
         if not hasattr(self, "_cpu_start"):
             self._cpu_start = t0
+        self._halt = None
         while self.step < target:
             nxt = target
-            for every in [self.thermo_every] + [d.every for d in self.dumps]:
+            everies = ([self.thermo_every] + [d.every for d in self.dumps]
+                       + [getattr(fx, "host_every", 0) for fx in self.fixes])
+            for every in everies:
                 if every and every > 0:
                     nxt = min(nxt, (self.step // every + 1) * every)
             seg = nxt - self.step
@@ -463,6 +476,13 @@ class Simulation:
             for d in self.dumps:
                 if d.every and self.step % d.every == 0:
                     d.write(self)
+            for fx in self.fixes:
+                ev = getattr(fx, "host_every", 0)
+                if ev and self.step % ev == 0:
+                    fx.host_end_of_step(self)
+            if getattr(self, "_halt", None):
+                self._log(self._halt)
+                break
         # device_get forces completion (block_until_ready is unreliable on
         # the remote-tunnel TPU backend)
         jax.device_get(self._carry[0].x[0])
@@ -746,6 +766,20 @@ class Simulation:
                 idx = int(rest.rstrip("]")) - 1
             out = self.computes[name].evaluate(self)
             return float(out if idx is None else out[idx])
+        if key.startswith("v_"):
+            return float(self.script.evaluate_variable(key[2:]))
+        if key.startswith("f_"):
+            name = key[2:]
+            idx = None
+            if "[" in name:
+                name, rest = name.split("[", 1)
+                idx = int(rest.rstrip("]")) - 1
+            for fx in self.fixes:
+                if getattr(fx, "id", None) == name:
+                    out = fx.output(self)
+                    return float(out if idx is None else
+                                 np.asarray(out)[idx])
+            raise KeyError(f"no fix {name!r} with output")
         raise KeyError(f"unknown thermo keyword {key!r}")
 
     def _thermo_line(self):

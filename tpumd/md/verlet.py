@@ -79,9 +79,13 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             neigh = neigh.replace(shear=shear_new)
     elif ctx.pair is not None:
         if ctx.is_cellgrid:
+            special = None
+            if s.special_tags is not None:
+                special = (s.tag, s.special_tags, s.special_codes,
+                           ctx.special_lj)
             fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
                 s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
-                eflag, vflag, q=s.q)
+                eflag, vflag, q=s.q, special=special)
         else:
             fp, evdwl, ecoul, vir = ctx.pair.compute(
                 s.x, s.type, s.box, neigh.idx, neigh.sbits,
@@ -95,8 +99,26 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             virial = virial + vir
 
     bconsts = consts if consts is not None else (None,) * len(ctx.bonded)
+    if ctx.bonded and ctx.is_cellgrid:
+        # bonded terms evaluate on a canonical tag-order view of the
+        # grid-permuted atoms (incidence lists are built in tag space);
+        # two small row gathers replace any topology re-mapping at rebuild
+        npad = s.x.shape[0]
+        n = ctx.natoms
+        target = jnp.where(s.tag > 0, s.tag - 1, n)
+        row2slot = jnp.zeros((n,), jnp.int32).at[target].set(
+            jnp.arange(npad, dtype=jnp.int32), mode="drop")
+        s_bview = s.replace(x=s.x[row2slot], type=s.type[row2slot],
+                            q=None if s.q is None else s.q[row2slot])
+        back = jnp.clip(s.tag - 1, 0, n - 1)
+        valid_col = (s.tag > 0)[:, None]
     for style, bc in zip(ctx.bonded, bconsts):
-        fb, ed, vir = style.compute(s, ctx, eflag, vflag, consts=bc)
+        if ctx.is_cellgrid:
+            fb_c, ed, vir = style.compute(s_bview, ctx, eflag, vflag,
+                                          consts=bc)
+            fb = jnp.where(valid_col, fb_c[back], 0.0)
+        else:
+            fb, ed, vir = style.compute(s, ctx, eflag, vflag, consts=bc)
         f = f + fb
         if eflag and ed:
             for key, val in ed.items():

@@ -71,14 +71,24 @@ class PairStyle:
                          special_lj, special_coul, eflag, vflag,
                          q=q, pair_fn_ex=ex)
 
+    def compute_peratom(self, s, neigh, ctx):
+        """Per-atom pair energy/virial tallies (eatom (N,), vatom (N,6));
+        reference ev_setup/ev_tally eatom/vatom (src/pair.cpp:893,1013)."""
+        ex = getattr(self, "pair_fn_ex", None)
+        _, eatom, vatom, _ = pair_sums(
+            s.x, s.type, s.box, neigh.idx, neigh.sbits, self.pair_fn,
+            ctx.special_lj, ctx.special_coul, "atom", "atom",
+            q=s.q, pair_fn_ex=ex)
+        return eatom, vatom
+
     # gather-free cell-grid path (TPU); pairwise styles get it for free
     supports_cellgrid = True
 
     def compute_cellgrid(self, x, type_, valid, box, cfg,
-                         eflag: bool, vflag: bool, q=None):
+                         eflag: bool, vflag: bool, q=None, special=None):
         from tpumd.ops.cellgrid import cellgrid_pair_sums
         return cellgrid_pair_sums(x, type_, valid, box, cfg, self.pair_fn,
-                                  eflag, vflag)
+                                  eflag, vflag, special=special)
 
     def table(self, arr, dtype):
         return jnp.asarray(arr, dtype=dtype)

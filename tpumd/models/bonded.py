@@ -117,6 +117,18 @@ class BondStyle(BondedStyle):
         r2 = jnp.where(mask_j, r2, jnp.ones_like(r2))
         fbond, ebond = self.bond_fn(r2, typ_j)
         fbond = jnp.where(mask_j, fbond, 0)
+        if eflag == "atom":
+            # per-atom tallies: each endpoint gets a half share
+            eatom = 0.5 * jnp.sum(jnp.where(mask_j, ebond, 0), axis=1)
+            vatom = 0.5 * jnp.stack([
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 0], axis=1),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 1], axis=1),
+                jnp.sum(fbond * d[:, :, 2] * d[:, :, 2], axis=1),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 1], axis=1),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 2], axis=1),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 2], axis=1),
+            ], axis=1)
+            return None, eatom, vatom
         f = jnp.sum(d * fbond[:, :, None], axis=1)
         e = None
         virial = None
@@ -249,6 +261,24 @@ class TupleStyle(BondedStyle):
         f_own = jnp.where(mask_j[..., None], f_own, 0)
         f = jnp.sum(f_own, axis=1)
         inv = 1.0 / self.arity
+        if eflag == "atom":
+            etup = sum(ed.values()) if ed else jnp.zeros_like(typ_j, xs[0].dtype)
+            eatom = inv * jnp.sum(jnp.where(mask_j, etup, 0), axis=1)
+            vatom = jnp.zeros(xs[0].shape[:1] + (6,), xs[0].dtype)
+            if vpairs is not None:
+                m3 = mask_j[..., None]
+                for rvec, fvec in vpairs:
+                    rv = jnp.where(m3, rvec, 0)
+                    fv = jnp.where(m3, fvec, 0)
+                    vatom = vatom + inv * jnp.stack([
+                        jnp.sum(rv[..., 0] * fv[..., 0], axis=1),
+                        jnp.sum(rv[..., 1] * fv[..., 1], axis=1),
+                        jnp.sum(rv[..., 2] * fv[..., 2], axis=1),
+                        jnp.sum(rv[..., 0] * fv[..., 1], axis=1),
+                        jnp.sum(rv[..., 0] * fv[..., 2], axis=1),
+                        jnp.sum(rv[..., 1] * fv[..., 2], axis=1),
+                    ], axis=1)
+            return None, eatom, vatom
         edict = None
         if eflag and ed is not None:
             edict = {k: inv * jnp.sum(jnp.where(mask_j, v, 0))

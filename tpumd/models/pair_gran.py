@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from tpumd.core.state import minimum_image
+from tpumd.core.state import minimum_image_c
 
 
 from tpumd.models.registry import register_pair
@@ -77,11 +77,23 @@ class PairGranHookeHistory:
         self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
         mask = idx != self_idx
 
-        d = x[:, None, :] - x[idx]                  # (N, K, 3) = del
-        d = minimum_image(d, s.box)
-        rsq = jnp.sum(d * d, axis=-1)
+        # ONE packed j-gather: TPU gather cost is per-ROW, so fetching
+        # x/v/omega/radius/rmass/gmask as a single (N, 12) table is ~6x
+        # cheaper than six separate gathers
+        packed = jnp.concatenate(
+            [x, v, omega, radius[:, None], rmass[:, None],
+             gmask.astype(dtype)[:, None]], axis=1)
+        pj = packed[idx]                            # (N, K, 12)
+        xj, vj, omegaj = pj[..., 0:3], pj[..., 3:6], pj[..., 6:9]
+        radj, mj = pj[..., 9], pj[..., 10]
+        gj = pj[..., 11].astype(jnp.int32)
+
+        # all pairwise math on per-component (N, K) arrays — a trailing
+        # dim of 3 would tile the VPU at 3/128 lane utilization
+        d = [x[:, c:c + 1] - xj[..., c] for c in range(3)]
+        d = [minimum_image_c(d[c], s.box, c) for c in range(3)]
+        rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
         radi = radius[:, None]
-        radj = radius[idx]
         radsum = radi + radj
         touching = mask & (rsq < radsum * radsum)
         rsq_safe = jnp.where(touching, rsq, jnp.ones_like(rsq))
@@ -89,23 +101,21 @@ class PairGranHookeHistory:
         rinv = 1.0 / r
         rsqinv = 1.0 / rsq_safe
 
-        # relative translational velocity
-        vr = v[:, None, :] - v[idx]
-        vnnr = jnp.sum(vr * d, axis=-1)             # (N, K)
-        vn = d * (vnnr * rsqinv)[..., None]
-        vt = vr - vn
+        # relative translational velocity + normal/tangential split
+        vr = [v[:, c:c + 1] - vj[..., c] for c in range(3)]
+        vnnr = vr[0] * d[0] + vr[1] * d[1] + vr[2] * d[2]
+        vt = [vr[c] - d[c] * (vnnr * rsqinv) for c in range(3)]
 
         # relative rotational velocity
-        wr = (radi[..., None] * omega[:, None, :]
-              + radj[..., None] * omega[idx]) * rinv[..., None]
+        wr = [(radi * omega[:, c:c + 1] + radj * omegaj[..., c]) * rinv
+              for c in range(3)]
 
         # effective mass; frozen atoms act as infinite mass
         mi = rmass[:, None]
-        mj = rmass[idx]
         meff = mi * mj / (mi + mj)
         if self.freeze_group_bit:
             fi = (gmask[:, None] & self.freeze_group_bit) > 0
-            fj = (gmask[idx] & self.freeze_group_bit) > 0
+            fj = (gj & self.freeze_group_bit) > 0
             meff = jnp.where(fi, mj, meff)
             meff = jnp.where(fj, mi, meff)
 
@@ -117,46 +127,52 @@ class PairGranHookeHistory:
 
         # tangential relative velocity at contact:
         # vtr1 = vt1 - (delz*wr2 - dely*wr3) = vt + (d x wr)
-        vtr = vt + jnp.cross(d, wr)
+        vtr = [vt[0] + (d[1] * wr[2] - d[2] * wr[1]),
+               vt[1] + (d[2] * wr[0] - d[0] * wr[2]),
+               vt[2] + (d[0] * wr[1] - d[1] * wr[0])]
 
         # shear history: accumulate, project out the normal component
-        shear_t = jnp.where(touching[..., None], shear, 0.0)
+        sh = [jnp.where(touching, shear[..., c], 0.0) for c in range(3)]
         if shearupdate:
-            shear_t = shear_t + jnp.where(
-                touching[..., None], vtr * dt, 0.0)
-        shrmag = jnp.sqrt(jnp.sum(shear_t * shear_t, axis=-1))
+            sh = [jnp.where(touching, sh[c] + vtr[c] * dt, sh[c])
+                  for c in range(3)]
+        shrmag = jnp.sqrt(sh[0] * sh[0] + sh[1] * sh[1] + sh[2] * sh[2])
         if shearupdate:
-            rsht = jnp.sum(shear_t * d, axis=-1) * rsqinv
-            shear_t = shear_t - d * rsht[..., None]
+            rsht = (sh[0] * d[0] + sh[1] * d[1] + sh[2] * d[2]) * rsqinv
+            sh = [sh[c] - d[c] * rsht for c in range(3)]
 
         # tangential force = shear spring + tangential damping
         gt = meff * self.gammat
-        fs_vec = -(self.kt * shear_t + gt[..., None] * vtr)
-        fs = jnp.sqrt(jnp.sum(fs_vec * fs_vec, axis=-1))
+        fs_v = [-(self.kt * sh[c] + gt * vtr[c]) for c in range(3)]
+        fs = jnp.sqrt(fs_v[0] ** 2 + fs_v[1] ** 2 + fs_v[2] ** 2)
         fn = self.xmu * jnp.abs(ccel * r)
 
         # Coulomb rescale of shear and force when slipping
         slip = touching & (fs > fn)
         ratio = fn / jnp.where(fs > 0, fs, 1.0)
-        damp_t = gt[..., None] * vtr / self.kt if self.kt else 0.0 * vtr
-        shear_res = ratio[..., None] * (shear_t + damp_t) - damp_t
         nonzero = shrmag != 0.0
-        shear_t = jnp.where((slip & nonzero)[..., None], shear_res, shear_t)
-        fs_vec = jnp.where(slip[..., None],
-                           jnp.where(nonzero[..., None],
-                                     fs_vec * ratio[..., None], 0.0),
-                           fs_vec)
+        resc = slip & nonzero
+        for c in range(3):
+            damp_t = gt * vtr[c] / self.kt if self.kt else 0.0 * vtr[c]
+            sh[c] = jnp.where(resc, ratio * (sh[c] + damp_t) - damp_t, sh[c])
+            fs_v[c] = jnp.where(slip,
+                                jnp.where(nonzero, fs_v[c] * ratio, 0.0),
+                                fs_v[c])
 
-        fpair = d * ccel[..., None] + fs_vec
-        fpair = jnp.where(touching[..., None], fpair, 0.0)
-        f = jnp.sum(fpair, axis=1)
+        fpc = [jnp.where(touching, d[c] * ccel + fs_v[c], 0.0)
+               for c in range(3)]
+        f = jnp.stack([jnp.sum(fpc[c], axis=1) for c in range(3)], axis=1)
 
         # torque_i -= rad_i * rinv * (d x fs)
-        tor = jnp.cross(d, fs_vec) * rinv[..., None]
-        tor = jnp.where(touching[..., None], tor, 0.0)
-        torque = -jnp.sum(radi[..., None] * tor, axis=1)
+        tor = [(d[1] * fs_v[2] - d[2] * fs_v[1]) * rinv,
+               (d[2] * fs_v[0] - d[0] * fs_v[2]) * rinv,
+               (d[0] * fs_v[1] - d[1] * fs_v[0]) * rinv]
+        torque = jnp.stack(
+            [-jnp.sum(jnp.where(touching, radi * tor[c], 0.0), axis=1)
+             for c in range(3)], axis=1)
 
-        shear_new = jnp.where(touching[..., None], shear_t, 0.0)
+        shear_new = jnp.stack(
+            [jnp.where(touching, sh[c], 0.0) for c in range(3)], axis=-1)
         return f, torque, shear_new
 
     def mean_neighbors(self, density, cutneigh):

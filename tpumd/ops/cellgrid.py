@@ -181,12 +181,19 @@ def compact_state(state: MDState, valid, natoms: int) -> MDState:
 
 
 def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
-                       pair_fn, eflag: bool, vflag: bool):
+                       pair_fn, eflag: bool, vflag: bool,
+                       special=None):
     """Forces/energy/virial via rolled dense cell-pair blocks.
 
     The x-direction stencil is folded into a 3*cap-wide j-row (one concat),
     so only the y/z offsets are looped: 9 shifts of (cap, 3cap) blocks.
     Periodic wrap handled by per-cell coordinate corrections at roll time.
+
+    special: optional (tag (Np,), special_tags (Np,S), special_codes
+    (Np,S), special_lj (4,)) — 1-2/1-3/1-4 pair weighting resolved
+    in-kernel by comparing each candidate's rolled tag against the i
+    slot's special list (the grid analog of the matrix path's sbits;
+    reference SBBITS packing, src/npair_half_bin_newton.cpp:114).
     """
     cap = cfg.cap
     gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
@@ -208,6 +215,13 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     trow = xrow(tg, None)
     vrow = xrow(vg, None)
     rowlen = len(xoffs) * cap
+    if special is not None:
+        atag, stags, scodes, w_lj = special
+        atag_g = atag.reshape(gshape)
+        tagrow = xrow(atag_g, None)
+        S = stags.shape[1]
+        stags_g = stags.reshape(gshape + (S,))
+        scodes_g = scodes.reshape(gshape + (S,))
 
     # self-exclusion: in the zero y/z shift, slot j == own slot within the
     # o=0 segment of the row
@@ -243,6 +257,24 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
                 r2, tg[..., :, None], tj[..., None, :])
             if fcoul is not None:
                 fp = fp + fcoul
+            if special is not None:
+                tagj = _roll_nbr(_roll_nbr(tagrow, dz, 0, None), dy, 1, None)
+                code = jnp.zeros(mask.shape, jnp.int32)
+                for si in range(S):
+                    sti = stags_g[..., :, si:si + 1]      # (..., cap, 1)
+                    hit = (sti > 0) & (sti == tagj[..., None, :])
+                    code = jnp.maximum(
+                        code, jnp.where(hit, scodes_g[..., :, si:si + 1], 0))
+                # 4-entry select as nested wheres (a gather here would
+                # dominate the whole kernel)
+                w = jnp.where(
+                    code == 1, w_lj[1],
+                    jnp.where(code == 2, w_lj[2],
+                              jnp.where(code == 3, w_lj[3],
+                                        w_lj[0]))).astype(dtype)
+                fp = fp * w
+                if eflag:
+                    e = e * w
             fp = jnp.where(mask, fp, 0)
             for c in range(3):
                 fx[c] = fx[c] + jnp.sum(d[c] * fp, axis=-1)

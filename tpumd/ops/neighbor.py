@@ -112,11 +112,10 @@ def choose_config(
     density = natoms / float(np.prod(ell))
     mean_per_cell = natoms / ncells
     if cell_cap is None:
-        cell_cap = int(np.ceil(mean_per_cell * 1.8 + 8))
-        cell_cap = int(np.ceil(cell_cap / 8) * 8)
+        cell_cap = int(np.ceil((mean_per_cell * 1.8 + 3) / 4) * 4)
     if kmax is None:
         mean_neigh = density * 4.0 / 3.0 * np.pi * cutneigh**3
-        kmax = int(np.ceil((mean_neigh * 1.35 + 8) / 8) * 8)
+        kmax = int(np.ceil((mean_neigh * 1.35 + 4) / 4) * 4)
     # chunk size: keep the (block, 27*cell_cap) candidate tensors ~tens of MB
     block = 1024
     while block * 2 <= natoms and block * 27 * cell_cap <= 4 * 1024 * 1024:
@@ -191,22 +190,34 @@ def build_neighbors(
     nblocks = -(-n // cfg.block)
     npad = nblocks * cfg.block
 
-    xp = jnp.concatenate([x, jnp.full((1, 3), 2 * cfg.cutneigh, x.dtype) + box.hi])
-    self_pad = jnp.arange(npad, dtype=jnp.int32)  # row's own index = padding value
+    # ONE packed j-table (gather cost is per row): x,y,z + gmask column
+    far = jnp.full((1, 3), 2 * cfg.cutneigh, x.dtype) + box.hi
+    cols = [jnp.concatenate([x, far])]
     if cfg.exclude_bits:
-        gm_p = jnp.concatenate([gmask, jnp.zeros((1,), gmask.dtype)])
+        cols.append(jnp.concatenate(
+            [gmask, jnp.zeros((1,), gmask.dtype)]).astype(x.dtype)[:, None])
         gm_pad = jnp.pad(gmask, (0, npad - n))
+    xp = jnp.concatenate(cols, axis=1)
+    self_pad = jnp.arange(npad, dtype=jnp.int32)  # row's own index = padding value
+
+    # minimum-image mask (non-periodic dims get no correction)
+    pmask = [1.0 if p else 0.0 for p in box.periodic]
 
     def build_block(args):
         sten_b, xi_b, self_b, gm_b = args  # (B,27), (B,3), (B,), (B,)
         cand = cells[sten_b].reshape(sten_b.shape[0], -1)  # (B, 27*cap)
-        xj = xp[cand]  # sentinel n -> far-away point
-        d = xi_b[:, None, :] - xj
-        d = minimum_image(d, box)
-        r2 = jnp.sum(d * d, axis=-1)
+        pj = xp[cand]  # sentinel n -> far-away point
+        # component-wise distance math: (B, C) tiles the VPU lanes fully,
+        # (B, C, 3) would waste 125/128 lanes
+        r2 = jnp.zeros(cand.shape, x.dtype)
+        for c in range(3):
+            dc = xi_b[:, c:c + 1] - pj[:, :, c]
+            if pmask[c]:
+                dc = dc - ell[c] * jnp.round(dc / ell[c])
+            r2 = r2 + dc * dc
         ok = (r2 < cut2) & (cand != self_b[:, None]) & (cand < n)
         if cfg.exclude_bits:
-            gj = gm_p[cand]
+            gj = pj[:, :, 3].astype(jnp.int32)
             gi = gm_b[:, None]
             for b1, b2 in cfg.exclude_bits:
                 both = (((gi & b1) > 0) & ((gj & b2) > 0)) | (

@@ -72,6 +72,21 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
     fpair = jnp.where(mask, fpair, 0)
     f = jnp.sum(d * fpair[:, :, None], axis=1)
 
+    if eflag == "atom" or vflag == "atom":
+        # per-atom tallies (ev_tally eatom/vatom, src/pair.cpp:1013): the
+        # i-centric full list gives each directed pair a 1/2 share
+        etot = evdwl + (ecoul if ecoul is not None else 0.0)
+        eatom = 0.5 * jnp.sum(jnp.where(mask, etot, 0), axis=1)
+        vatom = 0.5 * jnp.stack([
+            jnp.sum(fpair * d[:, :, 0] * d[:, :, 0], axis=1),
+            jnp.sum(fpair * d[:, :, 1] * d[:, :, 1], axis=1),
+            jnp.sum(fpair * d[:, :, 2] * d[:, :, 2], axis=1),
+            jnp.sum(fpair * d[:, :, 0] * d[:, :, 1], axis=1),
+            jnp.sum(fpair * d[:, :, 0] * d[:, :, 2], axis=1),
+            jnp.sum(fpair * d[:, :, 1] * d[:, :, 2], axis=1),
+        ], axis=1)
+        return f, eatom, vatom, None
+
     e_vdwl = e_coul = None
     virial = None
     if eflag:

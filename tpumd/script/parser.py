@@ -97,25 +97,37 @@ class LammpsScript:
         if name not in self.variables:
             raise ScriptError(f"Substitution for undefined variable {name!r}")
         style, value = self.variables[name]
-        if style == "equal":
-            expr = self.substitute(value)
-            # thermo keywords evaluate to current values (Variable::evaluate)
-            if any(re.search(rf"\b{kw}\b", expr) for kw in self._THERMO_VARS):
-                if self.sim is None or self.sim._ctx is None:
-                    raise ScriptError(
-                        f"thermo variable {name!r} before setup")
-                vals = self.sim.thermo_values()
-                for kw in self._THERMO_VARS:
-                    expr = re.sub(rf"\b{kw}\b", repr(float(vals[kw])), expr)
-            v = _evaluate(expr)
+        if style in ("equal", "internal"):
+            v = float(self.evaluate_variable(name))
             return repr(int(v)) if v == int(v) else repr(v)
         return value
 
+    @staticmethod
+    def _split(line: str):
+        """Whitespace split honoring double-quoted groups (Input::parse)."""
+        out, cur, q = [], [], False
+        for ch in line:
+            if ch == '"':
+                q = not q
+                continue
+            if ch.isspace() and not q:
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
     def execute(self, line: str):
-        line = self.substitute(line).strip()
+        line = line.strip()
         if not line:
             return
-        args = line.split()
+        # defer ${...} substitution inside fix print strings to runtime
+        if not line.startswith("fix") or " print " not in line:
+            line = self.substitute(line).strip()
+        args = self._split(line)
         cmd, args = args[0], args[1:]
         handler = getattr(self, "cmd_" + cmd.replace("/", "_"), None)
         if handler is None:
@@ -125,6 +137,7 @@ class LammpsScript:
     def _require_sim(self) -> Simulation:
         if self.sim is None:
             self.sim = Simulation(units=self._units_name, dtype=self.dtype)
+        self.sim.script = self
         return self.sim
 
     # -------------------------------------------------------------- commands
@@ -133,14 +146,32 @@ class LammpsScript:
         if style == "index":
             if name not in self.variables:  # index vars keep first value
                 self.variables[name] = ("index", a[2])
-        elif style in ("equal", "string"):
+        elif style in ("equal", "string", "atom", "internal"):
             self.variables[name] = (style, " ".join(a[2:]))
+        elif style == "loop":
+            if name not in self.variables:
+                self.variables[name] = ("index", "1")
+        elif style == "delete":
+            self.variables.pop(name, None)
         else:
             raise ScriptError(f"variable style {style} not supported")
+
+    def evaluate_variable(self, name: str):
+        """Evaluate a variable to its value (float, ndarray or str) —
+        Variable::evaluate / compute_equal / compute_atom."""
+        if name not in self.variables:
+            raise ScriptError(f"undefined variable {name!r}")
+        style, value = self.variables[name]
+        if style in ("index", "string"):
+            return value
+        from tpumd.script.formula import Formula, SimFormulaContext
+        f = Formula(self.substitute(value))
+        return f.evaluate(SimFormulaContext(self.sim, self))
 
     def cmd_units(self, a):
         self._units_name = a[0]
         self.sim = Simulation(units=a[0], dtype=self.dtype)
+        self.sim.script = self
 
     def cmd_dimension(self, a):
         self._require_sim().dimension = int(a[0])
@@ -506,6 +537,44 @@ class LammpsScript:
         elif style == "gravity":
             from tpumd.md.fix_sphere import FixGravity
             sim.fixes.append(FixGravity(float(args[0]), args[1], *args[2:]))
+        elif style == "ave/time":
+            from tpumd.md.fix_ave import FixAveTime
+            kw = {}
+            vals = list(args[3:])
+            if "file" in vals:
+                i = vals.index("file")
+                kw["file"] = vals[i + 1]
+                vals = vals[:i] + vals[i + 2:]
+            vals = [v for i, v in enumerate(vals)
+                    if v not in ("mode", "scalar", "vector")
+                    and (i == 0 or vals[i - 1] != "mode")]
+            sim.fixes.append(FixAveTime(args[0], args[1], args[2], vals,
+                                        **kw))
+        elif style == "ave/atom":
+            from tpumd.md.fix_ave import FixAveAtom
+            sim.fixes.append(FixAveAtom(args[0], args[1], args[2], args[3:]))
+        elif style == "ave/chunk":
+            from tpumd.md.fix_ave import FixAveChunk
+            kw = {}
+            vals = list(args[4:])
+            if "file" in vals:
+                i = vals.index("file")
+                kw["file"] = vals[i + 1]
+                vals = vals[:i] + vals[i + 2:]
+            cid = args[3]
+            if cid.startswith("c_"):
+                cid = cid[2:]
+            sim.fixes.append(FixAveChunk(args[0], args[1], args[2], cid,
+                                         vals, **kw))
+        elif style == "print":
+            from tpumd.md.fix_ave import FixPrint
+            kw = {}
+            if "file" in args:
+                kw["file"] = args[args.index("file") + 1]
+            sim.fixes.append(FixPrint(args[0], args[1], **kw))
+        elif style == "halt":
+            from tpumd.md.fix_ave import FixHalt
+            sim.fixes.append(FixHalt(args[0], args[1], args[2], args[3]))
         elif style in ("recenter", "enforce2d", "balance"):
             pass  # harmless no-ops for now
         else:
@@ -576,7 +645,7 @@ class LammpsScript:
         from tpumd.md.compute_styles import create_compute
         sim = self._require_sim()
         cid, group, style = a[0], a[1], a[2]
-        c = create_compute(cid, group, style)
+        c = create_compute(cid, group, style, a[3:])
         sim.computes[cid] = c
         if sim.state is not None and sim._ctx is not None:
             c.prepare(sim)
