@@ -233,12 +233,24 @@ class Simulation:
                 ngroup = int(((gm & fx.groupbit) > 0).sum())
                 fx.group_tdof = float(self.dimension * ngroup
                                       - self.dimension)
+        mode = self._resolve_mode()
         if self.special_tags is not None:
             # per-atom special lists ride the state (traced, not baked)
+            st_np = np.asarray(self.special_tags, np.int32)
+            sc_np = np.asarray(self.special_codes, np.int32)
+            if mode == "cellgrid" and self.special_lj is not None:
+                # grid kernel pays per entry per candidate: drop entries
+                # whose weight is exactly 1 (no-op pairs)
+                w = np.asarray(self.special_lj)[sc_np]
+                keep = (st_np > 0) & (w != 1.0)
+                smax = max(int(keep.sum(1).max()), 1)
+                order = np.argsort(~keep, axis=1, kind="stable")[:, :smax]
+                kept = np.take_along_axis(keep, order, 1)
+                st_np = np.take_along_axis(st_np, order, 1) * kept
+                sc_np = np.take_along_axis(sc_np, order, 1) * kept
             self.state = self.state.replace(
-                special_tags=jnp.asarray(self.special_tags, jnp.int32),
-                special_codes=jnp.asarray(self.special_codes, jnp.int32))
-        mode = self._resolve_mode()
+                special_tags=jnp.asarray(st_np, jnp.int32),
+                special_codes=jnp.asarray(sc_np, jnp.int32))
         row_of_tag = None
         if self.topology and mode != "cellgrid":
             # matrix mode: incidence in (static) row space.  cellgrid mode

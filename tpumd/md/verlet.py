@@ -81,8 +81,16 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
         if ctx.is_cellgrid:
             special = None
             if s.special_tags is not None:
-                special = (s.tag, s.special_tags, s.special_codes,
-                           ctx.special_lj)
+                # weights from codes via selects (a 4-entry gather would
+                # dominate); entries with weight 1 were filtered at setup
+                sc = s.special_codes
+                wl = ctx.special_lj
+                sw = jnp.where(
+                    sc == 1, wl[1],
+                    jnp.where(sc == 2, wl[2],
+                              jnp.where(sc == 3, wl[3],
+                                        1.0))).astype(s.x.dtype)
+                special = (s.tag, s.special_tags, sw)
             fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
                 s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
                 eflag, vflag, q=s.q, special=special)

@@ -84,7 +84,7 @@ def choose_cellgrid_config(box: Box, cutneigh: float, skin: float,
                   for L in ell]
     if cap is None:
         mean = natoms / (nx * ny * nz)
-        cap = int(np.ceil((mean * 1.45 + 4) / 8) * 8)
+        cap = int(np.ceil((mean * 1.45 + 4) / 4) * 4)
     return CellGridConfig(cutneigh=float(cutneigh), skin=float(skin),
                           nx=nx, ny=ny, nz=nz, cap=int(cap),
                           every=every, delay=delay, check=check)
@@ -124,16 +124,31 @@ def bin_permutation(x, valid, box: Box, cfg: CellGridConfig):
 
 
 def apply_permutation(state: MDState, perm, valid_new) -> MDState:
-    """Reorder all per-atom arrays into grid-slot order (capacity Np)."""
-    from tpumd.core.state import map_per_atom
+    """Reorder all per-atom arrays into grid-slot order (capacity Np).
+
+    Gather cost on TPU is per ROW, so all same-dtype fields are packed
+    into one wide table and gathered together (two gathers total: floats
+    + ints) instead of one gather per field."""
+    from tpumd.core.state import PER_ATOM_FIELDS
     idx = jnp.maximum(perm, 0)
-
-    def take(a):
-        out = jnp.take(a, idx, axis=0)
-        mask = valid_new.reshape((-1,) + (1,) * (a.ndim - 1))
-        return jnp.where(mask, out, 0)
-
-    return map_per_atom(state, take)
+    groups: dict = {}
+    for name in PER_ATOM_FIELDS:
+        a = getattr(state, name)
+        if a is not None:
+            groups.setdefault(a.dtype, []).append((name, a))
+    updates = {}
+    for dt_, fields in groups.items():
+        flat = [a.reshape(a.shape[0], -1) for _, a in fields]
+        widths = [f.shape[1] for f in flat]
+        packed = jnp.concatenate(flat, axis=1)
+        out = jnp.take(packed, idx, axis=0)
+        out = jnp.where(valid_new[:, None], out, 0)
+        off = 0
+        for (name, a), w in zip(fields, widths):
+            updates[name] = out[:, off:off + w].reshape(
+                (idx.shape[0],) + a.shape[1:])
+            off += w
+    return state.replace(**updates)
 
 
 def pad_state(state: MDState, capacity: int) -> MDState:
@@ -185,15 +200,18 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
                        special=None):
     """Forces/energy/virial via rolled dense cell-pair blocks.
 
-    The x-direction stencil is folded into a 3*cap-wide j-row (one concat),
-    so only the y/z offsets are looped: 9 shifts of (cap, 3cap) blocks.
-    Periodic wrap handled by per-cell coordinate corrections at roll time.
+    The x AND y stencil offsets are folded into one (up to) 9*cap-wide
+    j-row, so only the z offsets are looped: 3 shifts of (cap, 9cap)
+    blocks.  A wide row keeps the VPU lane dimension full (a 3*cap row
+    at small cap tiles lanes at ~30%).  Periodic wrap is handled by
+    per-cell coordinate corrections at roll time.
 
-    special: optional (tag (Np,), special_tags (Np,S), special_codes
-    (Np,S), special_lj (4,)) — 1-2/1-3/1-4 pair weighting resolved
-    in-kernel by comparing each candidate's rolled tag against the i
-    slot's special list (the grid analog of the matrix path's sbits;
-    reference SBBITS packing, src/npair_half_bin_newton.cpp:114).
+    special: optional (tag (Np,), special_tags (Np,S), special_w (Np,S))
+    — 1-2/1-3/1-4 pair weighting resolved in-kernel by comparing each
+    candidate's rolled tag against the i slot's special list; entries
+    with weight 1 should be pre-filtered out (the grid analog of the
+    matrix path's sbits; reference SBBITS packing,
+    src/npair_half_bin_newton.cpp:114).  w = 1 + sum_s hit_s*(w_s - 1).
     """
     cap = cfg.cap
     gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
@@ -203,29 +221,31 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     tg = type_.reshape(gshape)
     vg = valid.reshape(gshape)
 
-    # --- fold the x stencil into a row: (nz, ny, nx, len(xoffs)*cap) -----
     xoffs = _offs(cfg.nx)
+    yoffs = _offs(cfg.ny)
     Lx, Ly, Lz = box.lengths[0], box.lengths[1], box.lengths[2]
 
-    def xrow(a, corr):
+    def xyrow(a, corrx, corry):
+        row = jnp.concatenate(
+            [_roll_nbr(a, o, 2, corrx) for o in xoffs], axis=-1)
         return jnp.concatenate(
-            [_roll_nbr(a, o, 2, corr) for o in xoffs], axis=-1)
+            [_roll_nbr(row, o, 1, corry) for o in yoffs], axis=-1)
 
-    rows = [xrow(xg[0], Lx), xrow(xg[1], None), xrow(xg[2], None)]
-    trow = xrow(tg, None)
-    vrow = xrow(vg, None)
-    rowlen = len(xoffs) * cap
+    rows = [xyrow(xg[0], Lx, None), xyrow(xg[1], None, Ly),
+            xyrow(xg[2], None, None)]
+    trow = xyrow(tg, None, None)
+    vrow = xyrow(vg, None, None)
+    rowlen = len(xoffs) * len(yoffs) * cap
     if special is not None:
-        atag, stags, scodes, w_lj = special
-        atag_g = atag.reshape(gshape)
-        tagrow = xrow(atag_g, None)
+        atag, stags, sweights = special
+        tagrow = xyrow(atag.reshape(gshape), None, None)
         S = stags.shape[1]
         stags_g = stags.reshape(gshape + (S,))
-        scodes_g = scodes.reshape(gshape + (S,))
+        sw_g = sweights.reshape(gshape + (S,))
 
-    # self-exclusion: in the zero y/z shift, slot j == own slot within the
-    # o=0 segment of the row
-    zero_seg = xoffs.index(0)
+    # self-exclusion: in the zero z shift, slot j == own slot within the
+    # (ox=0, oy=0) segment of the row
+    zero_seg = yoffs.index(0) * len(xoffs) + xoffs.index(0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 1)
     not_self = jj != ii + zero_seg * cap
@@ -236,58 +256,46 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     virial = jnp.zeros((6,), dtype) if vflag else None
 
     for dz in _offs(cfg.nz):
-        for dy in _offs(cfg.ny):
-            xj = []
-            for comp in range(3):
-                a = _roll_nbr(rows[comp], dz, 0, Lz if comp == 2 else None)
-                a = _roll_nbr(a, dy, 1, Ly if comp == 1 else None)
-                xj.append(a)
-            tj = _roll_nbr(_roll_nbr(trow, dz, 0, None), dy, 1, None)
-            vj = _roll_nbr(_roll_nbr(vrow, dz, 0, None), dy, 1, None)
+        xj = [_roll_nbr(rows[c], dz, 0, Lz if c == 2 else None)
+              for c in range(3)]
+        vj = _roll_nbr(vrow, dz, 0, None)
+        tj = _roll_nbr(trow, dz, 0, None)
 
-            # (nz, ny, nx, cap_i, rowlen) pair blocks
-            d = [xg[c][..., :, None] - xj[c][..., None, :] for c in range(3)]
-            r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
-            mask = vg[..., :, None] & vj[..., None, :]
-            if dz == 0 and dy == 0:
-                mask = mask & not_self
-            r2 = jnp.where(mask, r2, jnp.ones_like(r2))
+        # (nz, ny, nx, cap_i, rowlen) pair blocks
+        d = [xg[c][..., :, None] - xj[c][..., None, :] for c in range(3)]
+        r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        mask = vg[..., :, None] & vj[..., None, :]
+        if dz == 0:
+            mask = mask & not_self
+        r2 = jnp.where(mask, r2, jnp.ones_like(r2))
 
-            fp, e, ec, fcoul = pair_fn(
-                r2, tg[..., :, None], tj[..., None, :])
-            if fcoul is not None:
-                fp = fp + fcoul
-            if special is not None:
-                tagj = _roll_nbr(_roll_nbr(tagrow, dz, 0, None), dy, 1, None)
-                code = jnp.zeros(mask.shape, jnp.int32)
-                for si in range(S):
-                    sti = stags_g[..., :, si:si + 1]      # (..., cap, 1)
-                    hit = (sti > 0) & (sti == tagj[..., None, :])
-                    code = jnp.maximum(
-                        code, jnp.where(hit, scodes_g[..., :, si:si + 1], 0))
-                # 4-entry select as nested wheres (a gather here would
-                # dominate the whole kernel)
-                w = jnp.where(
-                    code == 1, w_lj[1],
-                    jnp.where(code == 2, w_lj[2],
-                              jnp.where(code == 3, w_lj[3],
-                                        w_lj[0]))).astype(dtype)
-                fp = fp * w
-                if eflag:
-                    e = e * w
-            fp = jnp.where(mask, fp, 0)
-            for c in range(3):
-                fx[c] = fx[c] + jnp.sum(d[c] * fp, axis=-1)
+        fp, e, ec, fcoul = pair_fn(
+            r2, tg[..., :, None], tj[..., None, :])
+        if fcoul is not None:
+            fp = fp + fcoul
+        if special is not None:
+            tagj = _roll_nbr(tagrow, dz, 0, None)
+            w = jnp.ones(mask.shape, dtype)
+            for si in range(S):
+                sti = stags_g[..., :, si:si + 1]       # (..., cap, 1)
+                hit = (sti > 0) & (sti == tagj[..., None, :])
+                w = w + jnp.where(hit, sw_g[..., :, si:si + 1] - 1.0, 0.0)
+            fp = fp * w
             if eflag:
-                evdwl = evdwl + 0.5 * jnp.sum(jnp.where(mask, e, 0))
-                if ec is not None:
-                    ecoul = ecoul + 0.5 * jnp.sum(jnp.where(mask, ec, 0))
-            if vflag:
-                virial = virial + 0.5 * jnp.stack([
-                    jnp.sum(fp * d[0] * d[0]), jnp.sum(fp * d[1] * d[1]),
-                    jnp.sum(fp * d[2] * d[2]), jnp.sum(fp * d[0] * d[1]),
-                    jnp.sum(fp * d[0] * d[2]), jnp.sum(fp * d[1] * d[2]),
-                ])
+                e = e * w
+        fp = jnp.where(mask, fp, 0)
+        for c in range(3):
+            fx[c] = fx[c] + jnp.sum(d[c] * fp, axis=-1)
+        if eflag:
+            evdwl = evdwl + 0.5 * jnp.sum(jnp.where(mask, e, 0))
+            if ec is not None:
+                ecoul = ecoul + 0.5 * jnp.sum(jnp.where(mask, ec, 0))
+        if vflag:
+            virial = virial + 0.5 * jnp.stack([
+                jnp.sum(fp * d[0] * d[0]), jnp.sum(fp * d[1] * d[1]),
+                jnp.sum(fp * d[2] * d[2]), jnp.sum(fp * d[0] * d[1]),
+                jnp.sum(fp * d[0] * d[2]), jnp.sum(fp * d[1] * d[2]),
+            ])
 
     f = jnp.stack([c.reshape(-1) for c in fx], axis=1)
     return (f, (evdwl if eflag else None),
