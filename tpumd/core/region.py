@@ -42,3 +42,28 @@ class SphereRegion(Region):
     def bounding_box(self):
         r = self.radius
         return self.center - r, self.center + r
+
+
+class PrismRegion(Region):
+    """Triclinic box region (src/region_prism.cpp): block + xy/xz/yz tilt."""
+
+    def __init__(self, lo, hi, tilt):
+        self.lo = np.asarray(lo, dtype=np.float64)
+        self.hi = np.asarray(hi, dtype=np.float64)
+        self.tilt = np.asarray(tilt, dtype=np.float64)  # xy, xz, yz
+
+    def _lamda(self, pts):
+        ell = self.hi - self.lo
+        xy, xz, yz = self.tilt
+        d = pts - self.lo
+        lz = d[:, 2] / ell[2]
+        ly = (d[:, 1] - yz * lz) / ell[1]
+        lx = (d[:, 0] - xy * ly - xz * lz) / ell[0]
+        return np.stack([lx, ly, lz], axis=1)
+
+    def inside(self, pts):
+        lam = self._lamda(np.asarray(pts, dtype=np.float64))
+        return np.all((lam >= 0.0) & (lam <= 1.0), axis=1)
+
+    def bounding_box(self):
+        return self.lo.copy(), self.hi.copy()

@@ -11,6 +11,7 @@ All arrays are padded to a static capacity ``N`` with a validity count
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -28,9 +29,11 @@ class Box:
 
     lo: jnp.ndarray
     hi: jnp.ndarray
-    tilt: jnp.ndarray
+    tilt: jnp.ndarray                 # (xy, xz, yz)
     periodic: tuple = struct.field(pytree_node=False,
                                    default=(True, True, True))
+    # static flag: kernels trace different code for skewed cells
+    istriclinic: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def lengths(self) -> jnp.ndarray:
@@ -48,10 +51,50 @@ class Box:
         return Box(lo=lo, hi=hi, tilt=jnp.zeros((3,), dtype=lo.dtype),
                    periodic=tuple(periodic))
 
+    @staticmethod
+    def triclinic(lo, hi, tilt, dtype=None, periodic=(True, True, True)):
+        lo = jnp.asarray(lo, dtype=dtype)
+        return Box(lo=lo, hi=jnp.asarray(hi, dtype=dtype),
+                   tilt=jnp.asarray(tilt, dtype=lo.dtype),
+                   periodic=tuple(periodic), istriclinic=True)
+
+    # -- triclinic transforms (Domain::x2lamda/lamda2x, src/domain.cpp) --
+    def x2lamda(self, x):
+        ell = self.lengths
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        d = x - self.lo
+        lz = d[..., 2] / ell[2]
+        ly = (d[..., 1] - yz * lz) / ell[1]
+        lx = (d[..., 0] - xy * ly - xz * lz) / ell[0]
+        return jnp.stack([lx, ly, lz], axis=-1)
+
+    def lamda2x(self, lam):
+        ell = self.lengths
+        xy, xz, yz = self.tilt[0], self.tilt[1], self.tilt[2]
+        x = ell[0] * lam[..., 0] + xy * lam[..., 1] + xz * lam[..., 2]
+        y = ell[1] * lam[..., 1] + yz * lam[..., 2]
+        z = ell[2] * lam[..., 2]
+        return jnp.stack([x, y, z], axis=-1) + self.lo
+
+    def perp_widths(self):
+        """Perpendicular box widths (numpy, host): V / face areas —
+        the triclinic analog of the lengths for cell-count selection."""
+        import numpy as onp
+        ell = onp.asarray(jax.device_get(self.lengths), onp.float64)
+        xy, xz, yz = onp.asarray(jax.device_get(self.tilt), onp.float64)
+        a = onp.array([ell[0], 0, 0])
+        b = onp.array([xy, ell[1], 0])
+        c = onp.array([xz, yz, ell[2]])
+        vol = ell[0] * ell[1] * ell[2]
+        return onp.array([vol / onp.linalg.norm(onp.cross(b, c)),
+                          vol / onp.linalg.norm(onp.cross(a, c)),
+                          vol / onp.linalg.norm(onp.cross(a, b))])
+
 
 def minimum_image_c(dc, box: Box, c: int):
     """Per-component minimum image (for kernels on (N, K) component
     arrays — full-lane VPU tiling instead of 3/128)."""
+    assert not box.istriclinic, "use minimum_image for triclinic boxes"
     if not box.periodic[c]:
         return dc
     ell = box.lengths[c]
@@ -59,8 +102,27 @@ def minimum_image_c(dc, box: Box, c: int):
 
 
 def minimum_image(d, box: Box):
-    """Nearest-image displacement correction, skipping non-periodic dims."""
+    """Nearest-image displacement correction, skipping non-periodic dims.
+
+    Triclinic: sequential z/y/x corrections including tilt carries
+    (Domain::minimum_image, src/domain.cpp — valid for tilts within the
+    standard half-box bound)."""
     ell = box.lengths
+    if box.istriclinic:
+        xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        if box.periodic[2]:
+            nz = jnp.round(dz / ell[2])
+            dz = dz - ell[2] * nz
+            dy = dy - yz * nz
+            dx = dx - xz * nz
+        if box.periodic[1]:
+            ny = jnp.round(dy / ell[1])
+            dy = dy - ell[1] * ny
+            dx = dx - xy * ny
+        if box.periodic[0]:
+            dx = dx - ell[0] * jnp.round(dx / ell[0])
+        return jnp.stack([dx, dy, dz], axis=-1)
     corr = ell * jnp.round(d / ell)
     if all(box.periodic):
         return d - corr
@@ -136,7 +198,8 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
         tag=jnp.asarray(tags, dtype=jnp.int32),
         image=jnp.zeros((n, 3), dtype=jnp.int32),
         box=Box(lo=box.lo.astype(dtype), hi=box.hi.astype(dtype),
-                tilt=box.tilt.astype(dtype), periodic=box.periodic),
+                tilt=box.tilt.astype(dtype), periodic=box.periodic,
+                istriclinic=box.istriclinic),
         nlocal=jnp.asarray(n, dtype=jnp.int32),
         gmask=jnp.ones((n,), dtype=jnp.int32),
         q=None if q is None else jnp.asarray(q, dtype=dtype),
@@ -155,11 +218,21 @@ def wrap_pbc(state: MDState) -> MDState:
     Equivalent of Domain::pbc (src/domain.cpp) for orthogonal boxes, called
     at reneighbor steps.  Non-periodic dims are left unwrapped.
     """
-    ell = state.box.lengths
-    rel = (state.x - state.box.lo) / ell
+    box = state.box
+    if box.istriclinic:
+        lam = box.x2lamda(state.x)
+        shift = jnp.floor(lam).astype(jnp.int32)
+        if not all(box.periodic):
+            pmask = jnp.asarray([1 if p else 0 for p in box.periodic],
+                                dtype=jnp.int32)
+            shift = shift * pmask
+        x = box.lamda2x(lam - shift.astype(lam.dtype))
+        return state.replace(x=x, image=state.image + shift)
+    ell = box.lengths
+    rel = (state.x - box.lo) / ell
     shift = jnp.floor(rel).astype(jnp.int32)
-    if not all(state.box.periodic):
-        pmask = jnp.asarray([1 if p else 0 for p in state.box.periodic],
+    if not all(box.periodic):
+        pmask = jnp.asarray([1 if p else 0 for p in box.periodic],
                             dtype=jnp.int32)
         shift = shift * pmask
     x = state.x - shift * ell

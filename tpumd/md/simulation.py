@@ -115,6 +115,7 @@ class Simulation:
             and getattr(self.pair, "supports_cellgrid", False)
             and special_ok
             and all(self.state.box.periodic)
+            and not self.state.box.istriclinic
         )
         if eligible and jax.default_backend() != "cpu":
             return "cellgrid"

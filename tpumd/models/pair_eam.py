@@ -196,48 +196,64 @@ class PairEAM(PairStyle):
         xg = [x[:, c].reshape(gshape) for c in range(3)]
         vg = valid.reshape(gshape)
         xoffs = _offs(cfg.nx)
-        yoffs = _offs(cfg.ny)
         Lx, Ly, Lz = box.lengths[0], box.lengths[1], box.lengths[2]
 
-        def xyrow(a, corrx, corry):
-            row = jnp.concatenate(
-                [_roll_nbr(a, o, 2, corrx) for o in xoffs], axis=-1)
+        def xrow(a, corr):
             return jnp.concatenate(
-                [_roll_nbr(row, o, 1, corry) for o in yoffs], axis=-1)
+                [_roll_nbr(a, o, 2, corr) for o in xoffs], axis=-1)
 
-        rows = [xyrow(xg[0], Lx, None), xyrow(xg[1], None, Ly),
-                xyrow(xg[2], None, None)]
-        vrow = xyrow(vg, None, None)
-        rowlen = len(xoffs) * len(yoffs) * cap
-        zero_seg = yoffs.index(0) * len(xoffs) + xoffs.index(0)
+        rows = [xrow(xg[0], Lx), xrow(xg[1], None), xrow(xg[2], None)]
+        vrow = xrow(vg, None)
+        rowlen = len(xoffs) * cap
+        zero_seg = xoffs.index(0)
         import jax
         ii = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 1)
         not_self = jj != ii + zero_seg * cap
         cut2 = jnp.asarray(self.cutforcesq, dtype)
-        zoffs = _offs(cfg.nz)
 
-        def shift_block(dz, extra_rows=()):
-            """(d, r, mask, extras_j) for one z shift (x/y folded in)."""
-            xj = [_roll_nbr(rows[c], dz, 0, Lz if c == 2 else None)
-                  for c in range(3)]
-            vj = _roll_nbr(vrow, dz, 0, None)
-            ej = [_roll_nbr(er, dz, 0, None) for er in extra_rows]
+        # the 9 y/z shifts run as a lax.scan with dynamic roll amounts —
+        # the unrolled variant's 18 copies of the segpoly blocks produce a
+        # graph XLA takes tens of minutes to compile
+        shifts = jnp.asarray(
+            [(dz, dy) for dz in _offs(cfg.nz) for dy in _offs(cfg.ny)],
+            dtype=jnp.int32)
+
+        def _roll_dyn(a, o, axis, corr):
+            """_roll_nbr with a traced shift o (wrap correction included)."""
+            r = jnp.roll(a, -o, axis=axis)
+            if corr is None:
+                return r
+            n = a.shape[axis]
+            idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+            return (r + jnp.where(idx + o >= n, corr, 0).astype(a.dtype)
+                    - jnp.where(idx + o < 0, corr, 0).astype(a.dtype))
+
+        def shift_block(dz, dy, extra_rows=()):
+            """(d, r, mask, extras_j) for one traced (dz, dy) shift."""
+            xj = []
+            for comp in range(3):
+                a = _roll_dyn(rows[comp], dz, 0, Lz if comp == 2 else None)
+                a = _roll_dyn(a, dy, 1, Ly if comp == 1 else None)
+                xj.append(a)
+            vj = _roll_dyn(_roll_dyn(vrow, dz, 0, None), dy, 1, None)
+            ej = [_roll_dyn(_roll_dyn(er, dz, 0, None), dy, 1, None)
+                  for er in extra_rows]
             d = [xg[c][..., :, None] - xj[c][..., None, :] for c in range(3)]
             r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
             mask = vg[..., :, None] & vj[..., None, :]
-            if dz == 0:
-                mask = mask & not_self
+            mask = mask & ((dz != 0) | (dy != 0) | not_self)
             mask = mask & (r2 < cut2)
             r = jnp.sqrt(jnp.where(mask, r2, jnp.ones_like(r2)))
             return d, r, mask, ej
 
         # ---- pass 1: host densities --------------------------------------
-        rho_g = jnp.zeros(gshape, dtype)
-        for dz in zoffs:
-            _, r, mask, _ = shift_block(dz)
-            rho_g = rho_g + jnp.sum(
-                jnp.where(mask, sp["rho_val"](r), 0.0), axis=-1)
+        def rho_body(rho_g, dzdy):
+            _, r, mask, _ = shift_block(dzdy[0], dzdy[1])
+            return rho_g + jnp.sum(
+                jnp.where(mask, sp["rho_val"](r), 0.0), axis=-1), None
+
+        rho_g, _ = jax.lax.scan(rho_body, jnp.zeros(gshape, dtype), shifts)
 
         # ---- embedding: exact per-atom spline (small gather) -------------
         rho_flat = rho_g.reshape(-1)
@@ -255,14 +271,12 @@ class PairEAM(PairStyle):
             e_embed = jnp.sum(jnp.where(valid, fval, 0.0))
 
         fp_g = fp.reshape(gshape)
+        fprow = xrow(fp_g, None)
 
         # ---- pass 2: pair forces ------------------------------------------
-        fprow = xyrow(fp_g, None, None)
-        fx = [jnp.zeros(gshape, dtype) for _ in range(3)]
-        e_pair = jnp.zeros((), dtype)
-        virial = jnp.zeros((6,), dtype) if vflag else None
-        for dz in zoffs:
-            d, r, mask, (fpj,) = shift_block(dz, (fprow,))
+        def force_body(carry, dzdy):
+            fx, e_pair, virial = carry
+            d, r, mask, (fpj,) = shift_block(dzdy[0], dzdy[1], (fprow,))
             recip = 1.0 / r
             rhop = sp["rho_der"](r)
             z2 = sp["z2_val"](r)
@@ -280,6 +294,12 @@ class PairEAM(PairStyle):
                     jnp.sum(fpair * d[2] * d[2]), jnp.sum(fpair * d[0] * d[1]),
                     jnp.sum(fpair * d[0] * d[2]), jnp.sum(fpair * d[1] * d[2]),
                 ])
+            return (fx, e_pair, virial), None
+
+        carry0 = ([jnp.zeros(gshape, dtype) for _ in range(3)],
+                  jnp.zeros((), dtype),
+                  jnp.zeros((6,), dtype) if vflag else jnp.zeros((), dtype))
+        (fx, e_pair, virial), _ = jax.lax.scan(force_body, carry0, shifts)
 
         f = jnp.stack([c.reshape(-1) for c in fx], axis=1)
         evdwl = (e_embed + e_pair) if eflag else None

@@ -222,12 +222,18 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     vg = valid.reshape(gshape)
 
     xoffs = _offs(cfg.nx)
-    yoffs = _offs(cfg.ny)
+    # fold the y offsets into the row too when 3*cap would starve the VPU
+    # lane dimension (small cells); at large cap the narrow fold is
+    # cheaper on HBM
+    foldy = 3 * cap < 128
+    yoffs = _offs(cfg.ny) if foldy else (0,)
     Lx, Ly, Lz = box.lengths[0], box.lengths[1], box.lengths[2]
 
     def xyrow(a, corrx, corry):
         row = jnp.concatenate(
             [_roll_nbr(a, o, 2, corrx) for o in xoffs], axis=-1)
+        if not foldy:
+            return row
         return jnp.concatenate(
             [_roll_nbr(row, o, 1, corry) for o in yoffs], axis=-1)
 
@@ -243,7 +249,7 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
         stags_g = stags.reshape(gshape + (S,))
         sw_g = sweights.reshape(gshape + (S,))
 
-    # self-exclusion: in the zero z shift, slot j == own slot within the
+    # self-exclusion: in the zero shift, slot j == own slot within the
     # (ox=0, oy=0) segment of the row
     zero_seg = yoffs.index(0) * len(xoffs) + xoffs.index(0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 0)
@@ -255,17 +261,22 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     ecoul = jnp.zeros((), dtype)
     virial = jnp.zeros((6,), dtype) if vflag else None
 
-    for dz in _offs(cfg.nz):
-        xj = [_roll_nbr(rows[c], dz, 0, Lz if c == 2 else None)
-              for c in range(3)]
-        vj = _roll_nbr(vrow, dz, 0, None)
-        tj = _roll_nbr(trow, dz, 0, None)
+    shifts = ([(dz, 0) for dz in _offs(cfg.nz)] if foldy else
+              [(dz, dy) for dz in _offs(cfg.nz) for dy in _offs(cfg.ny)])
+    for dz, dy in shifts:
+        def roll2(a, corrz, corry):
+            r = _roll_nbr(a, dz, 0, corrz)
+            return _roll_nbr(r, dy, 1, corry) if not foldy else r
+        xj = [roll2(rows[0], None, None), roll2(rows[1], None, Ly),
+              roll2(rows[2], Lz, None)]
+        vj = roll2(vrow, None, None)
+        tj = roll2(trow, None, None)
 
         # (nz, ny, nx, cap_i, rowlen) pair blocks
         d = [xg[c][..., :, None] - xj[c][..., None, :] for c in range(3)]
         r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
         mask = vg[..., :, None] & vj[..., None, :]
-        if dz == 0:
+        if dz == 0 and dy == 0:
             mask = mask & not_self
         r2 = jnp.where(mask, r2, jnp.ones_like(r2))
 
@@ -274,7 +285,7 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
         if fcoul is not None:
             fp = fp + fcoul
         if special is not None:
-            tagj = _roll_nbr(tagrow, dz, 0, None)
+            tagj = roll2(tagrow, None, None)
             w = jnp.ones(mask.shape, dtype)
             for si in range(S):
                 sti = stags_g[..., :, si:si + 1]       # (..., cap, 1)

@@ -100,13 +100,15 @@ def choose_config(
     box_margin > 1 reserves room for box shrinkage under a barostat (cells
     must stay >= cutneigh wide at every rebuild).
     """
-    ell = np.asarray(jax.device_get(box.lengths), dtype=np.float64)
+    ell = (box.perp_widths() if box.istriclinic
+           else np.asarray(jax.device_get(box.lengths), dtype=np.float64))
     if (ell < 2.0 * cutneigh).any():
         # minimum-image convention: each pair must have a unique nearest image
         # (the reference instead replicates ghosts multiple hops,
         # src/comm_brick.cpp maxneed)
         raise ValueError(
-            f"box lengths {ell} must be >= 2*cutneigh ({2 * cutneigh:.3f})")
+            f"box (perpendicular) widths {ell} must be >= 2*cutneigh "
+            f"({2 * cutneigh:.3f})")
     nx, ny, nz = [max(1, int(np.floor(L / (cutneigh * box_margin)))) for L in ell]
     ncells = nx * ny * nz
     density = natoms / float(np.prod(ell))
@@ -128,10 +130,13 @@ def choose_config(
 
 
 def _cell_index(x, box: Box, cfg: NeighborConfig):
-    """Per-atom flat cell id, clamped into range."""
-    ell = box.lengths
+    """Per-atom flat cell id, clamped into range (triclinic bins in
+    lamda space — sheared cells, same 27 stencil)."""
     dims = jnp.array([cfg.nx, cfg.ny, cfg.nz])
-    rel = (x - box.lo) / ell * dims
+    if box.istriclinic:
+        rel = box.x2lamda(x) * dims
+    else:
+        rel = (x - box.lo) / box.lengths * dims
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, dims - 1)
     return (ci[:, 2] * cfg.ny + ci[:, 1]) * cfg.nx + ci[:, 0], ci
 
@@ -209,12 +214,16 @@ def build_neighbors(
         pj = xp[cand]  # sentinel n -> far-away point
         # component-wise distance math: (B, C) tiles the VPU lanes fully,
         # (B, C, 3) would waste 125/128 lanes
-        r2 = jnp.zeros(cand.shape, x.dtype)
-        for c in range(3):
-            dc = xi_b[:, c:c + 1] - pj[:, :, c]
-            if pmask[c]:
-                dc = dc - ell[c] * jnp.round(dc / ell[c])
-            r2 = r2 + dc * dc
+        if box.istriclinic:
+            d3 = minimum_image(xi_b[:, None, :] - pj[:, :, :3], box)
+            r2 = jnp.sum(d3 * d3, axis=-1)
+        else:
+            r2 = jnp.zeros(cand.shape, x.dtype)
+            for c in range(3):
+                dc = xi_b[:, c:c + 1] - pj[:, :, c]
+                if pmask[c]:
+                    dc = dc - ell[c] * jnp.round(dc / ell[c])
+                r2 = r2 + dc * dc
         ok = (r2 < cut2) & (cand != self_b[:, None]) & (cand < n)
         if cfg.exclude_bits:
             gj = pj[:, :, 3].astype(jnp.int32)

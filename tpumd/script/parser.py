@@ -203,24 +203,36 @@ class LammpsScript:
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
-        if style != "block":
+        if style not in ("block", "prism"):
             raise ScriptError(f"region style {style} not supported yet")
-        vals = [float(v) for v in a[2:8]]
-        # region defined in lattice units when a lattice exists (units lattice default)
-        if self.lattice is not None and "units" not in a[8:]:
+        nv = 6 if style == "block" else 9
+        vals = [float(v) for v in a[2:2 + nv]]
+        rest = a[2 + nv:]
+        # region defined in lattice units when a lattice exists
+        # (units lattice default)
+        if self.lattice is not None and "units" not in rest:
             sp = self.lattice.spacing
             lo = [vals[0] * sp[0], vals[2] * sp[1], vals[4] * sp[2]]
             hi = [vals[1] * sp[0], vals[3] * sp[1], vals[5] * sp[2]]
+            # xy displaces x per unit y etc (region_prism.cpp scaling)
+            tilt = ([vals[6] * sp[0], vals[7] * sp[0], vals[8] * sp[1]]
+                    if style == "prism" else None)
         else:
             lo = [vals[0], vals[2], vals[4]]
             hi = [vals[1], vals[3], vals[5]]
-        self.regions[name] = BlockRegion(lo, hi)
+            tilt = vals[6:9] if style == "prism" else None
+        if style == "prism":
+            from tpumd.core.region import PrismRegion
+            self.regions[name] = PrismRegion(lo, hi, tilt)
+        else:
+            self.regions[name] = BlockRegion(lo, hi)
 
     def cmd_create_box(self, a):
         ntypes = int(a[0])
         region = self.regions[a[1]]
         lo, hi = region.bounding_box()
         self.box = (lo, hi)
+        self._box_tilt = getattr(region, "tilt", None)
         sim = self._require_sim()
         sim.ntypes = ntypes
         sim.mass = np.zeros(ntypes + 1)
@@ -253,7 +265,14 @@ class LammpsScript:
             x = np.concatenate(self._atoms_x)
             t = np.concatenate(self._atoms_type)
             lo, hi = self.box
-            box = Box.orthogonal(np.asarray(lo), np.asarray(hi), dtype=self.dtype)
+            tilt = getattr(self, "_box_tilt", None)
+            periodic = tuple(tok == "p" for tok in sim.boundary)
+            if tilt is not None and np.any(np.asarray(tilt) != 0):
+                box = Box.triclinic(np.asarray(lo), np.asarray(hi), tilt,
+                                    dtype=self.dtype, periodic=periodic)
+            else:
+                box = Box.orthogonal(np.asarray(lo), np.asarray(hi),
+                                     dtype=self.dtype, periodic=periodic)
             v = np.zeros_like(x)
             sim.state = make_state(x, v, t, box, dtype=self.dtype)
 
@@ -808,8 +827,19 @@ class LammpsScript:
         sim.ntypes = d.natomtypes
         sim.mass = d.masses.copy()
         periodic = tuple(tok == "p" for tok in sim.boundary)
-        box = Box.orthogonal(d.box_lo, d.box_hi, dtype=self.dtype,
-                             periodic=periodic)
+        if d.tilt is not None and np.any(d.tilt != 0):
+            # the reference remaps every atom through lamda space at read
+            # time (Domain::remap, src/atom.cpp:1176) — a 1-ulp coordinate
+            # round trip that deterministic velocity hashes see; replicate
+            # with the exact h_inv arithmetic order (domain.cpp x2lamda)
+            d.x, shift = _triclinic_remap_np(
+                d.x, d.box_lo, d.box_hi, d.tilt, periodic)
+            d.image = d.image + shift
+            box = Box.triclinic(d.box_lo, d.box_hi, d.tilt,
+                                dtype=self.dtype, periodic=periodic)
+        else:
+            box = Box.orthogonal(d.box_lo, d.box_hi, dtype=self.dtype,
+                                 periodic=periodic)
         sim.state = make_state(d.x, d.v, d.types, box, q=d.q,
                                molecule=d.molecule, radius=d.radius,
                                rmass=d.rmass, omega=d.omega,
@@ -975,3 +1005,31 @@ class LammpsScript:
             sim.special_coul = np.array([1.0] + w)
         else:
             raise ScriptError(f"special_bonds {a[0]} not supported")
+
+
+def _triclinic_remap_np(x, lo, hi, tilt, periodic):
+    """Domain::remap for all atoms (host, numpy): x -> lamda (reference
+    h_inv order), wrap into [0,1), -> x (reference h order)."""
+    x = np.asarray(x, np.float64)
+    lo = np.asarray(lo, np.float64)
+    ell = np.asarray(hi, np.float64) - lo
+    xy, xz, yz = (float(t) for t in tilt)
+    lx, ly, lz = ell
+    hinv = [1.0 / lx, 1.0 / ly, 1.0 / lz,
+            -yz / (ly * lz), (yz * xy - ly * xz) / (lx * ly * lz),
+            -xy / (lx * ly)]
+    dd = x - lo
+    lam = np.stack([hinv[0] * dd[:, 0] + hinv[5] * dd[:, 1]
+                    + hinv[4] * dd[:, 2],
+                    hinv[1] * dd[:, 1] + hinv[3] * dd[:, 2],
+                    hinv[2] * dd[:, 2]], axis=1)
+    shift = np.zeros(lam.shape, np.int32)
+    for c in range(3):
+        if periodic[c]:
+            shift[:, c] = np.floor(lam[:, c]).astype(np.int32)
+            lam[:, c] -= shift[:, c]
+            lam[:, c] = np.maximum(lam[:, c], 0.0)
+    out = np.stack([lx * lam[:, 0] + xy * lam[:, 1] + xz * lam[:, 2] + lo[0],
+                    ly * lam[:, 1] + yz * lam[:, 2] + lo[1],
+                    lz * lam[:, 2] + lo[2]], axis=1)
+    return out, shift
