@@ -216,6 +216,10 @@ class Simulation:
         self._reset_box_host()
         if self.pair is not None:
             self.pair.init()
+            if getattr(self.pair, "tail_flag", False):
+                typ = np.asarray(jax.device_get(self.state.type))
+                counts = np.bincount(typ, minlength=self.ntypes + 1)
+                self.pair.compute_tails(counts.astype(np.float64))
             # granular effective-mass rule needs the frozen group's bit
             # (PairGranHookeHistory::init_style finds fix freeze)
             if getattr(self.pair, "is_granular", False):
@@ -701,9 +705,15 @@ class Simulation:
         t, vol, vir3 = float(vals_h[0]), float(vals_h[1]), float(vals_h[2])
         e = dict(zip(ekeys, vals_h[3:].tolist()))
         ke = computes.kinetic_energy(t, dof, u.boltz)
-        press = ((dof * u.boltz * t + vir3)
+        # long-range LJ tail corrections (Thermo::compute_evdwl,
+        # ComputePressure: ptail/volume added to each diagonal term)
+        etail = ptail = 0.0
+        if self.pair is not None and getattr(self.pair, "tail_flag", False):
+            etail = self.pair.etail / vol
+            ptail = self.dimension * self.pair.ptail / vol
+        press = ((dof * u.boltz * t + vir3 + ptail)
                  / (self.dimension * vol) * u.nktv2p)
-        epair = e["evdwl"] + e["ecoul"] + e["elong"]
+        epair = e["evdwl"] + etail + e["ecoul"] + e["elong"]
         emol = e["ebond"] + e["eangle"] + e["edihed"] + e["eimp"]
         pe = epair + emol
         norm = self.natoms if self.thermo_norm else 1

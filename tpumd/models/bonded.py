@@ -627,3 +627,133 @@ class ImproperHarmonic(ImproperStyle):
         ed = {self.energy_key: e} if eflag else None
         vp = [(vb1, f1), (vb2, f3), (vb3 + vb2, f4)] if vflag else None
         return [f1, f2, f3, f4], ed, vp, None
+
+
+@register_bonded("bond", "morse")
+class BondMorse(BondStyle):
+    """E = D (1 - exp(-a(r-r0)))^2 (src/MOLECULE/bond_morse.cpp)."""
+
+    name = "morse"
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.d0 = np.zeros(ntypes + 1)
+        self.alpha = np.zeros(ntypes + 1)
+        self.r0 = np.zeros(ntypes + 1)
+
+    def coeff(self, btype, d0, alpha, r0):
+        self.d0[btype] = d0
+        self.alpha[btype] = alpha
+        self.r0[btype] = r0
+
+    def bond_fn(self, r2, btype):
+        dt = r2.dtype
+        d0 = jnp.asarray(self.d0, dt)[btype]
+        al = jnp.asarray(self.alpha, dt)[btype]
+        r0 = jnp.asarray(self.r0, dt)[btype]
+        r = jnp.sqrt(r2)
+        ralpha = jnp.exp(-al * (r - r0))
+        fbond = jnp.where(r > 0, -2.0 * d0 * al * (1 - ralpha) * ralpha / r,
+                          0.0)
+        return fbond, d0 * (1 - ralpha) ** 2
+
+
+@register_bonded("bond", "gromos")
+class BondGromos(BondStyle):
+    """E = 0.25 K (r^2 - r0^2)^2 (src/MOLECULE/bond_gromos.cpp)."""
+
+    name = "gromos"
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+        self.r0 = np.zeros(ntypes + 1)
+
+    def coeff(self, btype, k, r0):
+        self.k[btype] = k
+        self.r0[btype] = r0
+
+    def bond_fn(self, r2, btype):
+        dt = r2.dtype
+        k = jnp.asarray(self.k, dt)[btype]
+        r0 = jnp.asarray(self.r0, dt)[btype]
+        dr = r2 - r0 * r0
+        return -2.0 * k * dr, 0.25 * k * dr * dr
+
+
+@register_bonded("angle", "cosine")
+class AngleCosine(AngleStyle):
+    """E = K (1 + cos theta) (src/MOLECULE/angle_cosine.cpp)."""
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+
+    def coeff(self, atype, k):
+        self.k[atype] = k
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        dt_ = xs[0].dtype
+        x1, x2, x3 = xs
+        d1 = _mi(x1 - x2, box)
+        d2 = _mi(x3 - x2, box)
+        rsq1 = jnp.sum(d1 * d1, -1)
+        rsq2 = jnp.sum(d2 * d2, -1)
+        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-30))
+        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-30))
+        k = jnp.asarray(self.k, dt_)[ttype]
+        c = jnp.clip(jnp.sum(d1 * d2, -1) / (r1 * r2), -1.0, 1.0)
+        e = k * (1.0 + c)
+        a = k
+        a11 = a * c / rsq1
+        a12 = -a / (r1 * r2)
+        a22 = a * c / rsq2
+        f1 = a11[..., None] * d1 + a12[..., None] * d2
+        f3 = a22[..., None] * d2 + a12[..., None] * d1
+        f2 = -(f1 + f3)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(d1, f1), (d2, f3)] if vflag else None
+        return [f1, f2, f3], ed, vp, None
+
+
+@register_bonded("angle", "cosine/squared")
+class AngleCosineSquared(AngleStyle):
+    """E = K (cos theta - cos theta0)^2
+    (src/MOLECULE/angle_cosine_squared.cpp)."""
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+        self.theta0 = np.zeros(ntypes + 1)
+
+    def coeff(self, atype, k, theta0_deg):
+        self.k[atype] = k
+        self.theta0[atype] = theta0_deg * np.pi / 180.0
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        dt_ = xs[0].dtype
+        x1, x2, x3 = xs
+        d1 = _mi(x1 - x2, box)
+        d2 = _mi(x3 - x2, box)
+        rsq1 = jnp.sum(d1 * d1, -1)
+        rsq2 = jnp.sum(d2 * d2, -1)
+        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-30))
+        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-30))
+        k = jnp.asarray(self.k, dt_)[ttype]
+        th0 = jnp.asarray(self.theta0, dt_)[ttype]
+        c = jnp.clip(jnp.sum(d1 * d2, -1) / (r1 * r2), -1.0, 1.0)
+        dcostheta = c - jnp.cos(th0)
+        tk = k * dcostheta
+        e = tk * dcostheta
+        a = 2.0 * tk
+        a11 = a * c / rsq1
+        a12 = -a / (r1 * r2)
+        a22 = a * c / rsq2
+        f1 = a11[..., None] * d1 + a12[..., None] * d2
+        f3 = a22[..., None] * d2 + a12[..., None] * d1
+        f2 = -(f1 + f3)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(d1, f1), (d2, f3)] if vflag else None
+        return [f1, f2, f3], ed, vp, None

@@ -16,6 +16,10 @@ from tpumd.models.registry import register_pair
 
 @register_pair("lj/cut")
 class PairLJCut(PairStyle):
+    tail_flag = False  # pair_modify tail yes
+    etail = 0.0
+    ptail = 0.0
+
     name = "lj/cut"
 
     def __init__(self, ntypes: int):
@@ -85,6 +89,29 @@ class PairLJCut(PairStyle):
             for a in (self.lj1, self.lj2, self.lj3, self.lj4,
                       self.offset, self.cutsq)
         )
+
+
+    def compute_tails(self, type_counts):
+        """Analytic LJ tail corrections (PairLJCut::init_one tail block):
+        etail_ij = 8 pi Ni Nj eps sig^6 (sig^6 - 3 rc^6) / (9 rc^9);
+        i != j pairs count twice (Pair::init, src/pair.cpp:278-284)."""
+        import numpy as np
+        self.etail = self.ptail = 0.0
+        if not self.tail_flag:
+            return
+        for i in range(1, self.ntypes + 1):
+            for j in range(i, self.ntypes + 1):
+                sig6 = self.sigma[i, j] ** 6
+                rc3 = self.cut[i, j] ** 3
+                rc6 = rc3 * rc3
+                rc9 = rc3 * rc6
+                pref = (8.0 * np.pi * type_counts[i] * type_counts[j]
+                        * self.epsilon[i, j] * sig6 / (9.0 * rc9))
+                e_ij = pref * (sig6 - 3.0 * rc6)
+                p_ij = 2.0 * pref * (2.0 * sig6 - 3.0 * rc6)
+                mult = 2.0 if i != j else 1.0
+                self.etail += mult * e_ij
+                self.ptail += mult * p_ij
 
     def pair_fn(self, r2, itype, jtype):
         if self.ntypes == 1:

@@ -431,6 +431,8 @@ class LammpsScript:
             pair.shift = kw["shift"] == "yes"
         if "mix" in kw:
             pair.mix = kw["mix"]
+        if "tail" in kw:
+            pair.tail_flag = kw["tail"] == "yes" 
 
     def cmd_neighbor(self, a):
         sim = self._require_sim()
@@ -594,6 +596,34 @@ class LammpsScript:
         elif style == "halt":
             from tpumd.md.fix_ave import FixHalt
             sim.fixes.append(FixHalt(args[0], args[1], args[2], args[3]))
+        elif style in ("wall/lj93", "wall/lj126", "wall/harmonic"):
+            from tpumd.md.fix_wall import (FixWallHarmonic, FixWallLJ126,
+                                           FixWallLJ93)
+            cls = {"wall/lj93": FixWallLJ93, "wall/lj126": FixWallLJ126,
+                   "wall/harmonic": FixWallHarmonic}[style]
+            walls = []
+            i = 0
+            while i < len(args):
+                face = args[i]
+                if face not in ("xlo", "xhi", "ylo", "yhi", "zlo", "zhi"):
+                    i += 2 if face == "units" else 1
+                    continue
+                walls.append((face, args[i + 1], float(args[i + 2]),
+                              float(args[i + 3]), float(args[i + 4])))
+                i += 5
+            sim.fixes.append(cls(walls))
+        elif style == "wall/reflect":
+            from tpumd.md.fix_wall import FixWallReflect
+            walls = []
+            i = 0
+            while i < len(args):
+                face = args[i]
+                if face in ("xlo", "xhi", "ylo", "yhi", "zlo", "zhi"):
+                    walls.append((face, args[i + 1]))
+                    i += 2
+                else:
+                    i += 1
+            sim.fixes.append(FixWallReflect(walls))
         elif style in ("recenter", "enforce2d", "balance"):
             pass  # harmless no-ops for now
         else:
