@@ -1,11 +1,14 @@
 """Energy minimization (minimize command).
 
 The reference offers cg/sd/fire/quickmin with linesearch
-(src/min_cg.cpp, src/min_fire.cpp).  Here the TPU-native choice is FIRE
-(fast inertial relaxation engine): it is a pure fixed-shape dynamical
-iteration — no data-dependent linesearch — so the whole minimization
-compiles to one lax.while_loop.  ``min_style cg/sd`` map to FIRE with a
-note until a linesearch variant lands.
+(src/min_cg.cpp:63-118, src/min_linesearch.cpp, src/min_fire.cpp).
+TPU-native implementations:
+
+- FIRE: pure fixed-shape dynamical iteration, one lax.while_loop.
+- cg / sd: Polak-Ribiere conjugate gradient (or steepest descent) with a
+  backtracking Armijo linesearch — the inner alpha search is itself a
+  while_loop of force/energy evaluations, so the whole minimization still
+  compiles to one nested while_loop (no host round trips per iteration).
 """
 
 from __future__ import annotations
@@ -94,6 +97,102 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
     from tpumd.md.verlet import eval_energies
     f, energies, virial, _ = eval_energies(s, neigh, ctx,
                                             consts=sim._consts)
+    sim._last_energies = energies
+    sim._last_virial = virial
+    return (bool(jax.device_get(done)), int(jax.device_get(it)),
+            float(jax.device_get(e0)), float(jax.device_get(e_final)))
+
+
+def minimize_cg(sim, etol: float, ftol: float, maxiter: int, maxeval: int,
+                style: str = "cg"):
+    """Conjugate-gradient (Polak-Ribiere) / steepest-descent minimization
+    with backtracking linesearch; compiled as one nested while_loop."""
+    ctx = sim._ctx
+    s, neigh, fstates, istep = sim._carry
+    dmax = 0.1  # Min::dmax default — max atom displacement per linesearch
+
+    def energy_and_force(s, neigh):
+        f, energies, _, _, _ = compute_forces(
+            s, neigh, ctx, eflag=True, vflag=False, consts=sim._consts)
+        return f, sum(energies.values())
+
+    def maybe_rebuild(s, neigh):
+        from tpumd.md.verlet import _rebuild, decide_rebuild
+        neigh = neigh.replace(ago=neigh.ago + 1)
+        do = decide_rebuild(s, neigh, ctx)
+        return jax.lax.cond(do, lambda sn: _rebuild(sn[0], sn[1], ctx),
+                            lambda sn: sn, (s, neigh))
+
+    f0, e0 = energy_and_force(s, neigh)
+    s = s.replace(f=f0)
+
+    def cond(c):
+        s, neigh, h, gsq_prev, it, e_prev, e_cur, done = c
+        return (~done) & (it < maxiter)
+
+    def body(c):
+        s, neigh, h, gsq_prev, it, e_prev, e_cur, done = c
+        f = s.f
+        gsq = jnp.sum(f * f)
+        if style == "sd":
+            h_new = f
+        else:
+            # Polak-Ribiere beta, reset to steepest descent when
+            # the direction turns uphill (MinCG::iterate)
+            beta = jnp.maximum(0.0, (gsq - gsq_prev) /
+                               jnp.maximum(gsq_prev, 1e-300))
+            h_new = f + beta * h
+            uphill = jnp.sum(h_new * f) <= 0.0
+            h_new = jnp.where(uphill, f, h_new)
+        hmax = jnp.max(jnp.abs(h_new))
+        alpha0 = jnp.minimum(1.0, dmax / jnp.maximum(hmax, 1e-300))
+
+        # backtracking Armijo linesearch (while_loop of energy evals)
+        def ls_cond(lc):
+            e_new, tries = lc[3], lc[4]
+            # accept on decrease (reference BACKTRACK reduces alpha until
+            # the energy drops, min_linesearch.cpp ALPHA_REDUCE)
+            return (~(e_new < e_cur + 1e-14 * jnp.abs(e_cur))) & (tries < 20)
+
+        def ls_body(lc):
+            alpha, s_t, n_t, e_new, tries = lc
+            alpha = alpha * 0.5
+            s2 = s.replace(x=s.x + alpha * h_new)
+            s2, n2 = maybe_rebuild(s2, neigh)
+            f2, e2 = energy_and_force(s2, n2)
+            return (alpha, s2.replace(f=f2), n2, e2, tries + 1)
+
+        s1 = s.replace(x=s.x + alpha0 * h_new)
+        s1, n1 = maybe_rebuild(s1, neigh)
+        f1, e1 = energy_and_force(s1, n1)
+        alpha, s_new, n_new, e_new, tries = jax.lax.while_loop(
+            ls_cond, ls_body, (alpha0, s1.replace(f=f1), n1, e1,
+                               jnp.zeros((), jnp.int32)))
+        fail = ~(e_new < e_cur + 1e-14 * jnp.abs(e_cur))
+
+        def sel(a, b):
+            return None if a is None else jnp.where(fail, a, b)
+
+        isnone = lambda v: v is None  # noqa: E731
+        s_out = jax.tree.map(sel, s.replace(f=f), s_new, is_leaf=isnone)
+        n_out = jax.tree.map(sel, neigh, n_new, is_leaf=isnone)
+        e_out = jnp.where(fail, e_cur, e_new)
+        fsq = jnp.sum(s_out.f ** 2)
+        e_ok = (etol > 0) & (jnp.abs(e_out - e_cur) <= etol * 0.5 * (
+            jnp.abs(e_out) + jnp.abs(e_cur) + 1e-30))
+        f_ok = (ftol > 0) & (fsq <= ftol * ftol)
+        done = e_ok | f_ok | fail
+        return (s_out, n_out, h_new, gsq, it + 1, e_cur, e_out, done)
+
+    carry = (s, neigh, f0, jnp.asarray(jnp.sum(f0 * f0)),
+             jnp.zeros((), jnp.int32), e0 + 1.0, e0, jnp.zeros((), bool))
+    carry = jax.jit(lambda c: jax.lax.while_loop(cond, body, c))(carry)
+    s, neigh, _, _, it, _, e_final, done = carry
+    sim._carry = (s, neigh, fstates, istep)
+    sim.state = s
+    from tpumd.md.verlet import eval_energies
+    f, energies, virial, _ = eval_energies(s, neigh, ctx,
+                                           consts=sim._consts)
     sim._last_energies = energies
     sim._last_virial = virial
     return (bool(jax.device_get(done)), int(jax.device_get(it)),

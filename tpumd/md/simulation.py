@@ -64,6 +64,7 @@ class Simulation:
         # per-dim boundary tokens (p periodic / f fixed / s shrink / m min)
         self.boundary = ("p", "p", "p")
         self._shrink_small = None  # SMALL * initial box lengths (static)
+        self.respa = None          # (loops, cats) from run_style respa
 
         self._ctx: StepContext | None = None
         self._carry = None
@@ -163,6 +164,7 @@ class Simulation:
             special_lj=sl, special_coul=sc,
             natoms=self.natoms, tdof=self.dof(),
             shrink=self._shrink_spec(),
+            respa=self.respa,
         )
 
     def _shrink_spec(self) -> tuple:
@@ -355,6 +357,19 @@ class Simulation:
                     fstates[i], virial.astype(s.x.dtype))
         self._carry = (s, neigh, tuple(fstates),
                        jnp.asarray(self.step, jnp.int32))
+        if self.respa is not None:
+            if any(not isinstance(fx, __import__(
+                    "tpumd.md.fixes", fromlist=["FixNVE"]).FixNVE)
+                   for fx in self.fixes):
+                raise ValueError("run_style respa currently integrates "
+                                 "NVE only")
+            from tpumd.md.verlet import compute_forces_cats
+            flev = tuple(compute_forces_cats(s, neigh, ctx, c, self._consts)
+                         for c in self.respa[1])
+            s = s.replace(f=sum(flev))
+            self._carry = self._carry[:1] + (neigh, tuple(fstates),
+                                             self._carry[3], flev)
+            self._carry = (s,) + self._carry[1:]
         self.state = s
         self._last_energies = energies
         self._last_virial = virial
@@ -440,12 +455,13 @@ class Simulation:
         target = self.step + nsteps
         # run begin/end steps for fixes with start->stop target ramps
         # (Update::beginstep/endstep, used by FixNH::compute_temp_target)
-        s0, neigh0, fstates0, istep0 = self._carry
+        s0, neigh0, fstates0, istep0 = self._carry[:4]
         fstates0 = list(fstates0)
         for i, fx in enumerate(self.fixes):
             if hasattr(fx, "pre_run"):
                 fstates0[i] = fx.pre_run(fstates0[i], self.step, target)
-        self._carry = (s0, neigh0, tuple(fstates0), istep0)
+        self._carry = (s0, neigh0, tuple(fstates0), istep0) \
+            + tuple(self._carry[4:])
         t0 = time.perf_counter()
         if not hasattr(self, "_cpu_start"):
             self._cpu_start = t0
@@ -469,14 +485,14 @@ class Simulation:
                     ctx = self._regrow(snapshot)
                     continue
                 break
-            s, neigh, fstates, istep = carry
+            s, neigh, fstates, istep = carry[:4]
             self._carry = carry
             self.state = s
             self.step = nxt
             if self._barostat_active():
                 self._revalidate_geometry()
                 ctx = self._ctx
-                s, neigh, fstates, istep = self._carry
+                s, neigh, fstates, istep = self._carry[:4]
                 self.state = s
             # carry keeps the in-step f/torque; this eval only refreshes
             # energies and the virial for thermo
@@ -573,7 +589,12 @@ class Simulation:
     def minimize(self, etol, ftol, maxiter, maxeval):
         if self._ctx is None:
             self.setup()
-        from tpumd.md.minimize import minimize as run_min
+        style = getattr(self, "min_style", "fire")
+        if style in ("cg", "sd"):
+            from tpumd.md.minimize import minimize_cg
+            run_min = lambda *a: minimize_cg(*a, style=style)  # noqa: E731
+        else:
+            from tpumd.md.minimize import minimize as run_min
         self._thermo_header()
         self._thermo_line()
         conv, niter, e0, e1 = run_min(self, etol, ftol, maxiter, maxeval)
@@ -591,7 +612,7 @@ class Simulation:
         """Re-derive the StepContext for the snapshot's current box and
         rebuild the neighbor structure in place (capacities/cell counts may
         have changed via overrides or box deformation)."""
-        s0, neigh0, fstates, istep = snapshot
+        s0, neigh0, fstates, istep = snapshot[:4]
         if self._ctx.is_cellgrid:
             s0 = cg.compact_state(s0, neigh0.valid, self.natoms)
             self.state = s0
@@ -624,6 +645,11 @@ class Simulation:
                 max_count=max_count, overflow=over, shear=shear)
         self._check_overflow(neigh)
         self._carry = (s0, neigh, fstates, istep)
+        if self.respa is not None:
+            from tpumd.md.verlet import compute_forces_cats
+            flev = tuple(compute_forces_cats(s0, neigh, ctx, c, self._consts)
+                         for c in self.respa[1])
+            self._carry = self._carry + (flev,)
         return ctx
 
     def _regrow(self, snapshot):
@@ -662,7 +688,7 @@ class Simulation:
         """Refresh forces/energies/virial after external state mutation."""
         if self._ctx is None:
             return
-        s, neigh, fstates, istep = self._carry
+        s, neigh, fstates, istep = self._carry[:4]
         f, energies, virial, torque = eval_energies(
             s, neigh, self._ctx, consts=self._consts)
         s = s.replace(f=f)
@@ -678,7 +704,7 @@ class Simulation:
 
     # ------------------------------------------------------------------ thermo
     def thermo_values(self) -> dict:
-        s, neigh, fstates, _ = self._carry
+        s, neigh, fstates, _ = self._carry[:4]
         u = self.units
         dof = self.dof()
         # one fused device computation + ONE host transfer (tunnel round

@@ -42,6 +42,10 @@ class StepContext:
     # shrink-wrapped boundaries: tuples (dim, shrink_lo, shrink_hi, small)
     # (Domain::reset_box, src/domain.cpp:431-460)
     shrink: tuple = ()
+    # rRESPA (src/respa.cpp): respa = (loops, cats) where loops[l] is the
+    # iteration count of level l inside level l+1 (outermost = 1) and
+    # cats[l] is the tuple of force categories evaluated at level l
+    respa: tuple | None = None
 
     def mass_per_atom(self, s: MDState):
         if s.rmass is not None:
@@ -288,7 +292,10 @@ def make_step_fn(ctx: StepContext, consts=None):
 
 @partial(jax.jit, static_argnames=("ctx", "nsteps"))
 def run_segment(carry, ctx: StepContext, nsteps: int, xs=None, consts=None):
-    step = make_step_fn(ctx, consts)
+    if ctx.respa is not None:
+        step = make_respa_step(ctx, consts)
+    else:
+        step = make_step_fn(ctx, consts)
     if xs is None:
         xs = tuple(None for _ in ctx.fixes)
     carry, _ = jax.lax.scan(step, carry, xs, length=nsteps)
@@ -307,3 +314,84 @@ def eval_energies(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
         s, neigh, ctx, eflag=True, vflag=True, shearupdate=False,
         consts=consts)
     return f, energies, virial, torque
+
+
+def compute_forces_cats(s, neigh, ctx, cats, consts=None):
+    """Partial force evaluation for a set of rRESPA level categories."""
+    f = jnp.zeros_like(s.x)
+    if "pair" in cats and ctx.pair is not None:
+        if ctx.is_cellgrid:
+            special = None
+            if s.special_tags is not None:
+                sc = s.special_codes
+                wl = ctx.special_lj
+                sw = jnp.where(sc == 1, wl[1],
+                               jnp.where(sc == 2, wl[2],
+                                         jnp.where(sc == 3, wl[3],
+                                                   1.0))).astype(s.x.dtype)
+            else:
+                sw = None
+            special = (None if sw is None
+                       else (s.tag, s.special_tags, sw))
+            fp, _, _, _ = ctx.pair.compute_cellgrid(
+                s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
+                False, False, q=s.q, special=special)
+        else:
+            fp, _, _, _ = ctx.pair.compute(
+                s.x, s.type, s.box, neigh.idx, neigh.sbits,
+                ctx.special_lj, ctx.special_coul, False, False, q=s.q)
+        f = f + fp
+    bconsts = consts if consts is not None else (None,) * len(ctx.bonded)
+    for style, bc in zip(ctx.bonded, bconsts):
+        if style.kind in cats:
+            fb, _, _ = style.compute(s, ctx, False, False, consts=bc)
+            f = f + fb
+    if "kspace" in cats and ctx.kspace is not None:
+        fk, _, _ = ctx.kspace.compute(s, False, False)
+        f = f + fk
+    return f
+
+
+def make_respa_step(ctx: StepContext, consts=None):
+    """One OUTER rRESPA step (Respa::recurse, src/respa.cpp): per-level
+    half kicks with per-level forces carried between steps; innermost
+    level drifts positions.  Unrolled statically over the (small) loop
+    factors.  v1 integrates with NVE only (fix hooks restricted)."""
+    loops, cats = ctx.respa
+    L = len(cats)
+    # step_respa (Respa::init): step[L-1] = dt, step[l] = step[l+1]/loop[l]
+    dt_lvl = [0.0] * L
+    dt_lvl[L - 1] = ctx.dt
+    for lv in range(L - 2, -1, -1):
+        dt_lvl[lv] = dt_lvl[lv + 1] / loops[lv]
+
+    def step(carry, xs):
+        s, neigh, fstates, istep, flev = carry
+        flev = list(flev)
+        # reneighbor decision once per outer step
+        neigh = neigh.replace(ago=neigh.ago + 1)
+        do_build = decide_rebuild(s, neigh, ctx)
+        s, neigh = jax.lax.cond(
+            do_build, lambda sn: _rebuild(sn[0], sn[1], ctx),
+            lambda sn: sn, (s, neigh))
+
+        m3 = ctx.mass_per_atom(s)[:, None]
+
+        def recurse(lvl, s, flev):
+            dtf = 0.5 * dt_lvl[lvl] * ctx.units.ftm2v
+            for _ in range(loops[lvl]):
+                s = s.replace(v=s.v + dtf * flev[lvl] / m3)
+                if lvl > 0:
+                    s, flev = recurse(lvl - 1, s, flev)
+                else:
+                    s = s.replace(x=s.x + dt_lvl[0] * s.v)
+                flev[lvl] = compute_forces_cats(s, neigh, ctx, cats[lvl],
+                                                consts)
+                s = s.replace(v=s.v + dtf * flev[lvl] / m3)
+            return s, flev
+
+        s, flev = recurse(L - 1, s, flev)
+        s = s.replace(f=sum(flev))
+        return (s, neigh, fstates, istep + 1, tuple(flev)), None
+
+    return step

@@ -61,6 +61,8 @@ class LammpsScript:
         self.pending_velocity = []
         self._units_name = "lj"
         self._data = None      # parsed data file (molecular systems)
+        self._history: list[str] = []   # raw executed lines (replica replay)
+        self._world_index = 0           # Universe partition index analog
 
     # -------------------------------------------------------------- plumbing
     def run_file(self, path: str):
@@ -100,6 +102,8 @@ class LammpsScript:
         if style in ("equal", "internal"):
             v = float(self.evaluate_variable(name))
             return repr(int(v)) if v == int(v) else repr(v)
+        if style == "world":
+            return value[self._world_index]
         return value
 
     @staticmethod
@@ -124,6 +128,7 @@ class LammpsScript:
         line = line.strip()
         if not line:
             return
+        self._history.append(line)
         # defer ${...} substitution inside fix print strings to runtime
         if not line.startswith("fix") or " print " not in line:
             line = self.substitute(line).strip()
@@ -148,6 +153,10 @@ class LammpsScript:
                 self.variables[name] = ("index", a[2])
         elif style in ("equal", "string", "atom", "internal"):
             self.variables[name] = (style, " ".join(a[2:]))
+        elif style == "world":
+            # per-partition values (src/variable.cpp WORLD); partition =
+            # replica index in the temper runner
+            self.variables[name] = ("world", a[2:])
         elif style == "loop":
             if name not in self.variables:
                 self.variables[name] = ("index", "1")
@@ -750,6 +759,66 @@ class LammpsScript:
                      tchain=tchain, pchain=pchain, mtk=mtk,
                      couple_iso=iso, **kw)
 
+    def cmd_run_style(self, a):
+        sim = self._require_sim()
+        if a[0] == "verlet":
+            sim.respa = None
+            return
+        if a[0] != "respa":
+            raise ScriptError(f"run_style {a[0]} not supported")
+        nlevels = int(a[1])
+        factors = [int(v) for v in a[2:2 + nlevels - 1]]
+        loops = tuple(factors) + (1,)
+        cats = [set() for _ in range(nlevels)]
+        kw = a[2 + nlevels - 1:]
+        assigned = set()
+        i = 0
+        while i < len(kw):
+            key, lvl = kw[i], int(kw[i + 1])
+            if key in ("bond", "angle", "dihedral", "improper", "pair",
+                       "kspace"):
+                cats[lvl - 1].add(key)
+                assigned.add(key)
+            elif key in ("inner", "middle", "outer"):
+                raise ScriptError("respa r-space splitting (inner/middle/"
+                                  "outer) not supported yet")
+            i += 2
+        # unassigned categories run at the outermost level (respa.cpp
+        # defaults collapse everything unspecified upward)
+        for key in ("bond", "angle", "dihedral", "improper", "pair",
+                    "kspace"):
+            if key not in assigned:
+                cats[-1].add(key)
+        sim.respa = (loops, tuple(tuple(sorted(c)) for c in cats))
+
+    def cmd_temper(self, a):
+        """temper N M temp fix-ID seed1 seed2 (src/REPLICA/temper.cpp):
+        spawn one replica per value of the 'world' variable and run
+        parallel tempering with configuration swaps."""
+        nsteps, nevery = int(a[0]), int(a[1])
+        worlds = [(k, v) for k, (st, v) in self.variables.items()
+                  if st == "world"]
+        if not worlds:
+            raise ScriptError("temper requires a world-style variable "
+                              "defining the replica temperatures")
+        temps = [float(v) for v in worlds[0][1]]
+        self._finalize_atoms()
+        sims = [self.sim]
+        self.sim.verbose = False
+        for i in range(1, len(temps)):
+            sc = LammpsScript(dtype=self.dtype, data_dir=self.data_dir)
+            sc._world_index = i
+            for line in self._history[:-1]:
+                sc.execute(line)
+            sc._finalize_atoms()
+            sc.sim.verbose = False
+            sims.append(sc.sim)
+        from tpumd.md.temper import temper as run_temper
+        self.temper_accepts = run_temper(
+            sims, temps, nsteps, nevery, int(a[4]), int(a[5]),
+            self.sim.units.boltz, log=self.sim._log)
+        self.replicas = sims
+
     def cmd_run(self, a):
         self._finalize_atoms()
         n = int(a[0])
@@ -762,7 +831,7 @@ class LammpsScript:
         self.sim.minimize(float(a[0]), float(a[1]), int(a[2]), int(a[3]))
 
     def cmd_min_style(self, a):
-        self._require_sim().min_style = a[0]  # all map to FIRE currently
+        self._require_sim().min_style = a[0]  # fire, cg, sd
 
     def cmd_min_modify(self, a):
         pass
