@@ -665,7 +665,9 @@ class Simulation:
         return self._rebuild_ctx(snapshot)
 
     def _barostat_active(self) -> bool:
-        return any(getattr(fx, "pstat", False) for fx in self.fixes)
+        return any(getattr(fx, "pstat", False)
+                   or getattr(fx, "box_change", False)
+                   for fx in self.fixes)
 
     def _revalidate_geometry(self):
         """Re-check the cell decomposition against the (possibly deformed)

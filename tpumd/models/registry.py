@@ -67,3 +67,4 @@ def _ensure_imports():
     import tpumd.models.pair_manybody  # noqa: F401
     import tpumd.models.pair_hybrid  # noqa: F401
     import tpumd.models.pair_gran  # noqa: F401
+    import tpumd.models.pair_table  # noqa: F401

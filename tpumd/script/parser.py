@@ -605,6 +605,32 @@ class LammpsScript:
         elif style == "halt":
             from tpumd.md.fix_ave import FixHalt
             sim.fixes.append(FixHalt(args[0], args[1], args[2], args[3]))
+        elif style == "deform":
+            from tpumd.md.fix_deform import FixDeform
+            nevery = int(args[0])
+            specs = {}
+            remap = "x"
+            i = 1
+            while i < len(args):
+                key = args[i]
+                if key in ("x", "y", "z"):
+                    d = "xyz".index(key)
+                    st = args[i + 1]
+                    nargs = {"final": 2, "delta": 2, "scale": 1, "vel": 1,
+                             "erate": 1, "trate": 1}.get(st)
+                    if nargs is None:
+                        raise ScriptError(f"deform style {st} not supported")
+                    specs[d] = (st,) + tuple(
+                        float(v) for v in args[i + 2:i + 2 + nargs])
+                    i += 2 + nargs
+                elif key == "remap":
+                    remap = args[i + 1]
+                    i += 2
+                elif key == "units":
+                    i += 2
+                else:
+                    raise ScriptError(f"deform keyword {key} not supported")
+            sim.fixes.append(FixDeform(nevery, specs, remap))
         elif style in ("wall/lj93", "wall/lj126", "wall/harmonic"):
             from tpumd.md.fix_wall import (FixWallHarmonic, FixWallLJ126,
                                            FixWallLJ93)
