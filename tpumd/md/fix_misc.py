@@ -79,25 +79,28 @@ class FixViscous(Fix):
 
 
 class FixMomentum(Fix):
-    """Zero linear momentum (src/fix_momentum.cpp).
-
-    Applied every step (the reference's every-N scheduling needs the step
-    counter in the fix hooks — planned); for drift removal the every-step
-    variant is physically equivalent.
-    """
+    """Zero linear momentum every N steps (src/fix_momentum.cpp)."""
 
     name = "momentum"
+    needs_step = True
 
     def __init__(self, every=1):
-        self.every = int(every)
+        self.every = max(int(every), 1)
+
+    def init_state(self, s, ctx):
+        return jnp.zeros((), jnp.int32)  # current step (set by the loop)
+
+    def set_step(self, fstate, istep):
+        return istep
 
     def end_of_step(self, s, fstate, ctx):
+        apply = (fstate % self.every) == 0
         m = ctx.mass_per_atom(s)
         valid = self.group_sel(s)
         mm = jnp.where(valid, m, 0.0)
         p = jnp.sum(mm[:, None] * s.v, axis=0)
         vcm = p / jnp.sum(mm)
-        v = jnp.where(valid[:, None], s.v - vcm[None, :], s.v)
+        v = jnp.where(apply & valid[:, None], s.v - vcm[None, :], s.v)
         return s.replace(v=v), fstate
 
 

@@ -113,6 +113,25 @@ class PairLJCut(PairStyle):
                 self.etail += mult * e_ij
                 self.ptail += mult * p_ij
 
+    def compute_cellgrid(self, x, type_, valid, box, cfg,
+                         eflag: bool, vflag: bool, q=None, special=None):
+        # fused Pallas kernel for the force-only hot path (single element,
+        # no special weighting, f32, TPU backend); energy/virial output
+        # steps and everything else take the XLA cell-grid path
+        import jax as _jax
+        if (not eflag and not vflag and special is None
+                and self.ntypes == 1 and x.dtype == jnp.float32
+                and cfg.nz >= 3 and cfg.ny >= 3 and cfg.nx >= 3
+                and _jax.default_backend() == "tpu"):
+            from tpumd.ops.pallas_lj import lj_cellgrid_forces_pallas
+            f = lj_cellgrid_forces_pallas(
+                x, valid, box, cfg,
+                float(self.lj1[1, 1]), float(self.lj2[1, 1]),
+                float(self.cutsq[1, 1]))
+            return f, None, None, None
+        return super().compute_cellgrid(x, type_, valid, box, cfg,
+                                        eflag, vflag, q=q, special=special)
+
     def pair_fn(self, r2, itype, jtype):
         if self.ntypes == 1:
             # scalar coefficients: no table gathers in the hot loop
