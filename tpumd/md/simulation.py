@@ -59,6 +59,7 @@ class Simulation:
         self.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
         self.thermo_multi = False      # thermo_style multi format
         self.thermo_norm = units == "lj"
+        self.lost_policy = "error"     # thermo_modify lost error/warn/ignore
         self.log_lines: list[str] = []
         self.dimension = 3
         # per-dim boundary tokens (p periodic / f fixed / s shrink / m min)
@@ -723,6 +724,32 @@ class Simulation:
              jnp.sum(self._last_virial[:3]).astype(dt_)]
             + [self._last_energies[k].astype(dt_) for k in ekeys])
         vals_h = np.asarray(jax.device_get(packed), dtype=np.float64)
+        # lost-atom accounting (Thermo::lost_check, src/thermo.cpp:382):
+        # with fixed non-periodic bounds atoms can leave the domain
+        if not all(s.box.periodic) and self.lost_policy != "ignore":
+            fixed_dims = [d for d, tok in enumerate(self.boundary)
+                          if tok[0] == "f" or (len(tok) > 1
+                                               and tok[1] == "f")]
+            if fixed_dims:
+                xh = np.asarray(jax.device_get(s.x), np.float64)
+                tagh = np.asarray(jax.device_get(s.tag))
+                lo = np.asarray(jax.device_get(s.box.lo), np.float64)
+                hi = np.asarray(jax.device_get(s.box.hi), np.float64)
+                lost = 0
+                for d, tok in enumerate(self.boundary):
+                    clo = tok[0]
+                    chi = tok[1] if len(tok) > 1 else tok[0]
+                    v = tagh > 0
+                    if clo == "f":
+                        lost += int(((xh[:, d] < lo[d]) & v).sum())
+                    if chi == "f":
+                        lost += int(((xh[:, d] > hi[d]) & v).sum())
+                if lost:
+                    msg = (f"Lost atoms: {lost} outside fixed boundaries "
+                           f"at step {self.step}")
+                    if self.lost_policy == "error":
+                        raise RuntimeError(msg)
+                    self._log("WARNING: " + msg)
         if not np.isfinite(vals_h).all():
             # the reference's lost-atom / unstable-simulation checks
             # (Thermo::lost_check, Domain "non-numeric atom coords")

@@ -495,6 +495,8 @@ class LammpsScript:
         kw = dict(zip(a[::2], a[1::2]))
         if "norm" in kw:
             self.sim.thermo_norm = kw["norm"] == "yes"
+        if "lost" in kw:
+            self.sim.lost_policy = kw["lost"]
 
     def cmd_fix(self, a):
         sim = self.sim
@@ -1051,6 +1053,36 @@ class LammpsScript:
 
     def cmd_improper_coeff(self, a):
         self._bonded_coeff("improper", a)
+
+    def cmd_displace_atoms(self, a):
+        """displace_atoms group move/random (src/displace_atoms.cpp);
+        random style uses the coordinate-hash RanPark reset, so results
+        are bit-exact with the reference."""
+        self._finalize_atoms()
+        sim = self.sim
+        sel = self._group_sel_np(a[0])
+        style = a[1]
+        scale = (self.lattice.spacing if self.lattice is not None
+                 and "units" not in a else np.ones(3))
+        if "units" in a and a[a.index("units") + 1] == "lattice" \
+                and self.lattice is not None:
+            scale = self.lattice.spacing
+        x = np.array(jax.device_get(sim.state.x), dtype=np.float64)
+        if style == "move":
+            d = np.array([float(v) for v in a[2:5]]) * scale
+            x[sel] += d
+        elif style == "random":
+            # RanPark::reset(seed, coord) hash + 5 warmups + 3 draws —
+            # the same vectorized machinery as velocity loop geom
+            from tpumd.utils.ranpark import geom_uniform_triplets
+            d = np.array([float(a[2]) * scale[0], float(a[3]) * scale[1],
+                          float(a[4]) * scale[2]])
+            u = geom_uniform_triplets(int(a[5]), x)
+            x[sel] += d[None, :] * 2.0 * (u[sel] - 0.5)
+        else:
+            raise ScriptError(f"displace_atoms style {style} not supported")
+        sim.state = sim.state.replace(x=jnp.asarray(x, dtype=self.dtype))
+        sim.invalidate_ctx()
 
     def cmd_replicate(self, a):
         """Tile the system nx x ny x nz (src/replicate.cpp): atoms shifted
