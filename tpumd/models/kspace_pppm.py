@@ -424,11 +424,14 @@ class PPPM:
         ey = jnp.fft.ifftn(-imag * fky * phi_k).real
         ez = jnp.fft.ifftn(-imag * fkz * phi_k).real
 
-        # fieldforce_ik: gather E at atom stencils
-        def gather(fgrid):
-            vals = fgrid[iz, iy, ix].reshape(q.shape[0], order, order, order)
-            return jnp.sum(vals * (wz * wy * wx).reshape(
-                q.shape[0], order, order, order), axis=(1, 2, 3))
+        # fieldforce_ik: ONE packed gather of (ex,ey,ez) at atom stencils
+        # (TPU gather cost is per row)
+        efield = jnp.stack([ex, ey, ez], axis=-1)   # (nz, ny, nx, 3)
+        evals = efield[iz, iy, ix].reshape(q.shape[0], order, order, order, 3)
+        w3 = (wz * wy * wx).reshape(q.shape[0], order, order, order)
+
+        def gather(comp):
+            return jnp.sum(evals[..., comp] * w3, axis=(1, 2, 3))
 
         # normalization: the reference stores charge *density* (q/delvol)
         # and uses unnormalized FFTs with one 1/ngrid factor; with numpy
@@ -438,7 +441,7 @@ class PPPM:
         qscale = self.qqrd2e  # * scale(=1)
         volume = ell[0] * ell[1] * ell[2]
         pref = q * (qscale / delvol)
-        f = jnp.stack([gather(ex), gather(ey), gather(ez)], axis=1)
+        f = jnp.stack([gather(0), gather(1), gather(2)], axis=1)
         f = f * pref[:, None]
 
         elong = None

@@ -29,27 +29,47 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
     Styles needing in-kernel special handling (e.g. coul/long's k-space
     exclusion correction) provide pair_fn_ex(r2, itype, jtype, w_lj,
     w_coul, qi, qj) instead, returning pre-weighted terms.
+
+    TPU layout notes: all j-side fields come from ONE packed gather
+    (gather cost is per row), the distance math runs on per-component
+    (N, K) arrays (a trailing dim of 3 tiles the VPU at 3/128), and the
+    4-entry special weight tables are resolved with selects, not gathers.
     """
     n, k = idx.shape
     self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
     mask = idx != self_idx
 
-    xj = x[idx]                      # (N, K, 3)
-    d = x[:, None, :] - xj
-    d = minimum_image(d, box)
-    r2 = jnp.sum(d * d, axis=-1)
+    cols = [x, type_.astype(x.dtype)[:, None]]
+    if q is not None:
+        cols.append(q[:, None])
+    packed = jnp.concatenate(cols, axis=1)
+    pj = packed[idx]                       # (N, K, 4|5)
+
+    d = [x[:, c:c + 1] - pj[..., c] for c in range(3)]
+    if box.istriclinic:
+        d3 = minimum_image(jnp.stack(d, axis=-1), box)
+        d = [d3[..., c] for c in range(3)]
+    else:
+        from tpumd.core.state import minimum_image_c
+        d = [minimum_image_c(d[c], box, c) for c in range(3)]
+    r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     r2safe = jnp.where(mask, r2, jnp.ones_like(r2))
 
     itype = type_[:, None]
-    jtype = type_[idx]
+    jtype = pj[..., 3].astype(jnp.int32)
+
+    def wsel(table):
+        t = jnp.asarray(table, x.dtype)
+        return jnp.where(sbits == 1, t[1],
+                         jnp.where(sbits == 2, t[2],
+                                   jnp.where(sbits == 3, t[3], t[0])))
+
     if pair_fn_ex is not None:
         one = jnp.ones_like(r2safe)
-        w_lj = (jnp.asarray(special_lj, dtype=x.dtype)[sbits]
-                if special_lj is not None else one)
-        w_c = (jnp.asarray(special_coul, dtype=x.dtype)[sbits]
-               if special_coul is not None else one)
+        w_lj = wsel(special_lj) if special_lj is not None else one
+        w_c = wsel(special_coul) if special_coul is not None else one
         qi = q[:, None] if q is not None else None
-        qj = q[idx] if q is not None else None
+        qj = pj[..., 4] if q is not None else None
         fpair, evdwl, ecoul, fcoul = pair_fn_ex(
             r2safe, itype, jtype, w_lj, w_c, qi, qj)
         if fcoul is not None:
@@ -57,12 +77,12 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
     else:
         fpair, evdwl, ecoul, fcoul = pair_fn(r2safe, itype, jtype)
         if special_lj is not None:
-            w_lj = jnp.asarray(special_lj, dtype=x.dtype)[sbits]
+            w_lj = wsel(special_lj)
             fpair = fpair * w_lj
             if eflag:
                 evdwl = evdwl * w_lj
         if fcoul is not None and special_coul is not None:
-            w_c = jnp.asarray(special_coul, dtype=x.dtype)[sbits]
+            w_c = wsel(special_coul)
             fcoul = fcoul * w_c
             if eflag:
                 ecoul = ecoul * w_c
@@ -70,7 +90,7 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
             fpair = fpair + fcoul
 
     fpair = jnp.where(mask, fpair, 0)
-    f = jnp.sum(d * fpair[:, :, None], axis=1)
+    f = jnp.stack([jnp.sum(d[c] * fpair, axis=1) for c in range(3)], axis=1)
 
     if eflag == "atom" or vflag == "atom":
         # per-atom tallies (ev_tally eatom/vatom, src/pair.cpp:1013): the
@@ -78,12 +98,12 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
         etot = evdwl + (ecoul if ecoul is not None else 0.0)
         eatom = 0.5 * jnp.sum(jnp.where(mask, etot, 0), axis=1)
         vatom = 0.5 * jnp.stack([
-            jnp.sum(fpair * d[:, :, 0] * d[:, :, 0], axis=1),
-            jnp.sum(fpair * d[:, :, 1] * d[:, :, 1], axis=1),
-            jnp.sum(fpair * d[:, :, 2] * d[:, :, 2], axis=1),
-            jnp.sum(fpair * d[:, :, 0] * d[:, :, 1], axis=1),
-            jnp.sum(fpair * d[:, :, 0] * d[:, :, 2], axis=1),
-            jnp.sum(fpair * d[:, :, 1] * d[:, :, 2], axis=1),
+            jnp.sum(fpair * d[0] * d[0], axis=1),
+            jnp.sum(fpair * d[1] * d[1], axis=1),
+            jnp.sum(fpair * d[2] * d[2], axis=1),
+            jnp.sum(fpair * d[0] * d[1], axis=1),
+            jnp.sum(fpair * d[0] * d[2], axis=1),
+            jnp.sum(fpair * d[1] * d[2], axis=1),
         ], axis=1)
         return f, eatom, vatom, None
 
@@ -96,11 +116,8 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
     if vflag:
         # order matches the reference: xx yy zz xy xz yz
         virial = 0.5 * jnp.stack([
-            jnp.sum(fpair * d[:, :, 0] * d[:, :, 0]),
-            jnp.sum(fpair * d[:, :, 1] * d[:, :, 1]),
-            jnp.sum(fpair * d[:, :, 2] * d[:, :, 2]),
-            jnp.sum(fpair * d[:, :, 0] * d[:, :, 1]),
-            jnp.sum(fpair * d[:, :, 0] * d[:, :, 2]),
-            jnp.sum(fpair * d[:, :, 1] * d[:, :, 2]),
+            jnp.sum(fpair * d[0] * d[0]), jnp.sum(fpair * d[1] * d[1]),
+            jnp.sum(fpair * d[2] * d[2]), jnp.sum(fpair * d[0] * d[1]),
+            jnp.sum(fpair * d[0] * d[2]), jnp.sum(fpair * d[1] * d[2]),
         ])
     return f, e_vdwl, e_coul, virial
