@@ -301,3 +301,136 @@ class PairZero(_SimpleTablePair):
     def pair_fn(self, r2, it, jt):
         z = jnp.zeros_like(r2)
         return z, z, None, None
+
+
+@register_pair("born")
+class PairBorn(_SimpleTablePair):
+    """Born-Mayer-Huggins: E = A e^{(sigma-r)/rho} - C/r^6 + D/r^8
+    (src/pair_born.cpp)."""
+
+    name = "born"
+    ncoeff = 5  # a, rho, sigma, c, d
+
+    def derive(self):
+        a, rho, sigma, c, d = self.params
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rhoinv = np.where(rho > 0, 1.0 / np.where(rho > 0, rho, 1), 0.0)
+        self.born1 = a * rhoinv
+        self.born2 = 6.0 * c
+        self.born3 = 8.0 * d
+        if self.shift:
+            rc = np.where(self.cut > 0, self.cut, 1.0)
+            self.offset = np.where(
+                self.cut > 0,
+                a * np.exp((sigma - rc) * rhoinv) - c / rc**6 + d / rc**8, 0)
+        else:
+            self.offset = np.zeros_like(a)
+
+    def pair_fn(self, r2, it, jt):
+        dt_ = r2.dtype
+        a = jnp.asarray(self.params[0], dt_)[it, jt]
+        rhoinv = jnp.asarray(
+            np.where(self.params[1] > 0, 1.0 /
+                     np.where(self.params[1] > 0, self.params[1], 1), 0.0),
+            dt_)[it, jt]
+        sigma = jnp.asarray(self.params[2], dt_)[it, jt]
+        c = jnp.asarray(self.params[3], dt_)[it, jt]
+        d = jnp.asarray(self.params[4], dt_)[it, jt]
+        b1 = jnp.asarray(self.born1, dt_)[it, jt]
+        b2 = jnp.asarray(self.born2, dt_)[it, jt]
+        b3 = jnp.asarray(self.born3, dt_)[it, jt]
+        off = jnp.asarray(self.offset, dt_)[it, jt]
+        inside = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        r = jnp.sqrt(r2)
+        r2inv = 1.0 / r2
+        r6inv = r2inv * r2inv * r2inv
+        rexp = jnp.exp((sigma - r) * rhoinv)
+        forceborn = b1 * r * rexp - b2 * r6inv + b3 * r6inv * r2inv
+        fpair = jnp.where(inside, forceborn * r2inv, 0.0)
+        e = jnp.where(inside,
+                      a * rexp - c * r6inv + d * r6inv * r2inv - off, 0.0)
+        return fpair, e, None, None
+
+
+@register_pair("lj/expand")
+class PairLJExpand(_SimpleTablePair):
+    """Shifted-core LJ: E = 4 eps[(s/(r-delta))^12 - (s/(r-delta))^6]
+    (src/pair_lj_expand.cpp)."""
+
+    name = "lj/expand"
+    ncoeff = 3  # epsilon, sigma, delta
+
+    def derive(self):
+        eps, sig, delta = self.params
+        # PairLJExpand::init_one returns cut + shift: the interaction
+        # range extends past the nominal cutoff by the core shift
+        self.cutsq = np.where(self.cut > 0, (self.cut + delta) ** 2, 0.0)
+        self.lj1 = 48.0 * eps * sig**12
+        self.lj2 = 24.0 * eps * sig**6
+        self.lj3 = 4.0 * eps * sig**12
+        self.lj4 = 4.0 * eps * sig**6
+        if self.shift:
+            rc = np.where(self.cut > 0, self.cut, 1.0)
+            sr6 = (sig / rc) ** 6
+            self.offset = np.where(self.cut > 0,
+                                   4.0 * eps * (sr6**2 - sr6), 0.0)
+        else:
+            self.offset = np.zeros_like(eps)
+
+    def pair_fn(self, r2, it, jt):
+        dt_ = r2.dtype
+        delta = jnp.asarray(self.params[2], dt_)[it, jt]
+        lj1 = jnp.asarray(self.lj1, dt_)[it, jt]
+        lj2 = jnp.asarray(self.lj2, dt_)[it, jt]
+        lj3 = jnp.asarray(self.lj3, dt_)[it, jt]
+        lj4 = jnp.asarray(self.lj4, dt_)[it, jt]
+        off = jnp.asarray(self.offset, dt_)[it, jt]
+        inside = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        r = jnp.sqrt(r2)
+        rshift = jnp.where(inside, r - delta, jnp.ones_like(r))
+        rshift = jnp.where(rshift > 0, rshift, 1e-10)
+        rinv2 = 1.0 / (rshift * rshift)
+        r6inv = rinv2 * rinv2 * rinv2
+        forcelj = r6inv * (lj1 * r6inv - lj2)
+        fpair = jnp.where(inside, forcelj / rshift / r, 0.0)
+        e = jnp.where(inside, r6inv * (lj3 * r6inv - lj4) - off, 0.0)
+        return fpair, e, None, None
+
+    @property
+    def max_cutoff(self):
+        return float((self.cut + self.params[2])[1:, 1:].max())
+
+
+@register_pair("coul/debye")
+class PairCoulDebye(_SimpleTablePair):
+    """Screened Coulomb: E = qq/r e^{-kappa r} (src/pair_coul_debye.cpp)."""
+
+    name = "coul/debye"
+    ncoeff = 0
+
+    def settings(self, kappa, cut_global):
+        self.kappa = float(kappa)
+        self.cut_global = float(cut_global)
+        self._setflag[1:, 1:] = True
+        self.cut[:, :] = self.cut_global
+
+    def coeff(self, ilo, ihi, jlo, jhi, *vals):
+        cut = float(vals[0]) if vals else self.cut_global
+        for i in range(ilo, ihi + 1):
+            for j in range(max(jlo, i), jhi + 1):
+                self.cut[i, j] = self.cut[j, i] = cut
+                self._setflag[i, j] = True
+
+    def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
+        dt_ = r2.dtype
+        qqrd2e = self.units.qqr2e
+        inside = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        r = jnp.sqrt(r2)
+        rinv = 1.0 / r
+        screening = jnp.exp(-self.kappa * r)
+        forcecoul = qqrd2e * qi * qj * screening * (self.kappa + rinv)
+        fpair = jnp.where(inside, w_coul * forcecoul * rinv * rinv, 0.0)
+        ecoul = jnp.where(inside,
+                          w_coul * qqrd2e * qi * qj * rinv * screening, 0.0)
+        zero = jnp.zeros_like(fpair)
+        return fpair, zero, ecoul, None

@@ -268,6 +268,43 @@ class LammpsScript:
         else:
             sim.mass[int(a[0])] = float(a[1])
 
+    def cmd_set(self, a):
+        """set group/type/region selector keyword values (src/set.cpp
+        subset: charge, type)."""
+        self._finalize_atoms()
+        sim = self.sim
+        style, ident = a[0], a[1]
+        if style == "group":
+            sel = self._group_sel_np(ident)
+        elif style == "type":
+            typ = np.asarray(jax.device_get(sim.state.type))
+            sel = typ == int(ident)
+        elif style == "region":
+            x = np.asarray(jax.device_get(sim.state.x), np.float64)
+            sel = self.regions[ident].inside(x)
+        else:
+            raise ScriptError(f"set style {style} not supported")
+        i = 2
+        while i < len(a):
+            key = a[i]
+            if key == "charge":
+                q = (np.zeros(sim.state.x.shape[0])
+                     if sim.state.q is None
+                     else np.array(jax.device_get(sim.state.q), np.float64))
+                q[sel] = float(a[i + 1])
+                sim.state = sim.state.replace(
+                    q=jnp.asarray(q, dtype=self.dtype))
+                i += 2
+            elif key == "type":
+                t = np.array(jax.device_get(sim.state.type))
+                t[sel] = int(a[i + 1])
+                sim.state = sim.state.replace(
+                    type=jnp.asarray(t, dtype=jnp.int32))
+                i += 2
+            else:
+                raise ScriptError(f"set keyword {key} not supported")
+        sim.invalidate_ctx()
+
     def _finalize_atoms(self):
         sim = self.sim
         if sim.state is None:
@@ -283,7 +320,9 @@ class LammpsScript:
                 box = Box.orthogonal(np.asarray(lo), np.asarray(hi),
                                      dtype=self.dtype, periodic=periodic)
             v = np.zeros_like(x)
-            sim.state = make_state(x, v, t, box, dtype=self.dtype)
+            q = (np.zeros(len(x))
+                 if self.atom_style in ("charge", "full") else None)
+            sim.state = make_state(x, v, t, box, q=q, dtype=self.dtype)
 
     def _group_sel_np(self, group: str) -> np.ndarray:
         """Boolean (N,) selector for a named group (host side)."""
