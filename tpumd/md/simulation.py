@@ -514,6 +514,10 @@ class Simulation:
                 ev = getattr(fx, "host_every", 0)
                 if ev and self.step % ev == 0:
                     fx.host_end_of_step(self)
+            if self._ctx is None:
+                # a host fix changed the atom count/styles: re-setup
+                self.setup()
+                ctx = self._ctx
             if getattr(self, "_halt", None):
                 self._log(self._halt)
                 break

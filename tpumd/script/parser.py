@@ -646,6 +646,35 @@ class LammpsScript:
         elif style == "halt":
             from tpumd.md.fix_ave import FixHalt
             sim.fixes.append(FixHalt(args[0], args[1], args[2], args[3]))
+        elif style == "deposit":
+            from tpumd.md.fix_particle import FixDeposit
+            kw = {}
+            base = args[:4]
+            i = 4
+            region = None
+            while i < len(args):
+                key = args[i]
+                if key == "region":
+                    region = self.regions[args[i + 1]]; i += 2
+                elif key in ("vx", "vy", "vz"):
+                    kw[key] = (float(args[i + 1]), float(args[i + 2]))
+                    i += 3
+                elif key == "near":
+                    kw["near"] = float(args[i + 1]); i += 2
+                elif key == "attempt":
+                    kw["maxattempt"] = int(args[i + 1]); i += 2
+                elif key == "units":
+                    i += 2
+                else:
+                    raise ScriptError(f"deposit keyword {key} unsupported")
+            if region is None:
+                raise ScriptError("fix deposit requires a region")
+            sim.fixes.append(FixDeposit(base[0], base[1], base[2], base[3],
+                                        region, **kw))
+        elif style == "evaporate":
+            from tpumd.md.fix_particle import FixEvaporate
+            region = self.regions[args[2]]
+            sim.fixes.append(FixEvaporate(args[0], args[1], region, args[3]))
         elif style == "deform":
             from tpumd.md.fix_deform import FixDeform
             nevery = int(args[0])
