@@ -32,6 +32,11 @@ class Fix:
     def init_state(self, s, ctx):
         return ()
 
+    def virial_contrib(self, fstate):
+        """Virial 6-vector this fix adds (fixes with contributes_virial);
+        default: the fstate itself is the virial (e.g. shake)."""
+        return fstate
+
     def segment_inputs(self, nsteps: int, ctx, state):
         """Optional host-generated per-step inputs (stacked over nsteps)."""
         return None

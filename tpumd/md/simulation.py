@@ -351,7 +351,7 @@ class Simulation:
             s, fstates[i] = hook(
                 s, fstates[i], ctx, None if xin is None else xin[0])
             if getattr(fx, "contributes_virial", False):
-                virial = virial + fstates[i]
+                virial = virial + fx.virial_contrib(fstates[i])
         for i, fx in enumerate(self.fixes):
             if getattr(fx, "needs_virial", False):
                 fstates[i] = fx.save_virial(
@@ -423,6 +423,7 @@ class Simulation:
     _fstate_stash: dict = {}
 
     def _init_fix_state(self, fx, s, ctx):
+        fx._sim = self          # host-side back-ref (setup-time only)
         fresh = fx.init_state(s, ctx)
         stashed = self._fstate_stash.get(id(fx))
         if stashed is not None:
@@ -501,7 +502,7 @@ class Simulation:
                                                    consts=self._consts)
             for i, fx in enumerate(self.fixes):
                 if getattr(fx, "contributes_virial", False):
-                    virial = virial + fstates[i]
+                    virial = virial + fx.virial_contrib(fstates[i])
             self._last_energies = energies
             self._last_virial = virial
             if self.step == target or (self.thermo_every > 0
@@ -705,7 +706,7 @@ class Simulation:
         self.state = s
         for i, fx in enumerate(self.fixes):
             if getattr(fx, "contributes_virial", False):
-                virial = virial + fstates[i]
+                virial = virial + fx.virial_contrib(fstates[i])
         self._last_energies = energies
         self._last_virial = virial
 

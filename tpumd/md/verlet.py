@@ -274,7 +274,7 @@ def make_step_fn(ctx: StepContext, consts=None):
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])
             if need_virial and getattr(fx, "contributes_virial", False):
-                virial = virial + fstates[i]
+                virial = virial + fx.virial_contrib(fstates[i])
 
         if need_virial:
             for i, fx in enumerate(ctx.fixes):

@@ -574,6 +574,16 @@ class LammpsScript:
         elif style == "shake":
             from tpumd.md.fix_shake import FixShake
             sim.fixes.append(FixShake.parse(args))
+        elif style in ("rigid", "rigid/nve"):
+            from tpumd.md.fix_rigid import FixRigid
+            bstyle = args[0]
+            groups = []
+            if bstyle == "group":
+                n = int(args[1])
+                groups = list(args[2:2 + n])
+            elif bstyle not in ("single", "molecule"):
+                raise ScriptError(f"fix rigid style {bstyle!r} unsupported")
+            sim.fixes.append(FixRigid(style=bstyle, groups=groups))
         elif style == "setforce":
             from tpumd.md.fix_misc import FixSetForce
             vals = [None if v == "NULL" else float(v) for v in args[:3]]
