@@ -13,10 +13,11 @@ from tpumd.script.parser import LammpsScript
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def run_case(name, tmpdir=None):
+def run_case(name, tmpdir=None, mode=None):
     """Parse the fixture deck VERBATIM (velocity/dump/dump_modify included);
     run in a scratch dir so the produced dump doesn't clobber the golden
-    dump.water fixture."""
+    dump.water fixture.  mode: force a neighbor engine ("cellgrid" runs
+    the same deck on the roll-based grid kernel)."""
     import shutil
     import tempfile
     d = os.path.join(GOLDEN, name)
@@ -25,7 +26,14 @@ def run_case(name, tmpdir=None):
     script = LammpsScript(data_dir=tmpdir)
     with open(os.path.join(d, "in.test")) as fh:
         deck = fh.read()
-    script.run_string(deck)
+    if mode is not None:
+        pre, runline = deck.rsplit("\nrun", 1)
+        script.run_string(pre)
+        script._finalize_atoms()
+        script.sim.neighbor_mode = mode
+        script.run_string("run" + runline)
+    else:
+        script.run_string(deck)
     thermo = np.loadtxt(os.path.join(d, "thermo.csv"))
     return script.sim, thermo, os.path.join(tmpdir, "dump.water"), d
 
@@ -47,9 +55,16 @@ def _parse_dump(path):
     return out
 
 
-@pytest.mark.parametrize("name", ["water_nve", "water_shake", "water_npt"])
-def test_water_thermo(name):
-    sim, ref, dump_path, fixture_dir = run_case(name)
+@pytest.mark.parametrize("name,mode", [
+    ("water_nve", None), ("water_shake", None), ("water_npt", None),
+    # the same decks on the roll-based cell-grid engine: CHARMM pair with
+    # in-kernel special weights + coul/long exclusion correction, PPPM on
+    # the padded state, SHAKE clusters in tag space, NPT box remaps
+    ("water_nve", "cellgrid"), ("water_shake", "cellgrid"),
+    ("water_npt", "cellgrid"),
+])
+def test_water_thermo(name, mode):
+    sim, ref, dump_path, fixture_dir = run_case(name, mode=mode)
     # per-atom force parity against the reference binary's dump
     ours = _parse_dump(dump_path)
     theirs = _parse_dump(os.path.join(fixture_dir, "dump.water"))

@@ -57,10 +57,21 @@ class FixShake(Fix):
 
     # ------------------------------------------------------------- build
     def build_clusters(self, sim, row_of_tag):
-        """Identify constraint clusters (FixShake::find_clusters)."""
+        """Identify constraint clusters (FixShake::find_clusters).
+
+        row_of_tag=None (cell-grid engine): cluster indices are stored in
+        TAG space (tag-1) and mapped to grid slots per step in _apply —
+        stable under the grid's atom re-permutations, same scheme as the
+        bonded incidence lists."""
+        import jax as _jax
         bonds = sim.topology.get("bond")
         if bonds is None:
             raise ValueError("fix shake requires bonds")
+        self._tagspace = row_of_tag is None
+        if self._tagspace:
+            tags_np = np.asarray(_jax.device_get(sim.state.tag))
+            row_of_tag = np.zeros(int(tags_np.max()) + 1, dtype=np.int64)
+            row_of_tag[tags_np[tags_np > 0]] = np.nonzero(tags_np > 0)[0]
         angles = sim.topology.get("angle")
         mass = sim.mass
         types = np.asarray(jax.device_get(sim.state.type))
@@ -143,6 +154,12 @@ class FixShake(Fix):
         self._c3 = np.asarray(c3, dtype=np.int64).reshape(-1, 5)
         self._c4 = np.asarray(c4, dtype=np.int64).reshape(-1, 7)
         self._c3a = np.asarray(c3a, dtype=np.int64).reshape(-1, 6)
+        if self._tagspace:
+            # store atom columns as tag-1 (mapped to slots per step)
+            for arr, nat in ((self._c2, 2), (self._c3, 3), (self._c4, 4),
+                             (self._c3a, 3)):
+                if len(arr):
+                    arr[:, :nat] = tags_np[arr[:, :nat]] - 1
         self._bond_dist = bond_dist
         if len(c3a):
             d01 = bond_dist[self._c3a[:, 3]]
@@ -175,6 +192,17 @@ class FixShake(Fix):
         dtv = ctx.dt
         m = ctx.mass_per_atom(s)
         invm = 1.0 / m
+        if getattr(self, "_tagspace", False):
+            # tag-1 cluster indices -> current grid slots (one small
+            # scatter, same per-step map as the bonded incidence path)
+            npad = s.x.shape[0]
+            n = ctx.natoms
+            tgt = jnp.where(s.tag > 0, s.tag - 1, n)
+            slotmap = jnp.zeros((n,), jnp.int32).at[tgt].set(
+                jnp.arange(npad, dtype=jnp.int32), mode="drop")
+            remap = lambda a: slotmap[jnp.asarray(a)]  # noqa: E731
+        else:
+            remap = jnp.asarray
         # unconstrained update positions
         xshake = s.x + dtv * s.v + (dtfsq * invm)[:, None] * s.f
         f = s.f
@@ -196,8 +224,8 @@ class FixShake(Fix):
 
         # ---- 2-atom clusters (analytic) --------------------------------
         if len(self._c2):
-            i0 = jnp.asarray(self._c2[:, 0])
-            i1 = jnp.asarray(self._c2[:, 1])
+            i0 = remap(self._c2[:, 0])
+            i1 = remap(self._c2[:, 1])
             bond = jnp.asarray(self._bond_dist[self._c2[:, 2]], dt_)
             r01 = dvec(s.x[i0], s.x[i1])
             s01 = dvec(xshake[i0], xshake[i1])
@@ -220,7 +248,7 @@ class FixShake(Fix):
         # ---- 3-atom, two bonds (iterative 2x2) -------------------------
         if len(self._c3):
             f, virial = self._solve3(s, xshake, f, virial, invm, dtfsq,
-                                     self._c3[:, :3],
+                                     remap(self._c3[:, :3]),
                                      self._bond_dist[self._c3[:, 3]],
                                      self._bond_dist[self._c3[:, 4]],
                                      dvec, vtally)
@@ -229,7 +257,7 @@ class FixShake(Fix):
         if len(self._c3a):
             f, virial = self._solve3angle(
                 s, xshake, f, virial, invm, dtfsq,
-                self._c3a[:, :3],
+                remap(self._c3a[:, :3]),
                 self._bond_dist[self._c3a[:, 3]],
                 self._bond_dist[self._c3a[:, 4]],
                 self._angle_dist, dvec, vtally)
@@ -237,7 +265,7 @@ class FixShake(Fix):
         # ---- 4-atom, three bonds (iterative 3x3) -----------------------
         if len(self._c4):
             f, virial = self._solve4(s, xshake, f, virial, invm, dtfsq,
-                                     self._c4[:, :4],
+                                     remap(self._c4[:, :4]),
                                      self._bond_dist[self._c4[:, 4]],
                                      self._bond_dist[self._c4[:, 5]],
                                      self._bond_dist[self._c4[:, 6]],

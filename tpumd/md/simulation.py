@@ -106,14 +106,12 @@ class Simulation:
     def _resolve_mode(self) -> str:
         if self.neighbor_mode != "auto":
             return self.neighbor_mode
-        # special weighting rides the grid kernel only for styles without
-        # an in-kernel coul exclusion correction (pair_fn_ex)
-        special_ok = (self.special_tags is None
-                      or getattr(self.pair, "pair_fn_ex", None) is None)
+        # styles with an in-kernel coul exclusion correction (pair_fn_ex)
+        # need per-pair charges in the grid kernel
+        special_ok = (getattr(self.pair, "pair_fn_ex", None) is None
+                      or self.state.q is not None)
         eligible = (
-            self.kspace is None and self.pair is not None
-            and not any(getattr(fx, "name", "") == "shake"
-                        for fx in self.fixes)
+            self.pair is not None
             and getattr(self.pair, "supports_cellgrid", False)
             and special_ok
             and all(self.state.box.periodic)
@@ -248,9 +246,15 @@ class Simulation:
             sc_np = np.asarray(self.special_codes, np.int32)
             if mode == "cellgrid" and self.special_lj is not None:
                 # grid kernel pays per entry per candidate: drop entries
-                # whose weight is exactly 1 (no-op pairs)
+                # whose weight is exactly 1 (no-op pairs); styles with an
+                # in-kernel coul correction need coul-weighted entries too
                 w = np.asarray(self.special_lj)[sc_np]
                 keep = (st_np > 0) & (w != 1.0)
+                if (self.special_coul is not None
+                        and getattr(self.pair, "pair_fn_ex", None)
+                        is not None):
+                    wc = np.asarray(self.special_coul)[sc_np]
+                    keep = (st_np > 0) & ((w != 1.0) | (wc != 1.0))
                 smax = max(int(keep.sum(1).max()), 1)
                 order = np.argsort(~keep, axis=1, kind="stable")[:, :smax]
                 kept = np.take_along_axis(keep, order, 1)

@@ -58,6 +58,26 @@ class StepContext:
         return isinstance(self.neigh_cfg, cg.CellGridConfig)
 
 
+def _cellgrid_special(s, ctx):
+    """In-kernel special tuple (tag, stags, w_lj, w_coul) for the grid
+    kernel: weights from codes via selects (a 4-entry gather would
+    dominate); entries with both weights 1 were filtered at setup."""
+    if s.special_tags is None:
+        return None
+
+    def codes_to_w(table):
+        sc = s.special_codes
+        return jnp.where(
+            sc == 1, table[1],
+            jnp.where(sc == 2, table[2],
+                      jnp.where(sc == 3, table[3], 1.0))).astype(s.x.dtype)
+
+    sw = codes_to_w(ctx.special_lj)
+    swc = (codes_to_w(ctx.special_coul)
+           if ctx.special_coul is not None else sw)
+    return (s.tag, s.special_tags, sw, swc)
+
+
 def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                    eflag: bool, vflag: bool, shearupdate: bool = False,
                    consts=None):
@@ -83,18 +103,7 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             neigh = neigh.replace(shear=shear_new)
     elif ctx.pair is not None:
         if ctx.is_cellgrid:
-            special = None
-            if s.special_tags is not None:
-                # weights from codes via selects (a 4-entry gather would
-                # dominate); entries with weight 1 were filtered at setup
-                sc = s.special_codes
-                wl = ctx.special_lj
-                sw = jnp.where(
-                    sc == 1, wl[1],
-                    jnp.where(sc == 2, wl[2],
-                              jnp.where(sc == 3, wl[3],
-                                        1.0))).astype(s.x.dtype)
-                special = (s.tag, s.special_tags, sw)
+            special = _cellgrid_special(s, ctx)
             fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
                 s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
                 eflag, vflag, q=s.q, special=special)
@@ -321,18 +330,7 @@ def compute_forces_cats(s, neigh, ctx, cats, consts=None):
     f = jnp.zeros_like(s.x)
     if "pair" in cats and ctx.pair is not None:
         if ctx.is_cellgrid:
-            special = None
-            if s.special_tags is not None:
-                sc = s.special_codes
-                wl = ctx.special_lj
-                sw = jnp.where(sc == 1, wl[1],
-                               jnp.where(sc == 2, wl[2],
-                                         jnp.where(sc == 3, wl[3],
-                                                   1.0))).astype(s.x.dtype)
-            else:
-                sw = None
-            special = (None if sw is None
-                       else (s.tag, s.special_tags, sw))
+            special = _cellgrid_special(s, ctx)
             fp, _, _, _ = ctx.pair.compute_cellgrid(
                 s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
                 False, False, q=s.q, special=special)

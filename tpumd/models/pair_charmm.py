@@ -26,7 +26,7 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
 @register_pair("lj/charmm/coul/long")
 class PairLJCharmmCoulLong(PairStyle):
     name = "lj/charmm/coul/long"
-    supports_cellgrid = False
+    supports_cellgrid = True
 
     def __init__(self, ntypes: int):
         super().__init__(ntypes)

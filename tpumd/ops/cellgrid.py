@@ -169,7 +169,11 @@ def pad_state(state: MDState, capacity: int) -> MDState:
 
 
 def _offs(n: int):
-    return (-1, 0, 1) if n >= 3 else ((0, -1) if n == 2 else (0,))
+    """Stencil offsets along one axis.  n == 2 still needs BOTH ±1: the
+    other cell has two periodic images (direct and wrapped) and either
+    can hold in-range pairs; the rolls produce the same array but with
+    different wrap corrections."""
+    return (-1, 0, 1) if n >= 2 else (0,)
 
 
 def _roll_nbr(a, o: int, axis: int, corr):
@@ -197,7 +201,7 @@ def compact_state(state: MDState, valid, natoms: int) -> MDState:
 
 def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
                        pair_fn, eflag: bool, vflag: bool,
-                       special=None):
+                       special=None, q=None, pair_fn_ex=None):
     """Forces/energy/virial via rolled dense cell-pair blocks.
 
     The x AND y stencil offsets are folded into one (up to) 9*cap-wide
@@ -206,12 +210,19 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     at small cap tiles lanes at ~30%).  Periodic wrap is handled by
     per-cell coordinate corrections at roll time.
 
-    special: optional (tag (Np,), special_tags (Np,S), special_w (Np,S))
-    — 1-2/1-3/1-4 pair weighting resolved in-kernel by comparing each
-    candidate's rolled tag against the i slot's special list; entries
-    with weight 1 should be pre-filtered out (the grid analog of the
-    matrix path's sbits; reference SBBITS packing,
-    src/npair_half_bin_newton.cpp:114).  w = 1 + sum_s hit_s*(w_s - 1).
+    special: optional (tag (Np,), special_tags (Np,S), w_lj (Np,S),
+    w_coul (Np,S)) — 1-2/1-3/1-4 pair weighting resolved in-kernel by
+    comparing each candidate's rolled tag against the i slot's special
+    list; entries where BOTH weights are 1 should be pre-filtered out
+    (the grid analog of the matrix path's sbits; reference SBBITS
+    packing, src/npair_half_bin_newton.cpp:114).
+    w = 1 + sum_s hit_s*(w_s - 1).
+
+    q/pair_fn_ex: charged styles with an in-kernel special correction
+    (e.g. coul/long's k-space exclusion term, src/pair_lj_charmm_coul_
+    long.cpp:120) get per-pair charges and both weight planes passed to
+    ``pair_fn_ex(r2, ti, tj, w_lj, w_coul, qi, qj)`` which returns
+    pre-weighted (fpair, evdwl, ecoul, fcoul).
     """
     cap = cfg.cap
     gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
@@ -242,12 +253,17 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     trow = xyrow(tg, None, None)
     vrow = xyrow(vg, None, None)
     rowlen = len(xoffs) * len(yoffs) * cap
+    if q is not None:
+        qg = q.reshape(gshape)
+        qrow = xyrow(qg, None, None)
     if special is not None:
-        atag, stags, sweights = special
+        atag, stags, sw_lj_in, sw_coul_in = special
         tagrow = xyrow(atag.reshape(gshape), None, None)
         S = stags.shape[1]
         stags_g = stags.reshape(gshape + (S,))
-        sw_g = sweights.reshape(gshape + (S,))
+        sw_g = sw_lj_in.reshape(gshape + (S,))
+        swc_g = (None if sw_coul_in is None
+                 else sw_coul_in.reshape(gshape + (S,)))
 
     # self-exclusion: in the zero shift, slot j == own slot within the
     # (ox=0, oy=0) segment of the row
@@ -280,20 +296,44 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
             mask = mask & not_self
         r2 = jnp.where(mask, r2, jnp.ones_like(r2))
 
-        fp, e, ec, fcoul = pair_fn(
-            r2, tg[..., :, None], tj[..., None, :])
-        if fcoul is not None:
-            fp = fp + fcoul
-        if special is not None:
-            tagj = roll2(tagrow, None, None)
-            w = jnp.ones(mask.shape, dtype)
-            for si in range(S):
-                sti = stags_g[..., :, si:si + 1]       # (..., cap, 1)
-                hit = (sti > 0) & (sti == tagj[..., None, :])
-                w = w + jnp.where(hit, sw_g[..., :, si:si + 1] - 1.0, 0.0)
-            fp = fp * w
-            if eflag:
-                e = e * w
+        if pair_fn_ex is not None:
+            one = jnp.ones(mask.shape, dtype)
+            w_lj = w_coul = one
+            if special is not None:
+                tagj = roll2(tagrow, None, None)
+                w_lj = w_coul = None
+                for si in range(S):
+                    sti = stags_g[..., :, si:si + 1]   # (..., cap, 1)
+                    hit = (sti > 0) & (sti == tagj[..., None, :])
+                    dl = jnp.where(hit, sw_g[..., :, si:si + 1] - 1.0, 0.0)
+                    w_lj = dl if w_lj is None else w_lj + dl
+                    dc = jnp.where(hit, swc_g[..., :, si:si + 1] - 1.0, 0.0)
+                    w_coul = dc if w_coul is None else w_coul + dc
+                w_lj = 1.0 + w_lj
+                w_coul = 1.0 + w_coul
+            qi = qg[..., :, None]
+            qjj = roll2(qrow, None, None)[..., None, :]
+            fp, e, ec, fcoul = pair_fn_ex(
+                r2, tg[..., :, None], tj[..., None, :],
+                w_lj, w_coul, qi, qjj)
+            if fcoul is not None:
+                fp = fp + fcoul
+        else:
+            fp, e, ec, fcoul = pair_fn(
+                r2, tg[..., :, None], tj[..., None, :])
+            if fcoul is not None:
+                fp = fp + fcoul
+            if special is not None:
+                tagj = roll2(tagrow, None, None)
+                w = jnp.ones(mask.shape, dtype)
+                for si in range(S):
+                    sti = stags_g[..., :, si:si + 1]   # (..., cap, 1)
+                    hit = (sti > 0) & (sti == tagj[..., None, :])
+                    w = w + jnp.where(hit,
+                                      sw_g[..., :, si:si + 1] - 1.0, 0.0)
+                fp = fp * w
+                if eflag:
+                    e = e * w
         fp = jnp.where(mask, fp, 0)
         for c in range(3):
             fx[c] = fx[c] + jnp.sum(d[c] * fp, axis=-1)
