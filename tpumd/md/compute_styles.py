@@ -294,8 +294,15 @@ _ARG_STYLES = {"property/atom": ComputePropertyAtom,
 
 
 def create_compute(cid, group, style, args=()):
-    if style in _ARG_STYLES:
-        return _ARG_STYLES[style](cid, group, args)
-    if style not in _STYLES:
+    from tpumd.md import compute_pair as cp
+    arg_styles = dict(_ARG_STYLES)
+    arg_styles.update({c.style: c for c in (
+        cp.ComputeRDF, cp.ComputeCoordAtom, cp.ComputeClusterAtom,
+        cp.ComputeGroupGroup, cp.ComputeHeatFlux)})
+    if style in arg_styles:
+        return arg_styles[style](cid, group, args)
+    styles = dict(_STYLES)
+    styles["displace/atom"] = cp.ComputeDisplaceAtom
+    if style not in styles:
         raise ValueError(f"Unknown compute style {style!r}")
-    return _STYLES[style](cid, group)
+    return styles[style](cid, group)

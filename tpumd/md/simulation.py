@@ -851,8 +851,20 @@ class Simulation:
             if "[" in name:
                 name, rest = name.split("[", 1)
                 idx = int(rest.rstrip("]")) - 1
-            out = self.computes[name].evaluate(self)
-            return float(out if idx is None else out[idx])
+            c = self.computes[name]
+            out = c.evaluate(self)
+            # lj-units thermo normalizes extensive compute outputs
+            # (Thermo::compute_compute with extscalar/extvector)
+            norm = (self.natoms
+                    if getattr(c, "extensive", False) and self.thermo_norm
+                    else 1)
+            if idx is None:
+                return float(out) / norm
+            if np.ndim(out) == 0:
+                # scalar compute with a side vector (e.g. group/group:
+                # scalar = energy, [1..3] = force on the group)
+                return float(c.vector[idx]) / norm
+            return float(out[idx]) / norm
         if key.startswith("v_"):
             return float(self.script.evaluate_variable(key[2:]))
         if key.startswith("f_"):
@@ -876,6 +888,7 @@ class Simulation:
         parts = []
         for k in self.thermo_style:
             v = self._thermo_value(vals, k)
+            vals[k] = v          # custom columns land in last_thermo too
             if k == "step":
                 parts.append(f"{v:8d}")
             else:

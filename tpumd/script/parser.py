@@ -215,7 +215,17 @@ class LammpsScript:
         if style not in ("block", "prism"):
             raise ScriptError(f"region style {style} not supported yet")
         nv = 6 if style == "block" else 9
-        vals = [float(v) for v in a[2:2 + nv]]
+
+        def bound(tok, k):
+            # INF/EDGE resolve directionally: lo bounds (even k) open
+            # toward -infinity (Region::parse, src/region.cpp EDGE/INF);
+            # atoms are always inside the box, so EDGE uses the same
+            # unbounded selection
+            if tok in ("INF", "EDGE"):
+                return float("-inf") if k % 2 == 0 else float("inf")
+            return float(tok)
+
+        vals = [bound(v, k) for k, v in enumerate(a[2:2 + nv])]
         rest = a[2 + nv:]
         # region defined in lattice units when a lattice exists
         # (units lattice default)
