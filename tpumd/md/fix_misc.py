@@ -12,6 +12,7 @@ Group support: fixes act on atoms whose group mask matches (currently
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpumd.md import computes
 from tpumd.md.fixes import Fix
@@ -149,3 +150,196 @@ class FixTempBerendsen(Fix):
             * (self.t_start / jnp.maximum(t, 1e-30) - 1.0), 0.0))
         factor = jnp.where(t > 0, lamda, 1.0)
         return s.replace(v=s.v * factor), fstate
+
+
+class FixSpring(Fix):
+    """fix spring tether K x y z R0: restoring force on the group COM,
+    distributed mass-weighted over the group (src/fix_spring.cpp
+    spring_tether); NULL pins no force in that component."""
+
+    name = "spring"
+    thermo_scalar = True
+
+    def __init__(self, k, xc, yc, zc, r0):
+        self.k = float(k)
+        self.pt = (xc, yc, zc)  # floats or None (NULL)
+        self.r0 = float(r0)
+        self.espring = 0.0
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        sel = self.group_sel(s)
+        m = ctx.mass_per_atom(s)
+        mm = jnp.where(sel, m, 0.0)
+        mtot = jnp.sum(mm)
+        xcm = jnp.sum(mm[:, None] * s.x, axis=0) / mtot
+        d = jnp.stack([xcm[c] - self.pt[c] if self.pt[c] is not None
+                       else jnp.zeros((), s.x.dtype) for c in range(3)])
+        r = jnp.maximum(jnp.linalg.norm(d), 1e-10)
+        dr = r - self.r0
+        fvec = self.k * d * dr / r          # total force magnitude
+        fper = fvec / jnp.maximum(mtot, 1e-30)
+        f = s.f - jnp.where(sel[:, None], fper[None, :] * m[:, None], 0.0)
+        return s.replace(f=f), fstate
+
+
+class FixEfield(Fix):
+    """fix efield Ex Ey Ez: f += qE (src/fix_efield.cpp CONSTANT);
+    field values are pre-scaled by qe2f at parse time."""
+
+    name = "efield"
+
+    def __init__(self, ex, ey, ez):
+        self.e = (float(ex), float(ey), float(ez))
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        if s.q is None:
+            return s, fstate
+        e = jnp.asarray(self.e, s.x.dtype)
+        add = s.q[:, None] * e[None, :]
+        f = s.f + jnp.where(self.group_sel(s)[:, None], add, 0.0)
+        return s.replace(f=f), fstate
+
+
+class FixDrag(Fix):
+    """fix drag x y z fmag delta: constant-magnitude force toward a
+    point for atoms beyond delta (src/EXTRA-FIX/fix_drag.cpp); NULL
+    components excluded."""
+
+    name = "drag"
+
+    def __init__(self, xc, yc, zc, fmag, delta):
+        self.pt = (xc, yc, zc)
+        self.fmag = float(fmag)
+        self.delta = float(delta)
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        from tpumd.core.state import minimum_image
+        d = jnp.stack(
+            [s.x[:, c] - self.pt[c] if self.pt[c] is not None
+             else jnp.zeros_like(s.x[:, c]) for c in range(3)], axis=1)
+        d = minimum_image(d, s.box)
+        r = jnp.linalg.norm(d, axis=1)
+        apply = self.group_sel(s) & (r > self.delta)
+        pre = self.fmag / jnp.maximum(r, 1e-30)
+        f = s.f - jnp.where(apply[:, None], pre[:, None] * d, 0.0)
+        return s.replace(f=f), fstate
+
+
+class FixRecenter(Fix):
+    """fix recenter x y z: shift group coords each step so the group COM
+    sits at the target (INIT = COM at setup); src/fix_recenter.cpp —
+    runs after initial_integrate, box units only."""
+
+    name = "recenter"
+
+    def __init__(self, xc, yc, zc):
+        self.pt = [None if v in ("NULL",) else v for v in (xc, yc, zc)]
+
+    def init_state(self, s, ctx):
+        sel = self.group_sel(s)
+        m = ctx.mass_per_atom(s)
+        mm = jnp.where(sel, m, 0.0)
+        xcm = jnp.sum(mm[:, None] * s.x, axis=0) / jnp.sum(mm)
+        target = jnp.stack([
+            xcm[c] if self.pt[c] in (None, "INIT")
+            else jnp.asarray(float(self.pt[c]), s.x.dtype)
+            for c in range(3)])
+        mask = jnp.asarray([0.0 if self.pt[c] is None else 1.0
+                            for c in range(3)], s.x.dtype)
+        return (target, mask)
+
+    def post_integrate(self, s, fstate, ctx):
+        target, mask = fstate
+        sel = self.group_sel(s)
+        m = ctx.mass_per_atom(s)
+        mm = jnp.where(sel, m, 0.0)
+        xcm = jnp.sum(mm[:, None] * s.x, axis=0) / jnp.sum(mm)
+        shift = (target - xcm) * mask
+        x = s.x + jnp.where(sel[:, None], shift[None, :], 0.0)
+        return s.replace(x=x), fstate
+
+
+class FixAveForce(Fix):
+    """fix aveforce fx fy fz: same resultant force on every group atom =
+    group average plus the given value (src/fix_aveforce.cpp); NULL
+    leaves that component's individual forces."""
+
+    name = "aveforce"
+
+    def __init__(self, fx, fy, fz):
+        self.add = (fx, fy, fz)
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        sel = self.group_sel(s)
+        n = jnp.maximum(jnp.sum(sel.astype(s.x.dtype)), 1.0)
+        f = s.f
+        for c, val in enumerate(self.add):
+            if val is None:
+                continue
+            ave = jnp.sum(jnp.where(sel, f[:, c], 0.0)) / n
+            f = f.at[:, c].set(jnp.where(sel, ave + val, f[:, c]))
+        return s.replace(f=f), fstate
+
+
+class FixPlaneForce(Fix):
+    """fix planeforce nx ny nz: keep forces in the plane normal to n
+    (src/fix_planeforce.cpp)."""
+
+    name = "planeforce"
+
+    def __init__(self, nx, ny, nz):
+        n = np.asarray([nx, ny, nz], np.float64)
+        self.n = n / np.linalg.norm(n)
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        n = jnp.asarray(self.n, s.x.dtype)
+        dot = s.f @ n
+        f = s.f - jnp.where(self.group_sel(s)[:, None],
+                            dot[:, None] * n[None, :], 0.0)
+        return s.replace(f=f), fstate
+
+
+class FixLineForce(Fix):
+    """fix lineforce dx dy dz: keep only the force component along d
+    (src/fix_lineforce.cpp)."""
+
+    name = "lineforce"
+
+    def __init__(self, dx, dy, dz):
+        d = np.asarray([dx, dy, dz], np.float64)
+        self.d = d / np.linalg.norm(d)
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        d = jnp.asarray(self.d, s.x.dtype)
+        dot = s.f @ d
+        proj = dot[:, None] * d[None, :]
+        f = jnp.where(self.group_sel(s)[:, None], proj, s.f)
+        return s.replace(f=f), fstate
+
+
+class FixIndent(Fix):
+    """fix indent K sphere x y z R [side out|in]: repulsive spherical
+    indenter F = -k dr^2 (src/fix_indent.cpp:215-250)."""
+
+    name = "indent"
+
+    def __init__(self, k, xc, yc, zc, radius, side="out"):
+        self.k = float(k)
+        self.ctr = (float(xc), float(yc), float(zc))
+        self.radius = float(radius)
+        self.side = side
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        from tpumd.core.state import minimum_image
+        d = s.x - jnp.asarray(self.ctr, s.x.dtype)[None, :]
+        d = minimum_image(d, s.box)
+        r = jnp.maximum(jnp.linalg.norm(d, axis=1), 1e-30)
+        if self.side == "out":
+            dr = r - self.radius
+            fmag = self.k * dr * dr
+        else:
+            dr = self.radius - r
+            fmag = -self.k * dr * dr
+        apply = self.group_sel(s) & (dr < 0.0)
+        f = s.f + jnp.where(apply[:, None], (fmag / r)[:, None] * d, 0.0)
+        return s.replace(f=f), fstate

@@ -95,3 +95,31 @@ class PairStyle:
 
     def table(self, arr, dtype):
         return jnp.asarray(arr, dtype=dtype)
+
+    def coef(self, arr, itype, jtype, dtype):
+        """Per-pair coefficient lookup.
+
+        TPU gathers cost ~3 us per 1k rows regardless of table size, and
+        the cell-grid kernel looks up coefficients on ~1e8-element pair
+        blocks — for small type counts a sum of masked selects is
+        hundreds of times cheaper than a gather and fuses into the
+        surrounding elementwise work.  Falls back to a gather for large
+        type tables where the select chain would dominate."""
+        nt = self.ntypes
+        if nt == 1:
+            return jnp.asarray(float(np.asarray(arr)[1, 1]), dtype)
+        if nt > 6:
+            return jnp.asarray(arr, dtype=dtype)[itype, jtype]
+        a = np.asarray(arr)
+        out = None
+        for i in range(1, nt + 1):
+            for j in range(i, nt + 1):
+                if i == j:
+                    hit = (itype == i) & (jtype == i)
+                else:
+                    hit = (((itype == i) & (jtype == j))
+                           | ((itype == j) & (jtype == i)))
+                term = jnp.where(hit, jnp.asarray(float(a[i, j]), dtype),
+                                 jnp.zeros((), dtype))
+                out = term if out is None else out + term
+        return out

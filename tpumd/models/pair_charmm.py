@@ -109,10 +109,10 @@ class PairLJCharmmCoulLong(PairStyle):
     def pair_fn_ex(self, r2, itype, jtype, w_lj, w_coul, qi, qj):
         dt_ = r2.dtype
         qqrd2e = self.units.qqr2e
-        lj1 = jnp.asarray(self.lj1, dt_)[itype, jtype]
-        lj2 = jnp.asarray(self.lj2, dt_)[itype, jtype]
-        lj3 = jnp.asarray(self.lj3, dt_)[itype, jtype]
-        lj4 = jnp.asarray(self.lj4, dt_)[itype, jtype]
+        lj1 = self.coef(self.lj1, itype, jtype, dt_)
+        lj2 = self.coef(self.lj2, itype, jtype, dt_)
+        lj3 = self.coef(self.lj3, itype, jtype, dt_)
+        lj4 = self.coef(self.lj4, itype, jtype, dt_)
 
         r2inv = 1.0 / r2
         # ---- coulomb: erfc real space + special compensation ------------
@@ -173,10 +173,10 @@ class PairLJCharmmCoulCharmm(PairLJCharmmCoulLong):
     def pair_fn_ex(self, r2, itype, jtype, w_lj, w_coul, qi, qj):
         dt_ = r2.dtype
         qqrd2e = self.units.qqr2e
-        lj1 = jnp.asarray(self.lj1, dt_)[itype, jtype]
-        lj2 = jnp.asarray(self.lj2, dt_)[itype, jtype]
-        lj3 = jnp.asarray(self.lj3, dt_)[itype, jtype]
-        lj4 = jnp.asarray(self.lj4, dt_)[itype, jtype]
+        lj1 = self.coef(self.lj1, itype, jtype, dt_)
+        lj2 = self.coef(self.lj2, itype, jtype, dt_)
+        lj3 = self.coef(self.lj3, itype, jtype, dt_)
+        lj4 = self.coef(self.lj4, itype, jtype, dt_)
         r2inv = 1.0 / r2
 
         in_coul = r2 < self.cut_coulsq

@@ -144,17 +144,17 @@ class PairLJCut(PairStyle):
             fpair = r6inv * (c1 * r6inv - c2_) * r2inv
             evdwl = jnp.where(inside, r6inv * (c3 * r6inv - c4) - off, 0.0)
             return fpair, evdwl, None, None
-        lj1, lj2, lj3, lj4, offset, cutsq = self._get_tables(r2.dtype)
-        c2 = cutsq[itype, jtype]
+        dt_ = r2.dtype
+        c2 = self.coef(self.cutsq, itype, jtype, dt_)
+        lj1 = self.coef(self.lj1, itype, jtype, dt_)
+        lj2 = self.coef(self.lj2, itype, jtype, dt_)
+        lj3 = self.coef(self.lj3, itype, jtype, dt_)
+        lj4 = self.coef(self.lj4, itype, jtype, dt_)
+        off = self.coef(self.offset, itype, jtype, dt_)
         inside = r2 < c2
         r2inv = jnp.where(inside, 1.0 / r2, 0.0)
         r6inv = r2inv * r2inv * r2inv
-        forcelj = r6inv * (lj1[itype, jtype] * r6inv - lj2[itype, jtype])
+        forcelj = r6inv * (lj1 * r6inv - lj2)
         fpair = forcelj * r2inv
-        evdwl = jnp.where(
-            inside,
-            r6inv * (lj3[itype, jtype] * r6inv - lj4[itype, jtype])
-            - offset[itype, jtype],
-            0.0,
-        )
+        evdwl = jnp.where(inside, r6inv * (lj3 * r6inv - lj4) - off, 0.0)
         return fpair, evdwl, None, None

@@ -375,6 +375,24 @@ class LammpsScript:
             vnow[sel] *= np.sqrt(t_new / t_cur)
             sim.state = sim.state.replace(v=jnp.asarray(vnow, dtype=self.dtype))
             return
+        if style == "ramp":
+            # velocity group ramp vdim vlo vhi dim clo chi (Velocity::ramp,
+            # src/velocity.cpp:612); lattice units default
+            sel = self._group_sel_np(group)
+            vnow = np.asarray(jax.device_get(sim.state.v),
+                              dtype=np.float64).copy()
+            x = np.asarray(jax.device_get(sim.state.x), np.float64)
+            vdim = "xyz".index(a[2][1])
+            cdim = "xyz".index(a[5])
+            sp = (self.lattice.spacing if self.lattice is not None
+                  else (1.0, 1.0, 1.0))
+            v_lo, v_hi = (float(a[3]) * sp[vdim], float(a[4]) * sp[vdim])
+            c_lo, c_hi = (float(a[6]) * sp[cdim], float(a[7]) * sp[cdim])
+            frac = np.clip((x[:, cdim] - c_lo) / (c_hi - c_lo), 0.0, 1.0)
+            vnow[sel, vdim] = (v_lo + frac * (v_hi - v_lo))[sel]
+            sim.state = sim.state.replace(
+                v=jnp.asarray(vnow, dtype=self.dtype))
+            return
         if style == "zero" and a[2] == "linear":
             sel = self._group_sel_np(group)
             vnow = np.asarray(jax.device_get(sim.state.v),
@@ -604,6 +622,52 @@ class LammpsScript:
         elif style == "spring/self":
             from tpumd.md.fix_misc import FixSpringSelf
             sim.fixes.append(FixSpringSelf(float(args[0])))
+        elif style == "spring":
+            from tpumd.md.fix_misc import FixSpring
+            if args[0] != "tether":
+                raise ScriptError("only 'fix spring tether' supported")
+            vals = [None if v == "NULL" else float(v) for v in args[2:5]]
+            sim.fixes.append(FixSpring(float(args[1]), *vals,
+                                       float(args[5])))
+        elif style == "efield":
+            from tpumd.md.fix_misc import FixEfield
+            qe2f = sim.units.qe2f
+            sim.fixes.append(FixEfield(*[qe2f * float(v)
+                                         for v in args[:3]]))
+        elif style == "drag":
+            from tpumd.md.fix_misc import FixDrag
+            vals = [None if v == "NULL" else float(v) for v in args[:3]]
+            sim.fixes.append(FixDrag(*vals, float(args[3]),
+                                     float(args[4])))
+        elif style == "recenter":
+            from tpumd.md.fix_misc import FixRecenter
+            sim.fixes.append(FixRecenter(*args[:3]))
+        elif style == "aveforce":
+            from tpumd.md.fix_misc import FixAveForce
+            vals = [None if v == "NULL" else float(v) for v in args[:3]]
+            sim.fixes.append(FixAveForce(*vals))
+        elif style == "planeforce":
+            from tpumd.md.fix_misc import FixPlaneForce
+            sim.fixes.append(FixPlaneForce(*[float(v) for v in args[:3]]))
+        elif style == "lineforce":
+            from tpumd.md.fix_misc import FixLineForce
+            sim.fixes.append(FixLineForce(*[float(v) for v in args[:3]]))
+        elif style == "indent":
+            from tpumd.md.fix_misc import FixIndent
+            if args[1] != "sphere":
+                raise ScriptError("only 'fix indent K sphere' supported")
+            side = "out"
+            scale = (1.0, 1.0, 1.0)
+            if "side" in args:
+                side = args[args.index("side") + 1]
+            # geometry in lattice units by default (fix_indent.cpp:413)
+            if ("units" not in args or args[args.index("units") + 1]
+                    != "box") and self.lattice is not None:
+                scale = self.lattice.spacing
+            vals = [float(v) * sc for v, sc in zip(args[2:5], scale)]
+            sim.fixes.append(FixIndent(
+                float(args[0]), *vals, float(args[5]) * scale[0],
+                side=side))
         elif style == "viscous":
             from tpumd.md.fix_misc import FixViscous
             sim.fixes.append(FixViscous(float(args[0])))
