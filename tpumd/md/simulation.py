@@ -55,6 +55,7 @@ class Simulation:
         self.thermo_every = 0          # 0: only first/last
         self.dumps: list = []
         self.computes: dict = {}       # id -> Compute object
+        self.molecules: dict = {}      # id -> MoleculeTemplate
         self.groups: dict = {"all": 1}  # name -> gmask bit
         self.thermo_style = ["step", "temp", "epair", "emol", "etotal", "press"]
         self.thermo_multi = False      # thermo_style multi format

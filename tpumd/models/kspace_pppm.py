@@ -386,22 +386,47 @@ class PPPM:
             pts.append(acc)
         w = jnp.stack(pts, axis=1)  # (N, order, 3)
 
-        # scatter charges: grid[z, y, x]
+        # charge assignment (make_rho, src/KSPACE/pppm.cpp): TPU
+        # scatter/gather cost is per ROW, so the order^3 point stencil is
+        # restructured as full x-LINES — a dense (N, nx) x-weight profile
+        # (selects, no gather) contracted/scattered as (N, order^2) rows
+        # of nx floats: ~5x fewer rows, full-lane rows, and the x-sum
+        # runs dense on the VPU.  Tiny grids (nx < order, wrap overlap)
+        # keep the point path.
         offs = self.nlower + np.arange(order)
+        n = q.shape[0]
+        line_mode = nx >= order and ny >= 3 and nz >= 3
         gz = (base[:, 2][:, None] + offs[None, :]) % nz  # (N, order)
         gy = (base[:, 1][:, None] + offs[None, :]) % ny
-        gx_ = (base[:, 0][:, None] + offs[None, :]) % nx
-        wz = w[:, :, 2][:, :, None, None]
-        wy = w[:, :, 1][:, None, :, None]
-        wx = w[:, :, 0][:, None, None, :]
-        wq = (q[:, None, None, None] * wz * wy * wx).reshape(-1)
-        iz = jnp.broadcast_to(gz[:, :, None, None],
-                              (q.shape[0], order, order, order)).reshape(-1)
-        iy = jnp.broadcast_to(gy[:, None, :, None],
-                              (q.shape[0], order, order, order)).reshape(-1)
-        ix = jnp.broadcast_to(gx_[:, None, None, :],
-                              (q.shape[0], order, order, order)).reshape(-1)
-        grid = jnp.zeros((nz, ny, nx), dt_).at[iz, iy, ix].add(wq)
+        if line_mode:
+            # dense x-weight line: wx_line[i, p] = w_k at p=(basex+off_k)%nx
+            p = jnp.arange(nx, dtype=jnp.int32)[None, :]
+            start = (base[:, 0] + self.nlower)[:, None] % nx
+            rel = (p - start) % nx                       # (N, nx)
+            wx_line = jnp.zeros((n, nx), dt_)
+            for k in range(order):
+                wx_line = wx_line + jnp.where(rel == k, w[:, k, 0:1], 0.0)
+            rows_zy = (gz[:, :, None] * ny + gy[:, None, :]).reshape(n, -1)
+            wzy = (w[:, :, 2][:, :, None]
+                   * w[:, :, 1][:, None, :]).reshape(n, -1)  # (N, o^2)
+            contrib = (q[:, None, None] * wzy[:, :, None]
+                       * wx_line[:, None, :])              # (N, o^2, nx)
+            grid = jnp.zeros((nz * ny, nx), dt_).at[
+                rows_zy.reshape(-1)].add(
+                contrib.reshape(-1, nx)).reshape(nz, ny, nx)
+        else:
+            gx_ = (base[:, 0][:, None] + offs[None, :]) % nx
+            wz = w[:, :, 2][:, :, None, None]
+            wy = w[:, :, 1][:, None, :, None]
+            wx = w[:, :, 0][:, None, None, :]
+            wq = (q[:, None, None, None] * wz * wy * wx).reshape(-1)
+            iz = jnp.broadcast_to(
+                gz[:, :, None, None], (n, order, order, order)).reshape(-1)
+            iy = jnp.broadcast_to(
+                gy[:, None, :, None], (n, order, order, order)).reshape(-1)
+            ix = jnp.broadcast_to(
+                gx_[:, None, None, :], (n, order, order, order)).reshape(-1)
+            grid = jnp.zeros((nz, ny, nx), dt_).at[iz, iy, ix].add(wq)
 
         # poisson (ik): phi(k) = G(k) rho(k); E = -ik phi
         rho_k = jnp.fft.fftn(grid.astype(jnp.complex128
@@ -424,14 +449,30 @@ class PPPM:
         ey = jnp.fft.ifftn(-imag * fky * phi_k).real
         ez = jnp.fft.ifftn(-imag * fkz * phi_k).real
 
-        # fieldforce_ik: ONE packed gather of (ex,ey,ez) at atom stencils
-        # (TPU gather cost is per row)
-        efield = jnp.stack([ex, ey, ez], axis=-1)   # (nz, ny, nx, 3)
-        evals = efield[iz, iy, ix].reshape(q.shape[0], order, order, order, 3)
-        w3 = (wz * wy * wx).reshape(q.shape[0], order, order, order)
+        # fieldforce_ik: gather at atom stencils.  line mode packs all 3
+        # components into one (nz*ny, 3*nx) row table — N*order^2 wide
+        # full-lane rows instead of N*order^3 3-wide rows — and reduces
+        # densely against the x-weight lines.
+        if line_mode:
+            etab = jnp.concatenate(
+                [ex.reshape(nz * ny, nx), ey.reshape(nz * ny, nx),
+                 ez.reshape(nz * ny, nx)], axis=1)       # (nz*ny, 3nx)
+            erows = etab[rows_zy.reshape(-1)].reshape(n, -1, 3 * nx)
+            exl = jnp.sum(erows[..., :nx] * wx_line[:, None, :], axis=-1)
+            eyl = jnp.sum(erows[..., nx:2 * nx] * wx_line[:, None, :],
+                          axis=-1)
+            ezl = jnp.sum(erows[..., 2 * nx:] * wx_line[:, None, :],
+                          axis=-1)                       # (N, o^2)
 
-        def gather(comp):
-            return jnp.sum(evals[..., comp] * w3, axis=(1, 2, 3))
+            def gather(comp):
+                return jnp.sum((exl, eyl, ezl)[comp] * wzy, axis=-1)
+        else:
+            efield = jnp.stack([ex, ey, ez], axis=-1)   # (nz, ny, nx, 3)
+            evals = efield[iz, iy, ix].reshape(n, order, order, order, 3)
+            w3 = (wz * wy * wx).reshape(n, order, order, order)
+
+            def gather(comp):
+                return jnp.sum(evals[..., comp] * w3, axis=(1, 2, 3))
 
         # normalization: the reference stores charge *density* (q/delvol)
         # and uses unnormalized FFTs with one 1/ngrid factor; with numpy

@@ -332,7 +332,10 @@ class LammpsScript:
             v = np.zeros_like(x)
             q = (np.zeros(len(x))
                  if self.atom_style in ("charge", "full") else None)
-            sim.state = make_state(x, v, t, box, q=q, dtype=self.dtype)
+            mol = (np.zeros(len(x), np.int32)
+                   if self.atom_style in ("full", "molecular") else None)
+            sim.state = make_state(x, v, t, box, q=q, molecule=mol,
+                                   dtype=self.dtype)
 
     def _group_sel_np(self, group: str) -> np.ndarray:
         """Boolean (N,) selector for a named group (host side)."""
@@ -747,6 +750,8 @@ class LammpsScript:
                     kw["near"] = float(args[i + 1]); i += 2
                 elif key == "attempt":
                     kw["maxattempt"] = int(args[i + 1]); i += 2
+                elif key == "mol":
+                    kw["mol"] = self.sim.molecules[args[i + 1]]; i += 2
                 elif key == "units":
                     i += 2
                 else:
@@ -1096,6 +1101,16 @@ class LammpsScript:
 
     def cmd_kspace_modify(self, a):
         pass
+
+    def cmd_molecule(self, a):
+        """molecule ID file (src/molecule.cpp): register a template for
+        fix deposit/pour and create_atoms."""
+        from tpumd.io.molecule import MoleculeTemplate
+        path = a[1]
+        if not os.path.isabs(path):
+            path = os.path.join(self.data_dir, path)
+        sim = self._require_sim()
+        sim.molecules[a[0]] = MoleculeTemplate(a[0], path)
 
     def cmd_read_data(self, a):
         path = a[0]
