@@ -68,3 +68,31 @@ def test_rigid_conservation():
     # single body of N point atoms: dof_removed = 3N - 6
     n = sim.natoms
     assert fx.dof_removed == 3 * n - 6
+
+
+def test_rigid_nvt_water_thermo():
+    """fix rigid/nvt golden parity: no-squish body integration + dual
+    Nose-Hoover chains (src/RIGID/fix_rigid_nh.cpp:430-718) vs the
+    reference binary on the rigid-water deck."""
+    sim, ref, _, _ = run_case("rigid_nvt_water")
+    v = sim.last_thermo
+    last = ref[-1]
+    assert last[0] == 20
+    assert v["temp"] == pytest.approx(last[1], rel=1e-5)
+    assert v["epair"] == pytest.approx(last[2], rel=1e-5)
+    assert v["etotal"] == pytest.approx(last[4], rel=1e-5)
+    assert v["press"] == pytest.approx(last[5], rel=5e-4)
+
+
+def test_rattle_water_thermo():
+    """fix rattle golden parity: SHAKE coordinate constraints at
+    FINAL_INTEGRATE + exact velocity constraint solves at POST_FORCE
+    (src/RIGID/fix_rattle.cpp:147-217) vs the reference binary."""
+    sim, ref, _, _ = run_case("rattle_water")
+    v = sim.last_thermo
+    last = ref[-1]
+    assert last[0] == 20
+    assert v["temp"] == pytest.approx(last[1], rel=1e-5)
+    assert v["epair"] == pytest.approx(last[2], rel=1e-5)
+    assert v["etotal"] == pytest.approx(last[4], rel=1e-5)
+    assert v["press"] == pytest.approx(last[5], rel=5e-4)

@@ -68,6 +68,57 @@ def angmom_to_omega(m, rot, idiag):
     return jnp.einsum("...ij,...j->...i", rot, wbody)
 
 
+def quatvec(a, b):
+    """c = a * (0, b) for quaternion a, 3-vector b (math_extra.h quatvec)."""
+    c0 = -a[..., 1] * b[..., 0] - a[..., 2] * b[..., 1] - a[..., 3] * b[..., 2]
+    c1 = a[..., 0] * b[..., 0] + a[..., 2] * b[..., 2] - a[..., 3] * b[..., 1]
+    c2 = a[..., 0] * b[..., 1] + a[..., 3] * b[..., 0] - a[..., 1] * b[..., 2]
+    c3 = a[..., 0] * b[..., 2] + a[..., 1] * b[..., 1] - a[..., 2] * b[..., 0]
+    return jnp.stack([c0, c1, c2, c3], axis=-1)
+
+
+def invquatvec(a, b):
+    """c = vector part of conj(a)*b (math_extra.h invquatvec)."""
+    c0 = (-a[..., 1] * b[..., 0] + a[..., 0] * b[..., 1]
+          + a[..., 3] * b[..., 2] - a[..., 2] * b[..., 3])
+    c1 = (-a[..., 2] * b[..., 0] - a[..., 3] * b[..., 1]
+          + a[..., 0] * b[..., 2] + a[..., 1] * b[..., 3])
+    c2 = (-a[..., 3] * b[..., 0] + a[..., 2] * b[..., 1]
+          - a[..., 1] * b[..., 2] + a[..., 0] * b[..., 3])
+    return jnp.stack([c0, c1, c2], axis=-1)
+
+
+# permutation-operator index/sign tables for no_squish_rotate k=1,2,3
+_NSQ_IDX = {1: (1, 0, 3, 2), 2: (2, 3, 0, 1), 3: (3, 2, 1, 0)}
+_NSQ_SGN = {1: (-1.0, 1.0, 1.0, -1.0), 2: (-1.0, -1.0, 1.0, 1.0),
+            3: (-1.0, 1.0, -1.0, 1.0)}
+
+
+def no_squish_rotate(k, p, q, inertia, dt):
+    """One free-rotor sub-rotation of the symplectic no-squish integrator
+    (math_extra.cpp:203, Miller et al 2002), batched over bodies.
+    p = conjugate quaternion momentum (B,4), q = quaternion (B,4)."""
+    idx = jnp.array(_NSQ_IDX[k])
+    sgn = jnp.array(_NSQ_SGN[k], p.dtype)
+    kq = q[..., idx] * sgn
+    kp = p[..., idx] * sgn
+    phi = jnp.sum(p * kq, axis=-1)
+    inert = inertia[..., k - 1]
+    phi = jnp.where(inert == 0.0, 0.0,
+                    phi / (4.0 * jnp.where(inert == 0.0, 1.0, inert)))
+    c = jnp.cos(dt * phi)[..., None]
+    s = jnp.sin(dt * phi)[..., None]
+    return c * p + s * kp, c * q + s * kq
+
+
+def maclaurin_series(x):
+    """sinh(x)/x Maclaurin expansion (fix_rigid_nh.h:89)."""
+    x2 = x * x
+    x4 = x2 * x2
+    return (1.0 + x2 / 6.0 + x4 / 120.0 + x2 * x4 / 5040.0
+            + x4 * x4 / 362880.0)
+
+
 def richardson(q, m, w, moments, dtq):
     """Richardson-extrapolated quaternion update (math_extra.cpp:100)."""
     wq = vecquat(w, q)
@@ -356,11 +407,15 @@ class FixRigid(Fix):
         fst = fst.replace(vcm=vcm, xcm=xcm, angmom=angmom, quat=quat,
                           omega=omega)
 
-        # set_xv :1330 — slave atom coords/velocities to the body frame
+        return self._set_xv(s, fst, ctx, body, disp, rot)
+
+    def _set_xv(self, s, fst, ctx, body, disp, rot):
+        """set_xv :1330 — slave atom coords/velocities to the body frame;
+        tallies the constraint virial using the PRE-set_xv coords."""
         bidx = jnp.clip(body, 0)
         delta = jnp.einsum("nij,nj->ni", rot[bidx], disp)
-        vnew = jnp.cross(fst.omega[bidx], delta) + vcm[bidx]
-        u_new = delta + xcm[bidx]
+        vnew = jnp.cross(fst.omega[bidx], delta) + fst.vcm[bidx]
+        u_new = delta + fst.xcm[bidx]
         ell = s.box.lengths
         xy, xz, yz = s.box.tilt[0], s.box.tilt[1], s.box.tilt[2]
         img = s.image.astype(s.x.dtype)
@@ -371,7 +426,6 @@ class FixRigid(Fix):
         xnew = u_new - shift
 
         inbody = (body >= 0)[:, None]
-        # virial tally uses the PRE-set_xv unwrapped coords (set_xv :1369)
         vhalf = self._virial_half(s, ctx, vnew, s.v, body)
         s = s.replace(x=jnp.where(inbody, xnew, s.x),
                       v=jnp.where(inbody, vnew, s.v))
@@ -387,6 +441,245 @@ class FixRigid(Fix):
         rot = quat_to_mat(fst.quat)
         omega = angmom_to_omega(angmom, rot, fst.inertia)
         fst = fst.replace(vcm=vcm, angmom=angmom, omega=omega)
+
+        _, vnew = self._slave_v(s, fst, body, disp)
+        vhalf = self._virial_half(s, ctx, vnew, s.v, body)
+        v = jnp.where((body >= 0)[:, None], vnew, s.v)
+        return s.replace(v=v), fst.replace(virial=fst.virial + vhalf)
+
+
+@struct.dataclass
+class RigidNHState:
+    # dynamic body state (same fields as RigidState)
+    xcm: jnp.ndarray
+    vcm: jnp.ndarray
+    quat: jnp.ndarray
+    angmom: jnp.ndarray
+    omega: jnp.ndarray
+    virial: jnp.ndarray
+    inertia: jnp.ndarray
+    masstotal: jnp.ndarray
+    body_tag: jnp.ndarray
+    disp_tag: jnp.ndarray
+    # no-squish + Nose-Hoover extension (fix_rigid_nh.cpp)
+    conjqm: jnp.ndarray      # (B,4) conjugate quaternion momentum
+    eta_t: jnp.ndarray       # (C,) translational thermostat positions
+    eta_r: jnp.ndarray       # (C,) rotational thermostat positions
+    eta_dot_t: jnp.ndarray   # (C,)
+    eta_dot_r: jnp.ndarray   # (C,)
+    f_eta_t: jnp.ndarray     # (C,) thermostat forces (persist across calls)
+    f_eta_r: jnp.ndarray    # (C,)
+    step: jnp.ndarray        # int32 — global timestep (set by the loop)
+    begin: jnp.ndarray       # int32 — run beginstep
+    end: jnp.ndarray         # int32 — run endstep
+
+
+class FixRigidNVT(FixRigid):
+    """fix ID group rigid/nvt <bodystyle> temp T1 T2 Tdamp [tparam C I O].
+
+    Reimplements FixRigidNVT = FixRigidNH with tstat (src/RIGID/
+    fix_rigid_nvt.cpp + fix_rigid_nh.cpp:430-718): symplectic no-squish
+    rotor integration on (quat, conjqm) with separate translational and
+    rotational Nose-Hoover chains (Kamberaj, Low, Neal, J Chem Phys 2005).
+    The chains are O(t_chain) scalars integrated with the Suzuki-Yoshida
+    w-coefficient loops unrolled at trace time (nhc_temp_integrate :721).
+    """
+
+    name = "rigid/nvt"
+    needs_step = True
+
+    def __init__(self, style="molecule", groups=None, t_start=None,
+                 t_stop=None, t_period=None, t_chain=3, t_iter=1,
+                 t_order=3):
+        super().__init__(style=style, groups=groups)
+        if t_start is None:
+            raise ValueError("fix rigid/nvt requires the temp keyword")
+        self.t_start, self.t_stop = float(t_start), float(t_stop)
+        self.t_freq = 1.0 / float(t_period)
+        self.t_chain, self.t_iter, self.t_order = t_chain, t_iter, t_order
+        self.nf_t = self.nf_r = 0
+
+    def set_step(self, fstate, istep):
+        return fstate.replace(step=istep)
+
+    def pre_run(self, fstate, begin: int, end: int):
+        return fstate.replace(begin=jnp.asarray(begin, jnp.int32),
+                              end=jnp.asarray(end, jnp.int32))
+
+    def _t_target(self, fst, dtype):
+        num = (fst.step - fst.begin).astype(dtype)
+        den = jnp.maximum(fst.end - fst.begin, 1).astype(dtype)
+        delta = jnp.where(fst.end > fst.begin, num / den, 0.0)
+        return self.t_start + delta * (self.t_stop - self.t_start)
+
+    def init_state(self, s, ctx):
+        base = super().init_state(s, ctx)
+        dt_ = s.x.dtype
+        # translational/rotational thermostat DOF (fix_rigid_nh.cpp:227-239)
+        inertia = np.asarray(jax.device_get(base.inertia), np.float64)
+        self.nf_t = 3 * self.nbody
+        self.nf_r = 3 * self.nbody - int((np.abs(inertia) < EPSILON).sum())
+        # conjqm = 2 * quat * (0, R^T angmom)   (fix_rigid_nh.cpp:330-336)
+        rot = quat_to_mat(base.quat)
+        mbody = jnp.einsum("nji,nj->ni", rot, base.angmom)
+        conjqm = 2.0 * quatvec(base.quat, mbody)
+        zc = jnp.zeros((self.t_chain,), dt_)
+        # initial chain forces with eta_dot = 0 (setup :385-390)
+        kt = ctx.units.boltz * self.t_start
+        t_mass = kt / (self.t_freq * self.t_freq)
+        q_k = jnp.full((self.t_chain,), t_mass, dt_)
+        f0 = jnp.where(jnp.arange(self.t_chain) >= 1, -kt / t_mass, 0.0)
+        return RigidNHState(
+            xcm=base.xcm, vcm=base.vcm, quat=base.quat, angmom=base.angmom,
+            omega=base.omega, virial=base.virial, inertia=base.inertia,
+            masstotal=base.masstotal, body_tag=base.body_tag,
+            disp_tag=base.disp_tag, conjqm=conjqm,
+            eta_t=zc, eta_r=zc, eta_dot_t=zc, eta_dot_r=zc,
+            f_eta_t=f0.astype(dt_), f_eta_r=f0.astype(dt_),
+            step=jnp.zeros((), jnp.int32), begin=jnp.zeros((), jnp.int32),
+            end=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------- chains
+    def _w_coeffs(self, dt):
+        """Suzuki-Yoshida weights, Table 1 in Kamberaj et al
+        (fix_rigid_nh.cpp:243-262)."""
+        if self.t_order == 3:
+            w0 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+            w = [w0, 1.0 - 2.0 * w0, w0]
+        elif self.t_order == 5:
+            w0 = 1.0 / (4.0 - 4.0 ** (1.0 / 3.0))
+            w = [w0, w0, 1.0 - 4.0 * w0, w0, w0]
+        else:
+            w = [1.0]
+        wdti1 = [wi * dt / self.t_iter for wi in w]
+        return wdti1
+
+    def _nhc_temp(self, fst, akin_t, akin_r, ctx):
+        """nhc_temp_integrate (fix_rigid_nh.cpp:721-812)."""
+        dt_ = fst.vcm.dtype
+        boltz, mvv2e = ctx.units.boltz, ctx.units.mvv2e
+        t_target = self._t_target(fst, dt_)
+        kt = boltz * t_target
+        C = self.t_chain
+        t_mass = kt / (self.t_freq * self.t_freq)
+        # q_t[0] = nf_t*t_mass, q_t[k>=1] = t_mass (masses as vectors)
+        q_t = jnp.concatenate([t_mass[None] * self.nf_t,
+                               jnp.full((C - 1,), 1.0, dt_) * t_mass])
+        q_r = jnp.concatenate([t_mass[None] * self.nf_r,
+                               jnp.full((C - 1,), 1.0, dt_) * t_mass])
+        et, er = fst.eta_t, fst.eta_r
+        edt, edr = fst.eta_dot_t, fst.eta_dot_r
+        ft, fr = fst.f_eta_t, fst.f_eta_r
+        ft = ft.at[0].set((akin_t * mvv2e - self.nf_t * kt) / q_t[0])
+        fr = fr.at[0].set((akin_r * mvv2e - self.nf_r * kt) / q_r[0])
+
+        for wdti1 in self._w_coeffs(ctx.dt) * self.t_iter:
+            wdti2, wdti4 = wdti1 / 2.0, wdti1 / 4.0
+            edt = edt.at[C - 1].add(wdti2 * ft[C - 1])
+            edr = edr.at[C - 1].add(wdti2 * fr[C - 1])
+            for k in range(1, C):
+                tmp = wdti4 * edt[C - k]
+                sf = jnp.exp(-tmp)
+                edt = edt.at[C - k - 1].set(
+                    edt[C - k - 1] * sf * sf
+                    + wdti2 * ft[C - k - 1] * sf * maclaurin_series(tmp))
+                tmp = wdti4 * edr[C - k]
+                sf = jnp.exp(-tmp)
+                edr = edr.at[C - k - 1].set(
+                    edr[C - k - 1] * sf * sf
+                    + wdti2 * fr[C - k - 1] * sf * maclaurin_series(tmp))
+            et = et + wdti1 * edt
+            er = er + wdti1 * edr
+            for k in range(1, C):
+                ft = ft.at[k].set((q_t[k - 1] * edt[k - 1] ** 2 - kt)
+                                  / q_t[k])
+                fr = fr.at[k].set((q_r[k - 1] * edr[k - 1] ** 2 - kt)
+                                  / q_r[k])
+            for k in range(C - 1):
+                tmp = wdti4 * edt[k + 1]
+                sf = jnp.exp(-tmp)
+                edt = edt.at[k].set(edt[k] * sf * sf + wdti2 * ft[k]
+                                    * sf * maclaurin_series(tmp))
+                ft = ft.at[k + 1].set((q_t[k] * edt[k] ** 2 - kt)
+                                      / q_t[k + 1])
+                tmp = wdti4 * edr[k + 1]
+                sf = jnp.exp(-tmp)
+                edr = edr.at[k].set(edr[k] * sf * sf + wdti2 * fr[k]
+                                    * sf * maclaurin_series(tmp))
+                fr = fr.at[k + 1].set((q_r[k] * edr[k] ** 2 - kt)
+                                      / q_r[k + 1])
+            edt = edt.at[C - 1].add(wdti2 * ft[C - 1])
+            edr = edr.at[C - 1].add(wdti2 * fr[C - 1])
+        return fst.replace(eta_t=et, eta_r=er, eta_dot_t=edt,
+                           eta_dot_r=edr, f_eta_t=ft, f_eta_r=fr)
+
+    # -------------------------------------------------------- integration
+    def setup_post_force(self, s, fstate, ctx, xin=None):
+        """FixRigidNH::setup — refresh conjqm from the (possibly velocity-
+        projected) angmom, then project atom velocities."""
+        s, fst = super().setup_post_force(s, fstate, ctx, xin)
+        rot = quat_to_mat(fst.quat)
+        mbody = jnp.einsum("nji,nj->ni", rot, fst.angmom)
+        return s, fst.replace(conjqm=2.0 * quatvec(fst.quat, mbody))
+
+    def initial_integrate(self, s, fstate, ctx):
+        fst = fstate
+        body, disp = self._atom_body(s, fst)
+        dtv = ctx.dt
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        dtq = 0.5 * ctx.dt
+        fcm, torque = self._fcm_torque(s, fst, body)
+
+        scale_t = jnp.exp(-dtq * fst.eta_dot_t[0])
+        scale_r = jnp.exp(-dtq * fst.eta_dot_r[0])
+
+        # step 1.1-1.2: vcm half kick + thermostat scale; xcm drift
+        vcm = (fst.vcm + (dtf / fst.masstotal)[:, None] * fcm) * scale_t
+        akin_t = jnp.sum(fst.masstotal * jnp.sum(vcm * vcm, axis=1))
+        xcm = fst.xcm + dtv * vcm
+
+        # step 1.3: torque onto conjugate quaternion momentum
+        rot = quat_to_mat(fst.quat)
+        tbody = jnp.einsum("nji,nj->ni", rot, torque)
+        fquat = quatvec(fst.quat, tbody)
+        conjqm = (fst.conjqm + 2.0 * dtf * fquat) * scale_r
+
+        # steps 1.4-1.13: no-squish 3,2,1,2,3 free-rotor factorization
+        quat = fst.quat
+        for k, dt_k in ((3, dtq), (2, dtq), (1, dtv), (2, dtq), (3, dtq)):
+            conjqm, quat = no_squish_rotate(k, conjqm, quat,
+                                            fst.inertia, dt_k)
+        rot = quat_to_mat(quat)
+        angmom = 0.5 * jnp.einsum("nij,nj->ni", rot,
+                                  invquatvec(quat, conjqm))
+        omega = angmom_to_omega(angmom, rot, fst.inertia)
+        akin_r = jnp.sum(angmom * omega)
+
+        fst = fst.replace(vcm=vcm, xcm=xcm, quat=quat, conjqm=conjqm,
+                          angmom=angmom, omega=omega)
+        fst = self._nhc_temp(fst, akin_t, akin_r, ctx)
+        return self._set_xv(s, fst, ctx, body, disp, rot)
+
+    def final_integrate(self, s, fstate, ctx):
+        fst = fstate
+        body, disp = self._atom_body(s, fst)
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        dtq = 0.5 * ctx.dt
+        fcm, torque = self._fcm_torque(s, fst, body)
+
+        scale_t = jnp.exp(-dtq * fst.eta_dot_t[0])
+        scale_r = jnp.exp(-dtq * fst.eta_dot_r[0])
+
+        vcm = fst.vcm * scale_t + (dtf / fst.masstotal)[:, None] * fcm
+        rot = quat_to_mat(fst.quat)
+        tbody = jnp.einsum("nji,nj->ni", rot, torque)
+        fquat = quatvec(fst.quat, tbody)
+        conjqm = scale_r * fst.conjqm + 2.0 * dtf * fquat
+        angmom = 0.5 * jnp.einsum("nij,nj->ni", rot,
+                                  invquatvec(fst.quat, conjqm))
+        omega = angmom_to_omega(angmom, rot, fst.inertia)
+        fst = fst.replace(vcm=vcm, conjqm=conjqm, angmom=angmom,
+                          omega=omega)
 
         _, vnew = self._slave_v(s, fst, body, disp)
         vhalf = self._virial_half(s, ctx, vnew, s.v, body)

@@ -475,3 +475,157 @@ class FixShake(Fix):
         for lam, r in ((l01, r01), (l02, r02), (l03, r03)):
             virial = vtally(virial, lam, r)
         return f, virial
+
+
+class FixRattle(FixShake):
+    """fix rattle: SHAKE coordinate constraints + RATTLE velocity
+    constraints (src/RIGID/fix_rattle.cpp).
+
+    Hook mapping mirrors the reference's setmask (:103): the velocity
+    correction runs at POST_FORCE (vrattle* on the unconstrained
+    half-kick prediction vp = v + dtf*f/m, :147-175), and the SHAKE
+    coordinate constraint force moves to FINAL_INTEGRATE (:213-217) so
+    it lands in f *after* the integrator's final half kick — its effect
+    carries into the next step's initial_integrate, while this step's
+    velocities are corrected directly.  Per the reference docs, list
+    `fix rattle` after the integrator fix.
+
+    The per-cluster linear systems are solved exactly (solve2x2exactly /
+    solve3x3exactly), vectorized over clusters per category.
+    """
+
+    name = "rattle"
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        dtfv = 0.5 * ctx.dt * ctx.units.ftm2v
+        invm = 1.0 / ctx.mass_per_atom(s)
+        vp = s.v + (dtfv * invm)[:, None] * s.f
+        v = s.v
+        box = s.box
+        remap = self._remap_fn(s, ctx)
+
+        def dvec(xa, xb):
+            return minimum_image(xa - xb, box)
+
+        dot = lambda a, b: jnp.sum(a * b, -1)  # noqa: E731
+
+        if len(self._c2):
+            i0, i1 = remap(self._c2[:, 0]), remap(self._c2[:, 1])
+            r01 = dvec(s.x[i1], s.x[i0])
+            vp01 = vp[i1] - vp[i0]
+            im0, im1 = invm[i0], invm[i1]
+            l01 = -dot(r01, vp01) / (dot(r01, r01) * (im0 + im1))
+            v = v.at[i0].add(-(im0 * l01)[:, None] * r01)
+            v = v.at[i1].add((im1 * l01)[:, None] * r01)
+
+        if len(self._c3):
+            i0 = remap(self._c3[:, 0]); i1 = remap(self._c3[:, 1])
+            i2 = remap(self._c3[:, 2])
+            r01 = dvec(s.x[i1], s.x[i0]); r02 = dvec(s.x[i2], s.x[i0])
+            vp01 = vp[i1] - vp[i0]; vp02 = vp[i2] - vp[i0]
+            im0, im1, im2 = invm[i0], invm[i1], invm[i2]
+            a11 = (im1 + im0) * dot(r01, r01)
+            a12 = im0 * dot(r01, r02)
+            a22 = (im0 + im2) * dot(r02, r02)
+            c1, c2 = -dot(vp01, r01), -dot(vp02, r02)
+            det = a11 * a22 - a12 * a12
+            l0 = (c1 * a22 - c2 * a12) / det
+            l1 = (a11 * c2 - a12 * c1) / det
+            v = v.at[i0].add(-im0[:, None] * (l0[:, None] * r01
+                                              + l1[:, None] * r02))
+            v = v.at[i1].add(im1[:, None] * l0[:, None] * r01)
+            v = v.at[i2].add(im2[:, None] * l1[:, None] * r02)
+
+        if len(self._c3a):
+            i0 = remap(self._c3a[:, 0]); i1 = remap(self._c3a[:, 1])
+            i2 = remap(self._c3a[:, 2])
+            r01 = dvec(s.x[i1], s.x[i0]); r02 = dvec(s.x[i2], s.x[i0])
+            r12 = dvec(s.x[i2], s.x[i1])
+            vp01 = vp[i1] - vp[i0]; vp02 = vp[i2] - vp[i0]
+            vp12 = vp[i2] - vp[i1]
+            im0, im1, im2 = invm[i0], invm[i1], invm[i2]
+            a = [[(im1 + im0) * dot(r01, r01),
+                  im0 * dot(r01, r02),
+                  -im1 * dot(r01, r12)],
+                 [None, (im0 + im2) * dot(r02, r02),
+                  im2 * dot(r02, r12)],
+                 [None, None, (im2 + im1) * dot(r12, r12)]]
+            a[1] = [a[0][1], a[1][1], a[1][2]]
+            a[2] = [a[0][2], a[1][2], a[2][2]]
+            c = [-dot(vp01, r01), -dot(vp02, r02), -dot(vp12, r12)]
+            l0, l1, l2 = self._cramer3(a, c)
+            v = v.at[i0].add(-im0[:, None] * (l0[:, None] * r01
+                                              + l1[:, None] * r02))
+            v = v.at[i1].add(-im1[:, None] * (-l0[:, None] * r01
+                                              + l2[:, None] * r12))
+            v = v.at[i2].add(-im2[:, None] * (-l1[:, None] * r02
+                                              - l2[:, None] * r12))
+
+        if len(self._c4):
+            i0 = remap(self._c4[:, 0]); i1 = remap(self._c4[:, 1])
+            i2 = remap(self._c4[:, 2]); i3 = remap(self._c4[:, 3])
+            r01 = dvec(s.x[i1], s.x[i0]); r02 = dvec(s.x[i2], s.x[i0])
+            r03 = dvec(s.x[i3], s.x[i0])
+            vp01 = vp[i1] - vp[i0]; vp02 = vp[i2] - vp[i0]
+            vp03 = vp[i3] - vp[i0]
+            im0, im1 = invm[i0], invm[i1]
+            im2, im3 = invm[i2], invm[i3]
+            a = [[(im0 + im1) * dot(r01, r01), im0 * dot(r01, r02),
+                  im0 * dot(r01, r03)],
+                 [None, (im0 + im2) * dot(r02, r02), im0 * dot(r02, r03)],
+                 [None, None, (im0 + im3) * dot(r03, r03)]]
+            a[1] = [a[0][1], a[1][1], a[1][2]]
+            a[2] = [a[0][2], a[1][2], a[2][2]]
+            c = [-dot(vp01, r01), -dot(vp02, r02), -dot(vp03, r03)]
+            l0, l1, l2 = self._cramer3(a, c)
+            v = v.at[i0].add(-im0[:, None] * (l0[:, None] * r01
+                                              + l1[:, None] * r02
+                                              + l2[:, None] * r03))
+            v = v.at[i1].add(im1[:, None] * l0[:, None] * r01)
+            v = v.at[i2].add(im2[:, None] * l1[:, None] * r02)
+            v = v.at[i3].add(im3[:, None] * l2[:, None] * r03)
+
+        return s.replace(v=v), fstate
+
+    def final_integrate(self, s, fstate, ctx):
+        """FixRattle::final_integrate — SHAKE coordinate constraint force
+        (lands after the integrator's final kick; effective next step).
+        RATTLE keeps the HALF dtfsq prefactor (fix_shake.cpp:485-486:
+        `if (!rattle) dtfsq = dt*dt*ftm2v`): with velocities already
+        corrected, the constraint force enters the next position update
+        only through the drift term."""
+        s, virial = self._apply(
+            s, ctx, 0.5 * ctx.dt * ctx.dt * ctx.units.ftm2v)
+        return s, virial
+
+    def _remap_fn(self, s, ctx):
+        if getattr(self, "_tagspace", False):
+            npad = s.x.shape[0]
+            n = ctx.natoms
+            tgt = jnp.where(s.tag > 0, s.tag - 1, n)
+            slotmap = jnp.zeros((n,), jnp.int32).at[tgt].set(
+                jnp.arange(npad, dtype=jnp.int32), mode="drop")
+            return lambda a: slotmap[jnp.asarray(a)]
+        return jnp.asarray
+
+    @staticmethod
+    def _cramer3(a, c):
+        """Exact 3x3 solve (solve3x3exactly), vectorized over clusters."""
+        det = (a[0][0] * a[1][1] * a[2][2] + a[0][1] * a[1][2] * a[2][0]
+               + a[0][2] * a[1][0] * a[2][1]
+               - a[0][0] * a[1][2] * a[2][1] - a[0][1] * a[1][0] * a[2][2]
+               - a[0][2] * a[1][1] * a[2][0])
+        dinv = 1.0 / det
+        ai = [
+            [dinv * (a[1][1] * a[2][2] - a[1][2] * a[2][1]),
+             -dinv * (a[0][1] * a[2][2] - a[0][2] * a[2][1]),
+             dinv * (a[0][1] * a[1][2] - a[0][2] * a[1][1])],
+            [-dinv * (a[1][0] * a[2][2] - a[1][2] * a[2][0]),
+             dinv * (a[0][0] * a[2][2] - a[0][2] * a[2][0]),
+             -dinv * (a[0][0] * a[1][2] - a[0][2] * a[1][0])],
+            [dinv * (a[1][0] * a[2][1] - a[1][1] * a[2][0]),
+             -dinv * (a[0][0] * a[2][1] - a[0][1] * a[2][0]),
+             dinv * (a[0][0] * a[1][1] - a[0][1] * a[1][0])],
+        ]
+        return [ai[k][0] * c[0] + ai[k][1] * c[1] + ai[k][2] * c[2]
+                for k in range(3)]

@@ -276,7 +276,7 @@ class Simulation:
         # their types so topology lists skip them)
         excl = {"bond": set(), "angle": set()}
         for fx in self.fixes:
-            if getattr(fx, "name", "") == "shake":
+            if getattr(fx, "name", "") in ("shake", "rattle"):
                 # (re)build with the post-sort atom ordering
                 fx.build_clusters(self, row_of_tag)
                 excl["bond"].update(fx.excl_bond_rows)

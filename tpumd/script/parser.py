@@ -420,7 +420,8 @@ class LammpsScript:
         # clusters must be identified now to know their count
         fix_dof = 0
         for fx in sim.fixes:
-            if getattr(fx, "name", "") == "shake" and not fx._built:
+            if getattr(fx, "name", "") in ("shake", "rattle") \
+                    and not fx._built:
                 n = sim.natoms
                 row_of_tag = np.zeros(n + 1, dtype=np.int64)
                 row_of_tag[np.asarray(sim.state.tag)] = np.arange(n)
@@ -585,7 +586,7 @@ class LammpsScript:
             if group != "all":
                 if group not in sim.groups:
                     raise ScriptError(f"undefined group {group!r}")
-                if style == "shake":
+                if style in ("shake", "rattle"):
                     raise ScriptError(
                         f"fix {style} on a subgroup not supported yet")
                 fx.groupbit = sim.groups[group]
@@ -602,19 +603,46 @@ class LammpsScript:
                 damp=float(args[2]), seed=int(args[3])))
         elif style in ("nvt", "npt", "nph"):
             sim.fixes.append(self._parse_nh(style, args))
-        elif style == "shake":
-            from tpumd.md.fix_shake import FixShake
-            sim.fixes.append(FixShake.parse(args))
-        elif style in ("rigid", "rigid/nve"):
-            from tpumd.md.fix_rigid import FixRigid
+        elif style in ("shake", "rattle"):
+            from tpumd.md.fix_shake import FixShake, FixRattle
+            cls = FixRattle if style == "rattle" else FixShake
+            sim.fixes.append(cls.parse(args))
+        elif style in ("rigid", "rigid/nve", "rigid/small",
+                       "rigid/nve/small", "rigid/nvt", "rigid/nvt/small"):
+            from tpumd.md.fix_rigid import FixRigid, FixRigidNVT
             bstyle = args[0]
             groups = []
+            rest = args[1:]
             if bstyle == "group":
                 n = int(args[1])
                 groups = list(args[2:2 + n])
+                rest = args[2 + n:]
             elif bstyle not in ("single", "molecule"):
                 raise ScriptError(f"fix rigid style {bstyle!r} unsupported")
-            sim.fixes.append(FixRigid(style=bstyle, groups=groups))
+            kw = {}
+            i = 0
+            while i < len(rest):
+                if rest[i] == "temp":
+                    kw.update(t_start=float(rest[i + 1]),
+                              t_stop=float(rest[i + 2]),
+                              t_period=float(rest[i + 3]))
+                    i += 4
+                elif rest[i] == "tparam":
+                    kw.update(t_chain=int(rest[i + 1]),
+                              t_iter=int(rest[i + 2]),
+                              t_order=int(rest[i + 3]))
+                    i += 4
+                else:
+                    raise ScriptError(
+                        f"fix rigid keyword {rest[i]!r} unsupported")
+            if "/nvt" in style:
+                sim.fixes.append(FixRigidNVT(style=bstyle, groups=groups,
+                                             **kw))
+            else:
+                if kw:
+                    raise ScriptError(
+                        "fix rigid(/nve) does not take temp/tparam")
+                sim.fixes.append(FixRigid(style=bstyle, groups=groups))
         elif style == "setforce":
             from tpumd.md.fix_misc import FixSetForce
             vals = [None if v == "NULL" else float(v) for v in args[:3]]
