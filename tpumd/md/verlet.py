@@ -116,6 +116,11 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             energies["evdwl"] = evdwl
             if ecoul is not None:
                 energies["ecoul"] = ecoul
+            if s.q is not None and hasattr(ctx.pair, "ecoul_self"):
+                # per-atom self-energy tally (coul/dsf:37, coul/wolf);
+                # padded slots carry q=0 and contribute nothing
+                energies["ecoul"] = (energies["ecoul"]
+                                     + ctx.pair.ecoul_self(s.q))
         if vflag:
             virial = virial + vir
 

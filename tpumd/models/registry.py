@@ -68,3 +68,4 @@ def _ensure_imports():
     import tpumd.models.pair_hybrid  # noqa: F401
     import tpumd.models.pair_gran  # noqa: F401
     import tpumd.models.pair_table  # noqa: F401
+    import tpumd.models.pair_breadth2  # noqa: F401

@@ -25,6 +25,10 @@ class Units:
     skin: float        # default neighbor skin
     # time unit in femtoseconds (for ns/day style reporting); 0 => reduced ("tau")
     femtosecond: float = 0.0
+    # length of 1 Angstrom / charge of 1 electron in these units
+    # (src/update.cpp force->angstrom / force->qelectron)
+    angstrom: float = 1.0
+    qelectron: float = 1.0
 
 
 _UNITS = {
@@ -48,26 +52,31 @@ _UNITS = {
         name="si", boltz=1.3806504e-23, hplanck=6.62606896e-34, mvv2e=1.0,
         ftm2v=1.0, mv2d=1.0, nktv2p=1.0, qqr2e=8.9876e9, qe2f=1.0,
         dt=1.0e-8, skin=0.001, femtosecond=1.0e-15,
+        angstrom=1.0e-10, qelectron=1.6021765e-19,
     ),
     "cgs": Units(
         name="cgs", boltz=1.3806504e-16, hplanck=6.62606896e-27, mvv2e=1.0,
         ftm2v=1.0, mv2d=1.0, nktv2p=1.0, qqr2e=1.0, qe2f=1.0,
         dt=1.0e-8, skin=0.1, femtosecond=1.0e-15,
+        angstrom=1.0e-8, qelectron=4.8032044e-10,
     ),
     "electron": Units(
         name="electron", boltz=3.16681534e-6, hplanck=0.1519829846,
         mvv2e=1.06657236, ftm2v=0.937582899, mv2d=1.0, nktv2p=2.94210108e13,
         qqr2e=1.0, qe2f=1.94469051e-10, dt=0.001, skin=2.0, femtosecond=1.0,
+        angstrom=1.88972612,
     ),
     "micro": Units(
         name="micro", boltz=1.3806504e-8, hplanck=6.62606896e-13, mvv2e=1.0,
         ftm2v=1.0, mv2d=1.0, nktv2p=1.0, qqr2e=8.987556e6, qe2f=1.0,
         dt=2.0, skin=0.1, femtosecond=1.0e-9,
+        angstrom=1.0e-4, qelectron=1.6021765e-7,
     ),
     "nano": Units(
         name="nano", boltz=0.013806504, hplanck=6.62606896e-4, mvv2e=1.0,
         ftm2v=1.0, mv2d=1.0, nktv2p=1.0, qqr2e=230.7078669, qe2f=1.0,
         dt=0.00045, skin=0.1, femtosecond=1.0e-6,
+        angstrom=1.0e-1,
     ),
 }
 
