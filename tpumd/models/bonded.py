@@ -757,3 +757,387 @@ class AngleCosineSquared(AngleStyle):
         ed = {self.energy_key: e} if eflag else None
         vp = [(d1, f1), (d2, f3)] if vflag else None
         return [f1, f2, f3], ed, vp, None
+
+
+@register_bonded("bond", "fene/expand")
+class BondFENEExpand(BondStyle):
+    """FENE with a shift delta: the spring and LJ act on r - delta
+    (src/MOLECULE/bond_fene_expand.cpp)."""
+
+    name = "fene/expand"
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+        self.r0 = np.zeros(ntypes + 1)
+        self.epsilon = np.zeros(ntypes + 1)
+        self.sigma = np.zeros(ntypes + 1)
+        self.shift = np.zeros(ntypes + 1)
+
+    def coeff(self, btype, k, r0, epsilon, sigma, shift):
+        self.k[btype] = k
+        self.r0[btype] = r0
+        self.epsilon[btype] = epsilon
+        self.sigma[btype] = sigma
+        self.shift[btype] = shift
+
+    def bond_fn(self, r2, btype):
+        dt = r2.dtype
+        k = jnp.asarray(self.k, dt)[btype]
+        r0 = jnp.asarray(self.r0, dt)[btype]
+        eps = jnp.asarray(self.epsilon, dt)[btype]
+        sig = jnp.asarray(self.sigma, dt)[btype]
+        sh = jnp.asarray(self.shift, dt)[btype]
+        r = jnp.sqrt(r2)
+        rshift = r - sh
+        rshiftsq = rshift * rshift
+        r0sq = r0 * r0
+        rlogarg = jnp.maximum(1.0 - rshiftsq / r0sq, 0.1)
+        rs = jnp.maximum(r, 1e-30)
+        fbond = -k * rshift / rlogarg / rs
+        ebond = -0.5 * k * r0sq * jnp.log(rlogarg)
+        sr2 = sig * sig / jnp.maximum(rshiftsq, 1e-30)
+        sr6 = sr2 * sr2 * sr2
+        inside = rshiftsq < jnp.power(2.0, 1.0 / 3.0) * sig * sig
+        fbond = fbond + jnp.where(
+            inside, 48.0 * eps * sr6 * (sr6 - 0.5)
+            / jnp.where(rshift == 0, 1.0, rshift) / rs, 0.0)
+        ebond = ebond + jnp.where(
+            inside, 4.0 * eps * sr6 * (sr6 - 1.0) + eps, 0.0)
+        return fbond, ebond
+
+
+@register_bonded("bond", "zero")
+class BondZero(BondStyle):
+    """Topology-only placeholder (src/bond_zero.cpp)."""
+
+    name = "zero"
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.r0 = np.zeros(ntypes + 1)  # for shake compatibility
+
+    def coeff(self, btype, *vals):
+        if vals:
+            self.r0[btype] = vals[0]
+
+    def bond_fn(self, r2, btype):
+        z = jnp.zeros_like(r2)
+        return z, z
+
+
+@register_bonded("angle", "zero")
+class AngleZero(AngleStyle):
+    """Topology-only placeholder (src/angle_zero.cpp)."""
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.theta0 = np.zeros(ntypes + 1)
+
+    def coeff(self, atype, *vals):
+        if vals:
+            self.theta0[atype] = float(vals[0]) * np.pi / 180.0
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        z3 = [jnp.zeros_like(xs[0])] * 3
+        e = jnp.zeros(xs[0].shape[:-1], xs[0].dtype)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(xs[0], z3[0])] if vflag else None
+        return z3, ed, vp, None
+
+
+# ------------------------------------------------------------------ sbs
+# the reference's second dihedral formulation (opls/multi-harmonic/cvff):
+# two bond angles (c1mag, c2mag) + their sines, assembled via a11..a23
+# (src/MOLECULE/dihedral_opls.cpp:120-210)
+
+_SBS_SMALL = 0.001
+
+
+def _sbs_geometry(xs, box):
+    x1, x2, x3, x4 = xs
+    vb1 = _mi(x1 - x2, box)
+    vb2 = _mi(x3 - x2, box)
+    vb2m = -vb2
+    vb3 = _mi(x4 - x3, box)
+    dot = lambda a, b: jnp.sum(a * b, -1)  # noqa: E731
+    sb1 = 1.0 / jnp.maximum(dot(vb1, vb1), 1e-30)
+    sb2 = 1.0 / jnp.maximum(dot(vb2, vb2), 1e-30)
+    sb3 = 1.0 / jnp.maximum(dot(vb3, vb3), 1e-30)
+    rb1 = jnp.sqrt(sb1)
+    rb3 = jnp.sqrt(sb3)
+    c0 = dot(vb1, vb3) * rb1 * rb3
+    b1mag = jnp.sqrt(dot(vb1, vb1))
+    b2mag = jnp.sqrt(dot(vb2, vb2))
+    b3mag = jnp.sqrt(dot(vb3, vb3))
+    r12c1 = 1.0 / jnp.maximum(b1mag * b2mag, 1e-30)
+    c1mag = dot(vb1, vb2) * r12c1
+    r12c2 = 1.0 / jnp.maximum(b2mag * b3mag, 1e-30)
+    c2mag = dot(vb2m, vb3) * r12c2
+    sc1 = jnp.sqrt(jnp.maximum(1.0 - c1mag * c1mag, 0.0))
+    sc1 = 1.0 / jnp.maximum(sc1, _SBS_SMALL)
+    sc2 = jnp.sqrt(jnp.maximum(1.0 - c2mag * c2mag, 0.0))
+    sc2 = 1.0 / jnp.maximum(sc2, _SBS_SMALL)
+    s1 = sc1 * sc1
+    s2 = sc2 * sc2
+    s12 = sc1 * sc2
+    c = jnp.clip((c0 + c1mag * c2mag) * s12, -1.0, 1.0)
+    return (vb1, vb2, vb2m, vb3, sb1, sb2, sb3, rb1, rb3, c0,
+            r12c1, r12c2, c1mag, c2mag, s1, s2, s12, c)
+
+
+def _sbs_forces(geo, a):
+    """Force assembly given a = dE/dc (dihedral_opls.cpp:183-210)."""
+    (vb1, vb2, vb2m, vb3, sb1, sb2, sb3, rb1, rb3, c0,
+     r12c1, r12c2, c1mag, c2mag, s1, s2, s12, c) = geo
+    c = c * a
+    s12 = s12 * a
+    a11 = c * sb1 * s1
+    a22 = -sb2 * (2.0 * c0 * s12 - c * (s1 + s2))
+    a33 = c * sb3 * s2
+    a12 = -r12c1 * (c1mag * c * s1 + c2mag * s12)
+    a13 = -rb1 * rb3 * s12
+    a23 = r12c2 * (c2mag * c * s2 + c1mag * s12)
+    sx2 = (a12[..., None] * vb1 + a22[..., None] * vb2
+           + a23[..., None] * vb3)
+    f1 = a11[..., None] * vb1 + a12[..., None] * vb2 + a13[..., None] * vb3
+    f2 = -sx2 - f1
+    f4 = a13[..., None] * vb1 + a23[..., None] * vb2 + a33[..., None] * vb3
+    f3 = sx2 - f4
+    return f1, f2, f3, f4
+
+
+@register_bonded("dihedral", "opls")
+class DihedralOPLS(DihedralStyle):
+    """OPLS: E = 1/2[K1(1+cos p) + K2(1-cos 2p) + K3(1+cos 3p)
+    + K4(1-cos 4p)] (src/MOLECULE/dihedral_opls.cpp; the 1/2 is folded
+    into the stored coefficients per coeff :282)."""
+
+    _SMALLER = 0.00001
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros((4, ntypes + 1))
+
+    def coeff(self, dtype_, k1, k2, k3, k4):
+        self.k[:, dtype_] = 0.5 * np.array([k1, k2, k3, k4])
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        dt_ = xs[0].dtype
+        geo = _sbs_geometry(xs, box)
+        c = geo[-1]
+        k1 = jnp.asarray(self.k[0], dt_)[ttype]
+        k2 = jnp.asarray(self.k[1], dt_)[ttype]
+        k3 = jnp.asarray(self.k[2], dt_)[ttype]
+        k4 = jnp.asarray(self.k[3], dt_)[ttype]
+        phi = jnp.arccos(c)
+        si = jnp.sin(phi)
+        si = jnp.where(jnp.abs(si) < self._SMALLER, self._SMALLER, si)
+        siinv = 1.0 / si
+        p = (k1 * (1.0 + c) + k2 * (1.0 - jnp.cos(2.0 * phi))
+             + k3 * (1.0 + jnp.cos(3.0 * phi))
+             + k4 * (1.0 - jnp.cos(4.0 * phi)))
+        pd = (k1 - 2.0 * k2 * jnp.sin(2.0 * phi) * siinv
+              + 3.0 * k3 * jnp.sin(3.0 * phi) * siinv
+              - 4.0 * k4 * jnp.sin(4.0 * phi) * siinv)
+        f1, f2, f3, f4 = _sbs_forces(geo, pd)
+        vb1, vb2, vb3 = geo[0], geo[1], geo[3]
+        ed = {self.energy_key: p} if eflag else None
+        vp = [(vb1, f1), (vb2, f3), (vb3 + vb2, f4)] if vflag else None
+        return [f1, f2, f3, f4], ed, vp, None
+
+
+@register_bonded("dihedral", "multi/harmonic")
+class DihedralMultiHarmonic(DihedralStyle):
+    """E = sum_{n=1..5} A_n cos^{n-1}(phi)
+    (src/MOLECULE/dihedral_multi_harmonic.cpp:160-178)."""
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.a = np.zeros((5, ntypes + 1))
+
+    def coeff(self, dtype_, a1, a2, a3, a4, a5):
+        self.a[:, dtype_] = (a1, a2, a3, a4, a5)
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        dt_ = xs[0].dtype
+        geo = _sbs_geometry(xs, box)
+        c = geo[-1]
+        a1 = jnp.asarray(self.a[0], dt_)[ttype]
+        a2 = jnp.asarray(self.a[1], dt_)[ttype]
+        a3 = jnp.asarray(self.a[2], dt_)[ttype]
+        a4 = jnp.asarray(self.a[3], dt_)[ttype]
+        a5 = jnp.asarray(self.a[4], dt_)[ttype]
+        p = a1 + c * (a2 + c * (a3 + c * (a4 + c * a5)))
+        pd = a2 + c * (2.0 * a3 + c * (3.0 * a4 + c * 4.0 * a5))
+        f1, f2, f3, f4 = _sbs_forces(geo, pd)
+        vb1, vb2, vb3 = geo[0], geo[1], geo[3]
+        ed = {self.energy_key: p} if eflag else None
+        vp = [(vb1, f1), (vb2, f3), (vb3 + vb2, f4)] if vflag else None
+        return [f1, f2, f3, f4], ed, vp, None
+
+
+@register_bonded("dihedral", "zero")
+class DihedralZero(DihedralStyle):
+    """Topology-only placeholder (src/dihedral_zero.cpp)."""
+
+    def coeff(self, dtype_, *vals):
+        pass
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        z = [jnp.zeros_like(xs[0])] * 4
+        e = jnp.zeros(xs[0].shape[:-1], xs[0].dtype)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(xs[0], z[0])] if vflag else None
+        return z, ed, vp, None
+
+
+@register_bonded("improper", "cvff")
+class ImproperCVFF(ImproperStyle):
+    """E = K[1 + d cos(n omega)] on the dihedral-like improper angle
+    (src/MOLECULE/improper_cvff.cpp:155-230)."""
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+        self.sign = np.zeros(ntypes + 1)
+        self.mult = np.zeros(ntypes + 1, dtype=np.int32)
+
+    def coeff(self, itype, k, d, n):
+        self.k[itype] = k
+        self.sign[itype] = d
+        self.mult[itype] = int(n)
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        dt_ = xs[0].dtype
+        geo = _sbs_geometry(xs, box)
+        c = geo[-1]
+        k = jnp.asarray(self.k, dt_)[ttype]
+        sign = jnp.asarray(self.sign, dt_)[ttype]
+        m = jnp.asarray(self.mult)[ttype]
+        rc2 = c * c
+        # p = 1 +/- cos(n*omega), pd = dp/dc / 2, per multiplicity
+        p_tab = [2.0 * jnp.ones_like(c),                       # m=0
+                 c + 1.0,                                      # m=1
+                 2.0 * rc2,                                    # m=2
+                 (4.0 * rc2 - 3.0) * c + 1.0,                  # m=3
+                 8.0 * (rc2 - 1.0) * rc2 + 2.0,                # m=4
+                 ((16.0 * rc2 - 20.0) * rc2 + 5.0) * c + 1.0,  # m=5
+                 ((32.0 * rc2 - 48.0) * rc2 + 18.0) * rc2]     # m=6
+        pd_tab = [jnp.zeros_like(c),
+                  0.5 * jnp.ones_like(c),
+                  2.0 * c,
+                  6.0 * rc2 - 1.5,
+                  (16.0 * rc2 - 8.0) * c,
+                  (40.0 * rc2 - 30.0) * rc2 + 2.5,
+                  (96.0 * (rc2 - 1.0) * rc2 + 18.0) * c]
+        p = jnp.zeros_like(c)
+        pd = jnp.zeros_like(c)
+        for mm in range(7):
+            p = jnp.where(m == mm, p_tab[mm], p)
+            pd = jnp.where(m == mm, pd_tab[mm], pd)
+        neg = sign < 0
+        p = jnp.where(neg, 2.0 - p, p)
+        pd = jnp.where(neg, -pd, pd)
+        e = k * p
+        f1, f2, f3, f4 = _sbs_forces(geo, 2.0 * k * pd)
+        vb1, vb2, vb3 = geo[0], geo[1], geo[3]
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(vb1, f1), (vb2, f3), (vb3 + vb2, f4)] if vflag else None
+        return [f1, f2, f3, f4], ed, vp, None
+
+
+@register_bonded("improper", "umbrella")
+class ImproperUmbrella(ImproperStyle):
+    """Wilson out-of-plane umbrella (DREIDING inversion),
+    src/MOLECULE/improper_umbrella.cpp:40-240.  Atom 1 is the center;
+    E = K(1-cos w) for w0=0 else 0.5 C (cos w - cos w0)^2."""
+
+    _SMALL = 0.001
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.kw = np.zeros(ntypes + 1)
+        self.w0 = np.zeros(ntypes + 1)
+        self.C = np.zeros(ntypes + 1)
+
+    def coeff(self, itype, k, w0_deg):
+        w = w0_deg * np.pi / 180.0
+        self.kw[itype] = k
+        self.w0[itype] = w
+        # C = k/sin(w0)^2 (coeff :269)
+        self.C[itype] = k / (np.sin(w) ** 2) if w != 0.0 else k
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        dt_ = xs[0].dtype
+        x1, x2, x3, x4 = xs
+        vb1 = _mi(x2 - x1, box)
+        vb2 = _mi(x3 - x1, box)
+        vb3 = _mi(x4 - x1, box)
+        dot = lambda a, b: jnp.sum(a * b, -1)  # noqa: E731
+        a_v = jnp.cross(vb1, vb2)
+        ra = jnp.maximum(jnp.sqrt(dot(a_v, a_v)), self._SMALL)
+        rh = jnp.maximum(jnp.sqrt(dot(vb3, vb3)), self._SMALL)
+        ar = a_v / ra[..., None]
+        hr = vb3 / rh[..., None]
+        c = jnp.clip(dot(ar, hr), -1.0, 1.0)
+        sv = jnp.maximum(jnp.sqrt(1.0 - c * c), self._SMALL)
+        cotphi = c / sv
+        projhfg = (dot(vb3, vb1) / jnp.maximum(jnp.sqrt(dot(vb1, vb1)),
+                                               1e-30)
+                   + dot(vb3, vb2) / jnp.maximum(jnp.sqrt(dot(vb2, vb2)),
+                                                 1e-30))
+        flip = projhfg > 0.0
+        sv = jnp.where(flip, -sv, sv)
+        cotphi = jnp.where(flip, -cotphi, cotphi)
+
+        kw = jnp.asarray(self.kw, dt_)[ttype]
+        w0 = jnp.asarray(self.w0, dt_)[ttype]
+        cc = jnp.asarray(self.C, dt_)[ttype]
+        is_flat = w0 == 0.0
+        domega = sv - jnp.cos(w0)
+        a_half = 0.5 * cc * domega
+        e = jnp.where(is_flat, kw * (1.0 - sv), a_half * domega)
+        a = jnp.where(is_flat, -kw, 2.0 * a_half) * cotphi
+
+        dha = hr - c[..., None] * ar
+        dah = ar - c[..., None] * hr
+        rar = (1.0 / ra)[..., None]
+        rhr = (1.0 / rh)[..., None]
+        f2 = jnp.cross(dha, vb1) * rar * a[..., None]
+        f3 = -jnp.cross(dha, vb2) * rar * a[..., None]
+        f4 = dah * rhr * a[..., None]
+        f1 = -(f2 + f3 + f4)
+        ed = {self.energy_key: e} if eflag else None
+        # NOTE the reference applies f3 to atom i2 and f2 to atom i3
+        # (:196-215) and tallies the virial on RE-computed standard
+        # dihedral bond vectors with (f1, f2, f4) (:218-233)
+        vp = None
+        if vflag:
+            vb1s = _mi(x1 - x2, box)
+            vb2s = _mi(x3 - x2, box)
+            vb3s = _mi(x4 - x3, box)
+            vp = [(vb1s, f1), (vb2s, f2), (vb3s + vb2s, f4)]
+        return [f1, f3, f2, f4], ed, vp, None
+
+
+@register_bonded("improper", "zero")
+class ImproperZero(ImproperStyle):
+    """Topology-only placeholder (src/improper_zero.cpp)."""
+
+    def coeff(self, itype, *vals):
+        pass
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        z = [jnp.zeros_like(xs[0])] * 4
+        e = jnp.zeros(xs[0].shape[:-1], xs[0].dtype)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(xs[0], z[0])] if vflag else None
+        return z, ed, vp, None
