@@ -53,3 +53,15 @@ def test_fene_expand():
     assert v["emol"] == pytest.approx(23.004384, rel=1e-6)
     assert v["etotal"] == pytest.approx(30.137054, rel=1e-6)
     assert v["press"] == pytest.approx(12.16425, rel=1e-5)
+
+
+def test_bonded_hybrids():
+    """bond/angle/dihedral/improper hybrid multiplexers
+    (src/bond_hybrid.cpp etc.): two sub-styles per kind routed by bonded
+    type, golden vs the reference binary."""
+    v = run_deck("in.hyb")
+    assert v["temp"] == pytest.approx(359.54147, rel=1e-6)
+    assert v["epair"] == pytest.approx(-1.2371373, rel=1e-6)
+    assert v["emol"] == pytest.approx(1076.9249, rel=1e-6)
+    assert v["etotal"] == pytest.approx(1190.3624, rel=1e-6)
+    assert v["press"] == pytest.approx(220.39869, rel=1e-5)

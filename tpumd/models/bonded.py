@@ -1141,3 +1141,130 @@ class ImproperZero(ImproperStyle):
         ed = {self.energy_key: e} if eflag else None
         vp = [(xs[0], z[0])] if vflag else None
         return z, ed, vp, None
+
+
+# ------------------------------------------------------------------ hybrid
+# per-kind hybrid multiplexers (src/bond_hybrid.cpp, angle_hybrid.cpp,
+# dihedral_hybrid.cpp, improper_hybrid.cpp): each bonded type maps to one
+# sub-style; coeff lines route by sub-style name.  Sub-styles evaluate on
+# the full tuple set with a per-type activation mask (masked selects, the
+# same trick as pair hybrid).
+
+class _BondedHybridMixin:
+    def _init_hybrid(self, ntypes, sub_names):
+        from tpumd.models.registry import create_bonded_style
+        self.sub_names = list(sub_names)
+        self.subs = [create_bonded_style(self.kind, n, ntypes)
+                     for n in self.sub_names]
+        self.type_map = np.full(ntypes + 1, -1, dtype=np.int32)
+
+    def coeff(self, btype, subname, *vals):
+        subname = str(subname)
+        if subname == "none":
+            self.type_map[btype] = -1
+            return
+        k = self.sub_names.index(subname)
+        self.type_map[btype] = k
+        self.subs[k].coeff(btype, *[float(v) for v in vals])
+
+    def init(self):
+        for s in self.subs:
+            s.init()
+
+
+@register_bonded("bond", "hybrid")
+class BondHybrid(_BondedHybridMixin, BondStyle):
+    """bond_style hybrid s1 s2 ... (src/bond_hybrid.cpp)."""
+
+    name = "hybrid"
+
+    def __init__(self, ntypes, sub_names=()):
+        BondStyle.__init__(self, ntypes)
+        self._init_hybrid(ntypes, sub_names)
+
+    @property
+    def r0(self):
+        """Equilibrium distances merged from sub-styles (for shake)."""
+        out = np.zeros(self.type_map.shape[0])
+        for t, k in enumerate(self.type_map):
+            if k >= 0 and hasattr(self.subs[k], "r0"):
+                out[t] = self.subs[k].r0[t]
+        return out
+
+    def bond_fn(self, r2, btype):
+        tm = jnp.asarray(self.type_map)[btype]
+        fb = jnp.zeros_like(r2)
+        eb = jnp.zeros_like(r2)
+        for k, s in enumerate(self.subs):
+            f_k, e_k = s.bond_fn(r2, btype)
+            sel = tm == k
+            fb = jnp.where(sel, f_k, fb)
+            eb = jnp.where(sel, e_k, eb)
+        return fb, eb
+
+
+class _TupleHybrid(_BondedHybridMixin):
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None):
+        tm = jnp.asarray(self.type_map)[ttype]
+        fl = None
+        ed_acc = None
+        vp_acc = []
+        extra = None
+        for k, sub in enumerate(self.subs):
+            sel = (tm == k)
+            sel3 = sel[..., None]
+            flist, ed, vp, ex = sub.tuple_terms(
+                xs, ttype, box, ctx, eflag, vflag, s=s, idx=idx,
+                mask=mask if mask is None else (mask & sel), role=role)
+            flist = [jnp.where(sel3, f, 0.0) for f in flist]
+            if fl is None:
+                fl = flist
+            else:
+                fl = [a + b for a, b in zip(fl, flist)]
+            if eflag and ed is not None:
+                if ed_acc is None:
+                    ed_acc = {}
+                for key, v in ed.items():
+                    v = jnp.where(sel, v, 0.0)
+                    ed_acc[key] = ed_acc.get(key, 0.0) + v
+            if vflag and vp is not None:
+                vp_acc.extend((r, jnp.where(sel3, f, 0.0)) for r, f in vp)
+            if ex is not None:
+                extra = ex  # only charmm produces extras; rare in hybrids
+        return fl, ed_acc, (vp_acc if vflag else None), extra
+
+
+@register_bonded("angle", "hybrid")
+class AngleHybrid(_TupleHybrid, AngleStyle):
+    name = "hybrid"
+
+    def __init__(self, ntypes, sub_names=()):
+        AngleStyle.__init__(self, ntypes)
+        self._init_hybrid(ntypes, sub_names)
+
+    @property
+    def theta0(self):
+        out = np.zeros(self.type_map.shape[0])
+        for t, k in enumerate(self.type_map):
+            if k >= 0 and hasattr(self.subs[k], "theta0"):
+                out[t] = self.subs[k].theta0[t]
+        return out
+
+
+@register_bonded("dihedral", "hybrid")
+class DihedralHybrid(_TupleHybrid, DihedralStyle):
+    name = "hybrid"
+
+    def __init__(self, ntypes, sub_names=()):
+        DihedralStyle.__init__(self, ntypes)
+        self._init_hybrid(ntypes, sub_names)
+
+
+@register_bonded("improper", "hybrid")
+class ImproperHybrid(_TupleHybrid, ImproperStyle):
+    name = "hybrid"
+
+    def __init__(self, ntypes, sub_names=()):
+        ImproperStyle.__init__(self, ntypes)
+        self._init_hybrid(ntypes, sub_names)

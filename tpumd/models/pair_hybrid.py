@@ -141,3 +141,59 @@ class PairHybrid(PairStyle):
 class PairHybridOverlay(PairHybrid):
     name = "hybrid/overlay"
     overlay = True
+
+
+@register_pair("hybrid/scaled")
+class PairHybridScaled(PairHybrid):
+    """hybrid/overlay with a scale factor before each sub-style
+    (src/pair_hybrid_scaled.cpp): forces/energies/virials of sub-style k
+    are multiplied by scale_k.  Constant scales only (the reference also
+    accepts equal-style variables, re-read each step)."""
+
+    name = "hybrid/scaled"
+    overlay = True
+
+    def settings(self, *args):
+        from tpumd.models.registry import _PAIR_STYLES
+        # every sub-style group is preceded by its numeric scale factor:
+        # a token directly before a style name that is not itself a style
+        # name is a scale
+        toks = list(args)
+        self.scales = []
+        filtered = []
+        i = 0
+        while i < len(toks):
+            tok = toks[i]
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if (isinstance(nxt, str) and nxt in _PAIR_STYLES
+                    and not (isinstance(tok, str) and tok in _PAIR_STYLES)):
+                self.scales.append(float(tok))
+                i += 1
+                continue
+            filtered.append(tok)
+            i += 1
+        super().settings(*filtered)
+        if len(self.scales) != len(self.subs):
+            raise ValueError("hybrid/scaled: need one scale per sub-style")
+
+    def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
+                eflag: bool, vflag: bool, q=None):
+        from tpumd.ops.pairwise import pair_sums
+        f = jnp.zeros_like(x)
+        ev = jnp.zeros((), x.dtype)
+        ec = jnp.zeros((), x.dtype)
+        vir = jnp.zeros((6,), x.dtype) if vflag else None
+        for scale, m in zip(self.scales, self.subs):
+            fn, fn_ex = m.wrap_pair_fn()
+            fs, e1, e2, v6 = pair_sums(
+                x, type_, box, idx, sbits, fn, special_lj, special_coul,
+                eflag, vflag, q=q, pair_fn_ex=fn_ex)
+            f = f + scale * fs
+            if eflag:
+                if e1 is not None:
+                    ev = ev + scale * e1
+                if e2 is not None:
+                    ec = ec + scale * e2
+            if vflag:
+                vir = vir + scale * v6
+        return f, (ev if eflag else None), (ec if eflag else None), vir

@@ -41,12 +41,14 @@ def create_pair_style(name: str, ntypes: int, args, units=None):
     return style
 
 
-def create_bonded_style(kind: str, name: str, ntypes: int):
+def create_bonded_style(kind: str, name: str, ntypes: int, args=()):
     _ensure_imports()
     table = {"bond": _BOND_STYLES, "angle": _ANGLE_STYLES,
              "dihedral": _DIHEDRAL_STYLES, "improper": _IMPROPER_STYLES}[kind]
     if name not in table:
         raise ValueError(f"Unknown {kind} style {name!r}")
+    if name == "hybrid":
+        return table[name](ntypes, sub_names=args)
     return table[name](ntypes)
 
 

@@ -460,8 +460,9 @@ class LammpsScript:
             if getattr(self, "_pending_pair_modify", None):
                 self._apply_pair_modify(sim.pair, self._pending_pair_modify)
                 self._pending_pair_modify = {}
-        for kind, name in list(getattr(self, "_pending_bonded", {}).items()):
-            self._add_bonded(kind, name)
+        for kind, spec in list(getattr(self, "_pending_bonded", {}).items()):
+            name, args = spec if isinstance(spec, tuple) else (spec, ())
+            self._add_bonded(kind, name, args)
         self._pending_bonded = {}
 
     def cmd_pair_coeff(self, a):
@@ -1201,41 +1202,49 @@ class LammpsScript:
                         style.coeff(int(r[0]), *[float(v) for v in r[1:]])
         self._data = d
 
-    def _add_bonded(self, kind, name):
+    def _add_bonded(self, kind, name, args=()):
         sim = self._require_sim()
         style = create_bonded_style(kind, name,
-                                    sim.bonded_ntypes.get(kind, 1))
+                                    sim.bonded_ntypes.get(kind, 1),
+                                    args=args)
         # replace existing style of same kind
         sim.bonded = [b for b in sim.bonded if b.kind != kind] + [style]
         return style
 
-    def _bonded_style_cmd(self, kind, name):
+    def _bonded_style_cmd(self, kind, name, args=()):
         if name == "none":
             return
         sim = self._require_sim()
         if kind not in sim.bonded_ntypes:   # before read_data: defer
             if not hasattr(self, "_pending_bonded"):
                 self._pending_bonded = {}
-            self._pending_bonded[kind] = name
+            self._pending_bonded[kind] = (name, tuple(args))
         else:
-            self._add_bonded(kind, name)
+            self._add_bonded(kind, name, args)
 
     def cmd_bond_style(self, a):
-        self._bonded_style_cmd("bond", a[0])
+        self._bonded_style_cmd("bond", a[0], a[1:])
 
     def cmd_angle_style(self, a):
-        self._bonded_style_cmd("angle", a[0])
+        self._bonded_style_cmd("angle", a[0], a[1:])
 
     def cmd_dihedral_style(self, a):
-        self._bonded_style_cmd("dihedral", a[0])
+        self._bonded_style_cmd("dihedral", a[0], a[1:])
 
     def cmd_improper_style(self, a):
-        self._bonded_style_cmd("improper", a[0])
+        self._bonded_style_cmd("improper", a[0], a[1:])
 
     def _bonded_coeff(self, kind, a):
         sim = self.sim
         style = next(b for b in sim.bonded if b.kind == kind)
-        style.coeff(int(a[0]), *[float(v) for v in a[1:]])
+
+        def conv(v):
+            try:
+                return float(v)
+            except ValueError:
+                return v  # hybrid sub-style name
+
+        style.coeff(int(a[0]), *[conv(v) for v in a[1:]])
 
     def cmd_bond_coeff(self, a):
         self._bonded_coeff("bond", a)
