@@ -120,3 +120,33 @@ def test_pair_charged(name):
     script = LammpsScript()
     script.run_string(CHARGED.format(ps=ps, coeffs=coeffs, kspace=kspace))
     check(script, want)
+
+
+def test_pppm_ad():
+    """kspace_modify diff ad: analytic-differentiation PPPM — qopt grid
+    selection, ad Green's function, single inverse FFT + derivative
+    weights + self-force correction (src/KSPACE/pppm.cpp
+    differentiation_flag==1).  Golden vs the reference binary."""
+    ps, coeffs, _, _ = CHARGED_CASES["coul/long"]
+    script = LammpsScript()
+    script.run_string(CHARGED.format(
+        ps=ps, coeffs=coeffs,
+        kspace="kspace_style pppm 1e-4\nkspace_modify diff ad\n"))
+    ks = script.sim.kspace
+    assert (ks.nx, ks.ny, ks.nz) == (24, 24, 24)  # reference grid
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(1.4370876, rel=1e-6)
+    assert v["epair"] == pytest.approx(0.83642431, rel=1e-6)
+    assert v["etotal"] == pytest.approx(2.9836353, rel=1e-6)
+    assert v["press"] == pytest.approx(1.4568225, rel=1e-5)
+
+
+def test_pppm_cg():
+    """kspace_style pppm/cg: identical physics to pppm (the reference
+    skips zero-charge atoms; the dense TPU path already does) — same
+    golden values as the pppm coul/long case."""
+    ps, coeffs, _, want = CHARGED_CASES["coul/long"]
+    script = LammpsScript()
+    script.run_string(CHARGED.format(
+        ps=ps, coeffs=coeffs, kspace="kspace_style pppm/cg 1e-4\n"))
+    check(script, want)

@@ -81,6 +81,7 @@ def _rho_coeff(order: int):
 
 class PPPM:
     style = "pppm"
+    mode = "ik"   # differentiation: "ik" (3 inverse FFTs) or "ad"
 
     def __init__(self, accuracy_relative: float, order: int = 5):
         self.accuracy_relative = float(accuracy_relative)
@@ -112,12 +113,21 @@ class PPPM:
         lo = np.asarray(jax.device_get(sim.state.box.lo), dtype=np.float64)
         hi = np.asarray(jax.device_get(sim.state.box.hi), dtype=np.float64)
         self.prd = hi - lo
-        self._set_grid_global()
-        self._adjust_gewald()
+        if getattr(self, "gewald_override", None):
+            # kspace_modify gewald (KSpace::modify_params gewaldflag)
+            self.g_ewald = float(self.gewald_override)
+            self._set_grid_global(keep_gewald=True)
+        else:
+            self._set_grid_global()
+            self._adjust_gewald()
         self._setup_coeffs()
         sim.pair.g_ewald = self.g_ewald
         self.dynamic_box = any(getattr(fx, "pstat", False)
                                for fx in sim.fixes)
+        if self.dynamic_box and self.mode == "ad":
+            raise ValueError(
+                "pppm/ad under a barostat: device-side gf_ad recompute "
+                "not implemented; use kspace_style pppm (ik)")
 
     def _estimate_ik_error(self, h, prd):
         acons = _ACONS[self.order]
@@ -127,33 +137,128 @@ class PPPM:
                 * np.sqrt(self.g_ewald * prd * np.sqrt(2 * np.pi)
                           * ssum / self.natoms) / (prd * prd))
 
+    def _compute_qopt(self):
+        """compute_qopt (src/KSPACE/pppm.cpp) — the ad-mode kspace error
+        functional, vectorized over the whole FFT grid."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        xprd, yprd, zprd = self.prd
+        g = self.g_ewald
+        order2 = 2 * self.order
+
+        def pers(n):
+            k = np.arange(n)
+            return k - n * (2 * k // n)
+
+        kper = pers(nx)[None, None, :]
+        lper = pers(ny)[None, :, None]
+        mper = pers(nz)[:, None, None]
+        unitk = 2 * np.pi / np.array([xprd, yprd, zprd])
+        sqk = ((unitk[0] * kper) ** 2 + (unitk[1] * lper) ** 2
+               + (unitk[2] * mper) ** 2)
+
+        def powsinxx(arg, n_):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(arg == 0.0, 1.0,
+                             np.sin(arg) / np.where(arg == 0, 1, arg))
+            return s ** n_
+
+        sum1 = np.zeros((nz, ny, nx))
+        sum2 = np.zeros((nz, ny, nx))
+        sum3 = np.zeros((nz, ny, nx))
+        sum4 = np.zeros((nz, ny, nx))
+        four_pi = 4.0 * np.pi
+        for ox in range(-2, 3):
+            qx = unitk[0] * (kper + nx * ox)
+            sx = np.exp(-0.25 * (qx / g) ** 2)
+            wx = powsinxx(0.5 * qx * xprd / nx, order2)
+            qx2 = qx * qx
+            for oy in range(-2, 3):
+                qy = unitk[1] * (lper + ny * oy)
+                sy = np.exp(-0.25 * (qy / g) ** 2)
+                wy = powsinxx(0.5 * qy * yprd / ny, order2)
+                qy2 = qy * qy
+                for oz in range(-2, 3):
+                    qz = unitk[2] * (mper + nz * oz)
+                    sz = np.exp(-0.25 * (qz / g) ** 2)
+                    wz = powsinxx(0.5 * qz * zprd / nz, order2)
+                    qz2 = qz * qz
+                    dot2 = qx2 + qy2 + qz2
+                    u1 = sx * sy * sz
+                    u2 = wx * wy * wz
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t1 = np.where(dot2 > 0, u1 * u1
+                                      / np.where(dot2 == 0, 1, dot2)
+                                      * four_pi * four_pi, 0.0)
+                    sum1 += t1
+                    sum2 += u1 * u2 * four_pi
+                    sum3 += u2
+                    sum4 += dot2 * u2
+        nonzero = sqk != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qopt = np.where(nonzero,
+                            sum1 - sum2 * sum2
+                            / np.where(nonzero, sum3 * sum4, 1.0), 0.0)
+        return float(qopt.sum())
+
     def _df_kspace(self):
+        if self.mode == "ad":
+            xprd, yprd, zprd = self.prd
+            qopt = self._compute_qopt()
+            return (np.sqrt(qopt / self.natoms) * self.q2
+                    / (xprd * yprd * zprd))
         lprx = self._estimate_ik_error(self.h[0], self.prd[0])
         lpry = self._estimate_ik_error(self.h[1], self.prd[1])
         lprz = self._estimate_ik_error(self.h[2], self.prd[2])
         return np.sqrt(lprx**2 + lpry**2 + lprz**2) / np.sqrt(3.0)
 
-    def _set_grid_global(self):
+    def _set_grid_global(self, keep_gewald=False):
         xprd, yprd, zprd = self.prd
         acc = self.accuracy
-        g = acc * np.sqrt(self.natoms * self.cutoff * xprd * yprd * zprd) \
-            / (2.0 * self.q2)
-        if g >= 1.0:
-            g = (1.35 - 0.15 * np.log(acc)) / self.cutoff
-        else:
-            g = np.sqrt(-np.log(g)) / self.cutoff
-        self.g_ewald = g
+        if not keep_gewald:
+            g = acc * np.sqrt(self.natoms * self.cutoff * xprd * yprd
+                              * zprd) / (2.0 * self.q2)
+            if g >= 1.0:
+                g = (1.35 - 0.15 * np.log(acc)) / self.cutoff
+            else:
+                g = np.sqrt(-np.log(g)) / self.cutoff
+            self.g_ewald = g
+        g = self.g_ewald
+
+        if getattr(self, "mesh_override", None):
+            # kspace_modify mesh (gridflag)
+            n = list(self.mesh_override)
+            for d in range(3):
+                if not _factorable(n[d]):
+                    raise ValueError("kspace_modify mesh not factorable")
+            self.nx, self.ny, self.nz = n
+            self.h = [p / ni for p, ni in zip(self.prd, n)]
+            return
 
         n = [0, 0, 0]
-        h = [1.0 / g] * 3
-        for d, prd in enumerate(self.prd):
-            n[d] = int(prd / h[d]) + 1
-            h[d] = prd / n[d]
-            err = self._estimate_ik_error(h[d], prd)
-            while err > acc:
-                err = self._estimate_ik_error(h[d], prd)
-                n[d] += 1
+        if self.mode == "ad":
+            # set_grid_global ad branch (pppm.cpp:1015-1044): shrink a
+            # uniform h until the qopt error meets the target
+            hh = 4.0 / g
+            for _ in range(500):
+                n = [max(int(p / hh), 2) for p in self.prd]
+                self.nx, self.ny, self.nz = n
+                self.h = [p / ni for p, ni in zip(self.prd, n)]
+                if self._df_kspace() <= acc:
+                    break
+                hh *= 0.95
+            else:
+                raise RuntimeError("Could not compute grid size")
+            h = list(self.h)
+        else:
+            h = [1.0 / g] * 3
+            for d, prd in enumerate(self.prd):
+                n[d] = int(prd / h[d]) + 1
                 h[d] = prd / n[d]
+                err = self._estimate_ik_error(h[d], prd)
+                while err > acc:
+                    err = self._estimate_ik_error(h[d], prd)
+                    n[d] += 1
+                    h[d] = prd / n[d]
         for d in range(3):
             while not _factorable(n[d]):
                 n[d] += 1
@@ -305,6 +410,67 @@ class PPPM:
         self._wz = {oz: powsinxx(np.pi * (kz + nz * oz) / nz, two_ord)
                     for oz in range(-nbz, nbz + 1)}
 
+        if self.mode == "ad":
+            self._setup_ad(powsinxx, sqk, denom)
+
+    def _setup_ad(self, powsinxx, sqk, denom):
+        """compute_gf_ad + compute_sf_precoeff (src/KSPACE/pppm.cpp:
+        1620-1712): the ad Green's function has no alias sum, and the
+        self-force correction coefficients come from 5-image alias sums
+        of the assignment-window transforms (factorized per dimension)."""
+        order = self.order
+        nx, ny, nz = self.nx, self.ny, self.nz
+        xprd, yprd, zprd = self.prd
+        g = self.g_ewald
+        kx, ky, kz = self._kx, self._ky, self._kz
+        unitkx = 2 * np.pi / xprd
+        unitky = 2 * np.pi / yprd
+        unitkz = 2 * np.pi / zprd
+        qx, qy, qz = unitkx * kx, unitky * ky, unitkz * kz
+        sx = np.exp(-0.25 * (qx / g) ** 2)
+        sy = np.exp(-0.25 * (qy / g) ** 2)
+        sz = np.exp(-0.25 * (qz / g) ** 2)
+        wxyz = self._wx[0] * self._wy[0] * self._wz[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.greensfn = np.where(
+                sqk != 0.0,
+                (4.0 * np.pi / np.where(sqk == 0, 1.0, sqk))
+                * sx * sy * sz * wxyz / denom, 0.0)
+
+        # per-dim 5-image window sums (note: order, not 2*order)
+        def wdim(kper, n, off):
+            return [powsinxx(np.pi * (kper + n * (i - 2 + off)) / n, order)
+                    for i in range(5)]
+
+        wx0 = wdim(kx, nx, 0)
+        wx1 = wdim(kx, nx, 1)
+        wx2 = wdim(kx, nx, 2)
+        wy0 = wdim(ky, ny, 0)
+        wy1 = wdim(ky, ny, 1)
+        wy2 = wdim(ky, ny, 2)
+        wz0 = wdim(kz, nz, 0)
+        wz1 = wdim(kz, nz, 1)
+        wz2 = wdim(kz, nz, 2)
+        sx0 = sum(w * w for w in wx0)
+        sy0 = sum(w * w for w in wy0)
+        sz0 = sum(w * w for w in wz0)
+        sx01 = sum(a * b for a, b in zip(wx0, wx1))
+        sx02 = sum(a * b for a, b in zip(wx0, wx2))
+        sy01 = sum(a * b for a, b in zip(wy0, wy1))
+        sy02 = sum(a * b for a, b in zip(wy0, wy2))
+        sz01 = sum(a * b for a, b in zip(wz0, wz1))
+        sz02 = sum(a * b for a, b in zip(wz0, wz2))
+        pre = [sx01 * sy0 * sz0, sx02 * sy0 * sz0,
+               sx0 * sy01 * sz0, sx0 * sy02 * sz0,
+               sx0 * sy0 * sz01, sx0 * sy0 * sz02]
+        volume = xprd * yprd * zprd
+        prex = np.pi / volume * nx / xprd
+        prey = np.pi / volume * ny / yprd
+        prez = np.pi / volume * nz / zprd
+        scale = [prex, 2 * prex, prey, 2 * prey, prez, 2 * prez]
+        self.sf_coeff = [float(np.sum(p * self.greensfn)) * sc
+                         for p, sc in zip(pre, scale)]
+
     def _coeffs_device(self, ell, dt_):
         """Box-dependent coefficients (greens, vg, fkx/fky/fkz) as traced
         functions of the carried box lengths — PPPM::setup() +
@@ -444,6 +610,81 @@ class PPPM:
         # into the field prefactor below
         delvol = (ell[0] / nx) * (ell[1] / ny) * (ell[2] / nz)
         phi_k = rho_k * greens
+        qscale = self.qqrd2e  # * scale(=1)
+        volume = ell[0] * ell[1] * ell[2]
+
+        if self.mode == "ad":
+            # poisson_ad + fieldforce_ad (pppm.cpp:2150-,2430-): ONE
+            # inverse FFT of the potential; E at atoms from derivative
+            # assignment weights; analytic self-force correction
+            u = jnp.fft.ifftn(phi_k).real            # (nz, ny, nx)
+            drho_c = jnp.asarray(self.drho_c, dt_)
+            dpts = []
+            for pt in range(order):
+                acc = jnp.zeros_like(dxyz)
+                for l in range(order - 2, -1, -1):
+                    acc = drho_c[l, pt] + acc * dxyz
+                dpts.append(acc)
+            dw = jnp.stack(dpts, axis=1)             # (N, order, 3)
+            hinv = delinv                            # n/L per dim
+            if line_mode:
+                dwx_line = jnp.zeros((n, nx), dt_)
+                for k in range(order):
+                    dwx_line = dwx_line + jnp.where(rel == k,
+                                                    dw[:, k, 0:1], 0.0)
+                urows = u.reshape(nz * ny, nx)[rows_zy.reshape(-1)] \
+                    .reshape(n, -1, nx)              # (N, o^2, nx)
+                ux_w = jnp.sum(urows * wx_line[:, None, :], axis=-1)
+                ux_dw = jnp.sum(urows * dwx_line[:, None, :], axis=-1)
+                wzy_dy = (w[:, :, 2][:, :, None]
+                          * dw[:, :, 1][:, None, :]).reshape(n, -1)
+                wzy_dz = (dw[:, :, 2][:, :, None]
+                          * w[:, :, 1][:, None, :]).reshape(n, -1)
+                ekx = jnp.sum(ux_dw * wzy, axis=-1)
+                eky = jnp.sum(ux_w * wzy_dy, axis=-1)
+                ekz = jnp.sum(ux_w * wzy_dz, axis=-1)
+            else:
+                uvals = u[iz, iy, ix].reshape(n, order, order, order)
+                dwz = dw[:, :, 2][:, :, None, None]
+                dwy = dw[:, :, 1][:, None, :, None]
+                dwx = dw[:, :, 0][:, None, None, :]
+                ekx = jnp.sum(uvals * (wz * wy * dwx), axis=(1, 2, 3))
+                eky = jnp.sum(uvals * (wz * dwy * wx), axis=(1, 2, 3))
+                ekz = jnp.sum(uvals * (dwz * wy * wx), axis=(1, 2, 3))
+            ek = jnp.stack([ekx, eky, ekz], axis=1) * hinv[None, :]
+            f = (q * (qscale / delvol))[:, None] * ek
+            # self-force correction: sf_coeff * sin(2pi m s), s = x*h_inv
+            sf = jnp.asarray(self.sf_coeff, dt_)
+            s_abs = s.x * hinv[None, :]
+            two_pi = 2.0 * np.pi
+            sfv = jnp.stack([
+                sf[0] * jnp.sin(two_pi * s_abs[:, 0])
+                + sf[1] * jnp.sin(2 * two_pi * s_abs[:, 0]),
+                sf[2] * jnp.sin(two_pi * s_abs[:, 1])
+                + sf[3] * jnp.sin(2 * two_pi * s_abs[:, 1]),
+                sf[4] * jnp.sin(two_pi * s_abs[:, 2])
+                + sf[5] * jnp.sin(2 * two_pi * s_abs[:, 2]),
+            ], axis=1)
+            f = f - qscale * 2.0 * (q * q)[:, None] * sfv
+
+            elong = None
+            virial = None
+            if eflag or vflag:
+                rk2 = jnp.abs(rho_k) ** 2
+                if eflag:
+                    e = 0.5 * jnp.sum(greens * rk2) / volume
+                    e = e - self.g_ewald * self.qsqsum / MY_PIS \
+                        - 0.5 * np.pi * self.qsum**2 \
+                        / (self.g_ewald**2 * volume)
+                    elong = qscale * e
+                if vflag:
+                    vg = (vg_dyn if vg_dyn is not None
+                          else jnp.asarray(self.vg, dt_))
+                    virial = 0.5 * qscale * jnp.stack([
+                        jnp.sum(vg[i] * greens * rk2) for i in range(6)
+                    ]) / volume
+            return f, elong, virial
+
         imag = jnp.asarray(1j, phi_k.dtype)
         ex = jnp.fft.ifftn(-imag * fkx * phi_k).real
         ey = jnp.fft.ifftn(-imag * fky * phi_k).real
@@ -479,8 +720,6 @@ class PPPM:
         # conventions the field gather needs 1/delvol and the energy/virial
         # sums reduce to 1/volume (constants verified against the
         # reference's poisson_ik / fieldforce_ik chain)
-        qscale = self.qqrd2e  # * scale(=1)
-        volume = ell[0] * ell[1] * ell[2]
         pref = q * (qscale / delvol)
         f = jnp.stack([gather(0), gather(1), gather(2)], axis=1)
         f = f * pref[:, None]
@@ -502,3 +741,26 @@ class PPPM:
                     jnp.sum(vg[i] * greens * rk2) for i in range(6)
                 ]) / volume
         return f, elong, virial
+
+
+class PPPMAD(PPPM):
+    """kspace_style pppm/ad — analytic-differentiation PPPM
+    (src/KSPACE/pppm.cpp differentiation_flag==1): qopt grid selection,
+    ad Green's function, ONE inverse FFT of the potential, forces from
+    derivative assignment weights + analytic self-force correction."""
+
+    style = "pppm/ad"
+    mode = "ad"
+
+
+class PPPMCG(PPPM):
+    """kspace_style pppm/cg — identical physics to pppm
+    (src/KSPACE/pppm_cg.cpp): the reference skips zero-charge atoms in
+    the scatter/gather loops; the TPU path is dense and vectorized, so
+    q=0 rows already contribute nothing at full throughput.  Accepts and
+    ignores the optional smallq threshold."""
+
+    style = "pppm/cg"
+
+    def __init__(self, accuracy_relative, smallq=None, order=5):
+        super().__init__(accuracy_relative, order=order)

@@ -1120,6 +1120,10 @@ class LammpsScript:
         if a[0] == "pppm":
             from tpumd.models.kspace_pppm import PPPM
             sim.kspace = PPPM(float(a[1]))
+        elif a[0] == "pppm/cg":
+            from tpumd.models.kspace_pppm import PPPMCG
+            sim.kspace = PPPMCG(float(a[1]),
+                                *[float(v) for v in a[2:3]])
         elif a[0] == "ewald":
             from tpumd.models.kspace_ewald import Ewald
             sim.kspace = Ewald(float(a[1]))
@@ -1129,7 +1133,30 @@ class LammpsScript:
             raise ScriptError(f"kspace_style {a[0]} not supported")
 
     def cmd_kspace_modify(self, a):
-        pass
+        """kspace_modify keyword value ... (src/kspace.cpp modify_params
+        subset): diff ad|ik, mesh nx ny nz, order N, gewald g."""
+        sim = self._require_sim()
+        ks = sim.kspace
+        if ks is None:
+            raise ScriptError("kspace_modify before kspace_style")
+        i = 0
+        while i < len(a):
+            key = a[i]
+            if key == "diff":
+                ks.mode = {"ad": "ad", "ik": "ik"}[a[i + 1]]
+                i += 2
+            elif key == "mesh":
+                ks.mesh_override = (int(a[i + 1]), int(a[i + 2]),
+                                    int(a[i + 3]))
+                i += 4
+            elif key == "order":
+                ks.order = int(a[i + 1])
+                i += 2
+            elif key == "gewald":
+                ks.gewald_override = float(a[i + 1])
+                i += 2
+            else:
+                raise ScriptError(f"kspace_modify {key} not supported")
 
     def cmd_molecule(self, a):
         """molecule ID file (src/molecule.cpp): register a template for
