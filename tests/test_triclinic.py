@@ -61,3 +61,45 @@ def test_lamda_roundtrip_and_min_image():
     assert near.sum() > 50
     np.testing.assert_allclose(np.linalg.norm(dm, axis=1)[near], best[near],
                                atol=1e-9)
+
+
+def test_npt_tri_golden():
+    """fix npt tri: full 6-component barostat — off-diagonal omega kicks
+    (nh_omega_dot :2287), tilt velocity couplings (nh_v_press
+    :1955-1963), and the time-symmetric off-diagonal h updates in remap
+    (:1110-1210).  Digit-exact vs the reference binary."""
+    import pytest
+    from tpumd.script.parser import LammpsScript
+    s = LammpsScript()
+    s.data_dir = GOLDEN
+    with open(os.path.join(os.path.dirname(GOLDEN), "tri_npt",
+                           "in.test")) as fh:
+        s.run_string(fh.read())
+    v = s.sim.last_thermo
+    assert v["temp"] == pytest.approx(1.2507388, rel=1e-6)
+    assert v["epair"] == pytest.approx(-0.66905984, rel=1e-6)
+    assert v["etotal"] == pytest.approx(1.1920395, rel=1e-6)
+    assert v["press"] == pytest.approx(0.0073729042, rel=1e-4)
+    assert v["vol"] == pytest.approx(613.39659, rel=1e-7)
+    assert v["xy"] == pytest.approx(2.5488944, rel=1e-7)
+    assert v["xz"] == pytest.approx(1.2743966, rel=1e-7)
+    assert v["yz"] == pytest.approx(1.6993669, rel=1e-7)
+    assert v["lx"] == pytest.approx(8.496483, rel=1e-7)
+
+
+def test_npt_aniso_tilt_scaling_golden():
+    """fix npt aniso on a tilted box: non-barostatted tilt factors scale
+    with the cell (remap scalexy/scalexz/scaleyz).  Digit-exact vs the
+    reference binary."""
+    import pytest
+    from tpumd.script.parser import LammpsScript
+    s = LammpsScript()
+    s.data_dir = GOLDEN
+    with open(os.path.join(os.path.dirname(GOLDEN), "tri_npt",
+                           "in.aniso")) as fh:
+        s.run_string(fh.read())
+    v = s.sim.last_thermo
+    assert v["temp"] == pytest.approx(1.2507388, rel=1e-6)
+    assert v["etotal"] == pytest.approx(1.1920409, rel=1e-6)
+    assert v["vol"] == pytest.approx(613.39674, rel=1e-7)
+    assert v["xy"] == pytest.approx(2.5490005, rel=1e-7)

@@ -60,24 +60,31 @@ class FixNH(Fix):
         self.t_start = t_start
         self.t_stop = t_stop if t_stop is not None else t_start
         self.t_period = t_period
-        self.p_flags = p_flags or [False] * 3   # x, y, z barostatted
+        # 6 components in the reference's omega ordering: x, y, z,
+        # yz, xz, xy (fix_nh.cpp couple() Voigt reorder)
+        pf = list(p_flags or [False] * 3)
+        self.p_flags = pf + [False] * (6 - len(pf))
         self.pstat = any(self.p_flags)
-        self.p_start = p_start or [0.0] * 3
-        self.p_stop = p_stop or [0.0] * 3
-        self.p_period = p_period or [0.0] * 3
+        self.tri = any(self.p_flags[3:])   # triclinic tilt barostatted
+        ps = list(p_start or [0.0] * 3)
+        self.p_start = ps + [0.0] * (6 - len(ps))
+        ps = list(p_stop or [0.0] * 3)
+        self.p_stop = ps + [0.0] * (6 - len(ps))
+        ps = list(p_period or [0.0] * 3)
+        self.p_period = ps + [0.0] * (6 - len(ps))
         self.mtchain = tchain
         self.mpchain = pchain if self.pstat else 0
         self.mtk = mtk and self.pstat
         self.iso = couple_iso
         self.nc_tchain = nc_tchain
         self.nc_pchain = nc_pchain
-        self.pdim = sum(self.p_flags)
+        self.pdim = sum(self.p_flags[:3])
         self.drag = drag
         # drag factors (FixNH ctor): applied per chain sub-update
         self.tdrag_factor = (1.0 - (drag * (1.0 / t_period)
                                     * self._dt_hint * nc_tchain)
                              if drag and self.tstat else 1.0)
-        self.p_freq_max = (max(1.0 / self.p_period[i] for i in range(3)
+        self.p_freq_max = (max(1.0 / self.p_period[i] for i in range(6)
                                if self.p_flags[i]) if self.pstat else 0.0)
 
     _dt_hint = 1.0  # replaced by real dt at init_state for drag factors
@@ -88,6 +95,16 @@ class FixNH(Fix):
 
     # -------------------------------------------------------------- state
     def init_state(self, s, ctx):
+        import numpy as _np
+        import jax as _jax
+        tilt = _np.asarray(_jax.device_get(s.box.tilt), _np.float64)
+        per = s.box.periodic
+        self.scalexy = bool(per[1] and tilt[0] != 0.0
+                            and not self.p_flags[5])
+        self.scalexz = bool(per[2] and tilt[1] != 0.0
+                            and not self.p_flags[4])
+        self.scaleyz = bool(per[2] and tilt[2] != 0.0
+                            and not self.p_flags[3])
         dt_ = s.x.dtype
         mt = self.mtchain
         mp = max(self.mpchain, 1)
@@ -144,14 +161,15 @@ class FixNH(Fix):
         return self.t_start + delta * (self.t_stop - self.t_start)
 
     def _press_target(self, fst, dtype):
-        """(p_target (3,), p_hydro) with start->stop ramp."""
+        """(p_target (6,), p_hydro) with start->stop ramp; hydro averages
+        the barostatted DIAGONAL targets only (compute_press_target)."""
         delta = self._delta(fst, dtype)
         p_t = []
         hydro = jnp.zeros((), dtype)
-        for i in range(3):
+        for i in range(6):
             pt = self.p_start[i] + delta * (self.p_stop[i] - self.p_start[i])
             p_t.append(pt)
-            if self.p_flags[i]:
+            if i < 3 and self.p_flags[i]:
                 hydro = hydro + pt
         if self.pdim > 0:
             hydro = hydro / self.pdim
@@ -177,15 +195,34 @@ class FixNH(Fix):
         return ctx.units.mvv2e * jnp.sum(
             jnp.where(sel, m[:, None] * s.v * s.v, 0.0), axis=0)
 
+    def _mvv_offdiag(self, s, ctx):
+        """(3,) kinetic tensor (yz, xz, xy) — ComputeTemp vector[3..5]
+        reordered to the omega component order."""
+        m = ctx.mass_per_atom(s)
+        v = s.v
+        if self.groupbit != 1:
+            v = jnp.where(self.group_sel(s)[:, None], v, 0.0)
+        yz = jnp.sum(m * v[:, 1] * v[:, 2])
+        xz = jnp.sum(m * v[:, 0] * v[:, 2])
+        xy = jnp.sum(m * v[:, 0] * v[:, 1])
+        return ctx.units.mvv2e * jnp.stack([yz, xz, xy])
+
     def _p_current(self, s, ctx, virial):
-        """Per-axis pressure vector (compute_pressure::compute_vector);
-        with iso coupling all axes use the scalar pressure."""
+        """Pressure components (compute_pressure::compute_vector) in
+        omega order: (x, y, z[, yz, xz, xy]); with iso coupling all axes
+        use the scalar pressure.  virial is Voigt (xx yy zz xy xz yz)."""
         vol = s.box.volume
         mvv = self._mvv_vec(s, ctx)
         p = (mvv + virial[:3]) / vol * ctx.units.nktv2p
         if self.iso:
             p = jnp.full((3,), jnp.sum(p) / 3.0, p.dtype)
-        return p
+        if not self.tri:
+            return p
+        mvv_od = self._mvv_offdiag(s, ctx)
+        # couple(): p_current[3]=tensor yz, [4]=xz, [5]=xy
+        od = (mvv_od + jnp.stack([virial[5], virial[4], virial[3]])) \
+            / vol * ctx.units.nktv2p
+        return jnp.concatenate([p, od])
 
     def _nhc_temp(self, s, fst, ctx, t_current):
         u = ctx.units
@@ -270,7 +307,7 @@ class FixNH(Fix):
         nkt = (ctx.natoms + 1) * kt
         omega_mass = [
             nkt / ((1.0 / self.p_period[i]) ** 2) if self.p_flags[i] else None
-            for i in range(3)]
+            for i in range(6)]
 
         # etap_mass_flag: recompute upper-chain accelerations
         for ich in range(1, mp):
@@ -279,12 +316,13 @@ class FixNH(Fix):
 
         def ke_omega(od):
             ke = jnp.zeros((), s.x.dtype)
-            for i in range(3):
+            for i in range(6):
                 if self.p_flags[i]:
                     ke = ke + omega_mass[i] * od[i] * od[i]
             return ke
 
-        lkt_press = kt if self.iso else self.pdim * kt
+        pdof = sum(1 for i in range(6) if self.p_flags[i])
+        lkt_press = kt if self.iso else pdof * kt
         etap_dotdot = etap_dotdot.at[0].set(
             (ke_omega(omega_dot) - lkt_press) / etap_mass)
 
@@ -300,7 +338,7 @@ class FixNH(Fix):
                 * pdrag * expfac)
             etap = etap + ncfac * dthalf * etap_dot[:mp]
             factor_etap = jnp.exp(-ncfac * dthalf * etap_dot[0])
-            for i in range(3):
+            for i in range(6):
                 if self.p_flags[i]:
                     omega_dot = omega_dot.at[i].multiply(factor_etap)
             etap_dotdot = etap_dotdot.at[0].set(
@@ -347,6 +385,14 @@ class FixNH(Fix):
                     f_omega = f_omega + mtk_term1 / omega_mass
                 omega_dot = omega_dot.at[i].set(
                     (omega_dot[i] + f_omega * dthalf) * pdrag)
+        # triclinic tilt components: no hydro/mtk (nh_omega_dot :2287)
+        for i in range(3, 6):
+            if self.p_flags[i]:
+                p_freq = 1.0 / self.p_period[i]
+                omega_mass = nkt / (p_freq * p_freq)
+                f_omega = p_current[i] * vol / (omega_mass * u.nktv2p)
+                omega_dot = omega_dot.at[i].set(
+                    (omega_dot[i] + f_omega * dthalf) * pdrag)
 
         mtk_term2 = 0.0
         if self.mtk:
@@ -356,6 +402,7 @@ class FixNH(Fix):
 
     def _v_press(self, s, fst, ctx, mtk_term2):
         dt4 = 0.25 * ctx.dt
+        dthalf = 0.5 * ctx.dt
         factors = []
         for i in range(3):
             if self.p_flags[i]:
@@ -363,34 +410,96 @@ class FixNH(Fix):
             else:
                 factors.append(jnp.ones((), s.x.dtype))
         fvec = jnp.stack(factors)
-        v = s.v * (fvec * fvec)[None, :]
+        if not self.tri:
+            v = s.v * (fvec * fvec)[None, :]
+        else:
+            # nh_v_press triclinic (:1955-1963): scale, apply the tilt
+            # velocity couplings, scale again
+            v = s.v * fvec[None, :]
+            od = fst.omega_dot
+            v0 = v[:, 0] - dthalf * (v[:, 1] * od[5] + v[:, 2] * od[4])
+            v1 = v[:, 1] - dthalf * v[:, 2] * od[3]
+            v = jnp.stack([v0, v1, v[:, 2]], axis=1)
+            v = v * fvec[None, :]
         if self.groupbit != 1:
             v = jnp.where(self.group_sel(s)[:, None], v, s.v)
         return s.replace(v=v)
 
     def _remap(self, s, fst, ctx):
-        """Half-step box dilation (FixNH::remap), orthogonal."""
+        """Half-step box dilation (FixNH::remap :1086-1240): lamda
+        coords, time-symmetric off-diagonal h updates around the
+        diagonal scaling, box rebuild."""
         dto = 0.5 * ctx.dt
         box = s.box
-        lam = (s.x - box.lo) / box.lengths
+        od = fst.omega_dot
+        tric = box.istriclinic
+        if tric:
+            lam = box.x2lamda(s.x)
+        else:
+            lam = (s.x - box.lo) / box.lengths
+
+        # h Voigt components: h[0..2] lengths, h[3]=yz, h[4]=xz, h[5]=xy
+        h3, h4, h5 = box.tilt[2], box.tilt[1], box.tilt[0]
+        h1 = box.hi[1] - box.lo[1]
+        h2 = box.hi[2] - box.lo[2]
+
+        def offdiag_half(h3, h4, h5):
+            dto2, dto4, dto8 = dto / 2.0, dto / 4.0, dto / 8.0
+            if self.p_flags[4]:
+                expfac = jnp.exp(dto8 * od[0])
+                h4 = (h4 * expfac + dto4 * (od[5] * h3 + od[4] * h2)) \
+                    * expfac
+            if self.p_flags[3]:
+                expfac = jnp.exp(dto4 * od[1])
+                h3 = (h3 * expfac + dto2 * od[3] * h2) * expfac
+            if self.p_flags[5]:
+                expfac = jnp.exp(dto4 * od[0])
+                h5 = (h5 * expfac + dto2 * od[5] * h1) * expfac
+            if self.p_flags[4]:
+                expfac = jnp.exp(dto8 * od[0])
+                h4 = (h4 * expfac + dto4 * (od[5] * h3 + od[4] * h2)) \
+                    * expfac
+            return h3, h4, h5
+
+        if self.tri:
+            h3, h4, h5 = offdiag_half(h3, h4, h5)
+
         new_lo = []
         new_hi = []
         for i in range(3):
             if self.p_flags[i]:
-                expfac = jnp.exp(dto * fst.omega_dot[i])
+                expfac = jnp.exp(dto * od[i])
                 # fixedpoint = (lo+hi)/2
                 center = 0.5 * (box.lo[i] + box.hi[i])
                 new_lo.append((box.lo[i] - center) * expfac + center)
                 new_hi.append((box.hi[i] - center) * expfac + center)
+                # tilt factors scale with the cell when not themselves
+                # barostatted (remap :1165,1174-1176 scalexy/xz/yz)
+                if i == 1 and getattr(self, "scalexy", False):
+                    h5 = h5 * expfac
+                if i == 2 and getattr(self, "scalexz", False):
+                    h4 = h4 * expfac
+                if i == 2 and getattr(self, "scaleyz", False):
+                    h3 = h3 * expfac
             else:
                 new_lo.append(box.lo[i])
                 new_hi.append(box.hi[i])
         lo = jnp.stack(new_lo)
         hi = jnp.stack(new_hi)
-        box = box.replace(lo=lo, hi=hi)
-        x = lo + lam * (hi - lo)
-        fst = fst.replace(omega=fst.omega.at[:3].add(
-            dto * fst.omega_dot[:3]))
+
+        if self.tri:
+            # NOTE: domain->h[1]/h[2] are refreshed only by
+            # set_global_box() AFTER remap(), so both off-diagonal halves
+            # use the pre-scaling edge lengths
+            h3, h4, h5 = offdiag_half(h3, h4, h5)
+        if tric:
+            box = box.replace(lo=lo, hi=hi,
+                              tilt=jnp.stack([h5, h4, h3]))
+            x = box.lamda2x(lam)
+        else:
+            box = box.replace(lo=lo, hi=hi)
+            x = lo + lam * (hi - lo)
+        fst = fst.replace(omega=fst.omega + dto * fst.omega_dot)
         return s.replace(x=x, box=box), fst
 
     # ------------------------------------------------------------- hooks

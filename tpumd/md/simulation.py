@@ -783,6 +783,7 @@ class Simulation:
         pe = epair + emol
         norm = self.natoms if self.thermo_norm else 1
         ell = np.asarray(jax.device_get(s.box.lengths), dtype=np.float64)
+        tilt_np = np.asarray(jax.device_get(s.box.tilt), dtype=np.float64)
         vals = {
             "step": self.step,
             "temp": t,
@@ -794,6 +795,8 @@ class Simulation:
             "press": press,
             "vol": vol,
             "lx": float(ell[0]), "ly": float(ell[1]), "lz": float(ell[2]),
+            "xy": float(tilt_np[0]), "xz": float(tilt_np[1]),
+            "yz": float(tilt_np[2]),
             "evdwl": e["evdwl"] / norm, "ecoul": e["ecoul"] / norm,
             "elong": e["elong"] / norm, "ebond": e["ebond"] / norm,
             "eangle": e["eangle"] / norm, "edihed": e["edihed"] / norm,

@@ -925,10 +925,10 @@ class LammpsScript:
     def _parse_nh(self, style, args):
         from tpumd.md.fix_nh import FixNH
         kw = {}
-        p_flags = [False] * 3
-        p_start = [0.0] * 3
-        p_stop = [0.0] * 3
-        p_period = [0.0] * 3
+        p_flags = [False] * 6
+        p_start = [0.0] * 6
+        p_stop = [0.0] * 6
+        p_period = [0.0] * 6
         i = 0
         tchain, pchain, mtk = 3, 3, True
         iso = False
@@ -946,12 +946,20 @@ class LammpsScript:
                     p_period[d] = float(args[i + 3])
                 iso = key == "iso"
                 i += 4
-            elif key in ("x", "y", "z"):
-                d = "xyz".index(key)
+            elif key in ("x", "y", "z", "yz", "xz", "xy"):
+                d = ("x", "y", "z", "yz", "xz", "xy").index(key)
                 p_flags[d] = True
                 p_start[d] = float(args[i + 1])
                 p_stop[d] = float(args[i + 2])
                 p_period[d] = float(args[i + 3])
+                i += 4
+            elif key == "tri":
+                # fix_nh.cpp:169-181: aniso diagonal + zero-target tilts
+                for d in range(6):
+                    p_flags[d] = True
+                    p_start[d] = float(args[i + 1]) if d < 3 else 0.0
+                    p_stop[d] = float(args[i + 2]) if d < 3 else 0.0
+                    p_period[d] = float(args[i + 3])
                 i += 4
             elif key == "tchain":
                 tchain = int(args[i + 1]); i += 2
