@@ -181,7 +181,7 @@ def map_per_atom(state: MDState, fn) -> MDState:
 
 
 def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
-               radius=None, rmass=None, omega=None,
+               radius=None, rmass=None, omega=None, image=None,
                dtype=jnp.float64) -> MDState:
     """Build an MDState from host arrays (no padding)."""
     n = x.shape[0]
@@ -196,7 +196,8 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
         f=jnp.zeros_like(x),
         type=jnp.asarray(types, dtype=jnp.int32),
         tag=jnp.asarray(tags, dtype=jnp.int32),
-        image=jnp.zeros((n, 3), dtype=jnp.int32),
+        image=(jnp.zeros((n, 3), dtype=jnp.int32) if image is None
+               else jnp.asarray(image, dtype=jnp.int32)),
         box=Box(lo=box.lo.astype(dtype), hi=box.hi.astype(dtype),
                 tilt=box.tilt.astype(dtype), periodic=box.periodic,
                 istriclinic=box.istriclinic),

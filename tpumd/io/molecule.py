@@ -26,7 +26,13 @@ class MoleculeTemplate:
         self.dihedrals = np.zeros((0, 5), np.int64)
         self.impropers = np.zeros((0, 5), np.int64)
         self._parse(path)
-        self.center = self.x.mean(axis=0)
+        # Molecule::compute_center (src/molecule.cpp:185-198): strict
+        # sequential sum, then divide (numpy's unrolled mean rounds
+        # differently and the difference is hash-visible downstream)
+        c = np.zeros(3)
+        for row in self.x:
+            c = c + row
+        self.center = c / self.natoms
         self.dx = self.x - self.center
 
     def _parse(self, path):
@@ -108,18 +114,48 @@ class MoleculeTemplate:
 
 
 def axisangle_to_quat(r, theta):
-    """math_extra.h axisangle_to_quat: r must be normalized."""
+    """math_extra.h axisangle_to_quat: r must be normalized.  Uses
+    libm sin/cos via the math module — numpy's SIMD routines differ by
+    1 ulp for some arguments, which the coordinate hash downstream
+    (velocity loop geom) amplifies into different RNG streams."""
+    import math
     half = 0.5 * theta
-    s = np.sin(half)
-    return np.array([np.cos(half), r[0] * s, r[1] * s, r[2] * s])
+    s = math.sin(half)
+    return np.array([math.cos(half), r[0] * s, r[1] * s, r[2] * s])
 
 
 def quat_to_mat_np(q):
+    """MathExtra::quat_to_mat (src/math_extra.cpp:391-415) with the
+    reference's exact product/sum order — the rotated coordinates feed
+    `velocity loop geom`'s bit-sensitive coordinate hash."""
     w, i, j, k = q
+    w2, i2, j2, k2 = w * w, i * i, j * j, k * k
+    twoij = 2.0 * i * j
+    twoik = 2.0 * i * k
+    twojk = 2.0 * j * k
+    twoiw = 2.0 * i * w
+    twojw = 2.0 * j * w
+    twokw = 2.0 * k * w
     return np.array([
-        [w * w + i * i - j * j - k * k, 2 * (i * j - w * k),
-         2 * (i * k + w * j)],
-        [2 * (i * j + w * k), w * w - i * i + j * j - k * k,
-         2 * (j * k - w * i)],
-        [2 * (i * k - w * j), 2 * (j * k + w * i),
-         w * w - i * i - j * j + k * k]])
+        [w2 + i2 - j2 - k2, twoij - twokw, twojw + twoik],
+        [twoij + twokw, w2 - i2 + j2 - k2, twojk - twoiw],
+        [twoik - twojw, twojk + twoiw, w2 - i2 - j2 + k2]])
+
+
+def norm3_np(v):
+    """MathExtra::norm3 (src/math_extra.h:155): multiply by 1/sqrt —
+    NOT a divide; the rounding difference is observable downstream."""
+    val = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+    if val > 0.0:
+        return v * (1.0 / np.sqrt(val))
+    return v
+
+
+def rotate_place_np(dx, rotmat, center):
+    """matvec + add3 per MathExtra (src/math_extra.h:483-488): explicit
+    left-to-right sums, elementwise (no BLAS reassociation)."""
+    out = np.empty_like(dx)
+    for r in range(3):
+        out[:, r] = (rotmat[r][0] * dx[:, 0] + rotmat[r][1] * dx[:, 1]
+                     + rotmat[r][2] * dx[:, 2]) + center[r]
+    return out

@@ -111,12 +111,16 @@ class Simulation:
         # need per-pair charges in the grid kernel
         special_ok = (getattr(self.pair, "pair_fn_ex", None) is None
                       or self.state.q is not None)
+        widths_ok = bool(np.all(
+            np.asarray(jax.device_get(self.state.box.lengths), np.float64)
+            >= 2.0 * (self.max_cutoff() + self.skin)))
         eligible = (
             self.pair is not None
             and getattr(self.pair, "supports_cellgrid", False)
             and special_ok
             and all(self.state.box.periodic)
             and not self.state.box.istriclinic
+            and widths_ok
         )
         if eligible and jax.default_backend() != "cpu":
             return "cellgrid"
@@ -149,6 +153,12 @@ class Simulation:
             if self.neigh_exclude:
                 import dataclasses as _dc
                 cfg = _dc.replace(cfg, exclude_bits=tuple(self.neigh_exclude))
+            if cfg.image_shifts and self.pair is not None and not getattr(
+                    self.pair, "supports_image_ext", False):
+                raise ValueError(
+                    f"pair style {self.pair.name}: box smaller than "
+                    f"2*cutneigh needs the multi-image candidate mode, "
+                    f"which this style does not support yet")
         self._neigh_cfg = cfg
         mass_np = np.asarray(self.mass, dtype=np.float64).copy()
         mass_np[0] = 1.0  # padded slots: finite mass, zero force
@@ -578,9 +588,9 @@ class Simulation:
             st, ne, ctx, False, False, consts=self._consts)[0])
         t_force = timeit(lambda: force_fn(s, neigh))
         if ctx.is_cellgrid:
-            build_fn = jax.jit(lambda x, v: cg.bin_permutation(
-                x, v, s.box, ctx.neigh_cfg)[0])
-            t_build = timeit(lambda: build_fn(s.x, neigh.valid))
+            build_fn = jax.jit(lambda x, tg: cg.bin_compact(
+                x, tg, ctx.natoms, s.box, ctx.neigh_cfg)[0])
+            t_build = timeit(lambda: build_fn(s.x, s.tag))
         else:
             build_fn = jax.jit(lambda x: nb.build_neighbors(
                 x, s.box, ctx.neigh_cfg, special_tags=s.special_tags,

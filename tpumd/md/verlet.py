@@ -78,6 +78,20 @@ def _cellgrid_special(s, ctx):
     return (s.tag, s.special_tags, sw, swc)
 
 
+def _pair_ext(s, ctx):
+    """(xj, tj, qj, vbox) image-copy tables for the small-box multi-image
+    matrix mode, rebuilt from the live positions every evaluation (ghost
+    copies must track their parent atoms between rebuilds)."""
+    cfg = ctx.neigh_cfg
+    if ctx.is_cellgrid or not getattr(cfg, "image_shifts", ()):
+        return None
+    nshift = len(cfg.image_shifts)
+    xj = nb.ext_coords(s.x, s.box, cfg)
+    tj = jnp.tile(s.type, nshift)
+    qj = None if s.q is None else jnp.tile(s.q, nshift)
+    return (xj, tj, qj, nb.ext_box(s.box, cfg))
+
+
 def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                    eflag: bool, vflag: bool, shearupdate: bool = False,
                    consts=None):
@@ -110,7 +124,8 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
         else:
             fp, evdwl, ecoul, vir = ctx.pair.compute(
                 s.x, s.type, s.box, neigh.idx, neigh.sbits,
-                ctx.special_lj, ctx.special_coul, eflag, vflag, q=s.q)
+                ctx.special_lj, ctx.special_coul, eflag, vflag, q=s.q,
+                ext=_pair_ext(s, ctx))
         f = f + fp
         if eflag:
             energies["evdwl"] = evdwl
@@ -200,9 +215,11 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
     s = reset_box_shrink(s, ctx)
     if ctx.is_cellgrid:
         cfg = ctx.neigh_cfg
-        perm, valid, max_count, over = cg.bin_permutation(
-            s.x, neigh.valid, s.box, cfg)
-        s = cg.apply_permutation(s, perm, valid)
+        src, dst, max_count, over = cg.bin_compact(
+            s.x, s.tag, ctx.natoms, s.box, cfg)
+        s = cg.apply_permutation_compact(s, src, dst, cfg.capacity)
+        valid = jnp.zeros((cfg.capacity,), bool).at[dst].set(
+            True, mode="drop")
         neigh = cg.CellGridState(
             valid=valid, xhold=s.x,
             ago=jnp.zeros((), jnp.int32),
@@ -342,7 +359,8 @@ def compute_forces_cats(s, neigh, ctx, cats, consts=None):
         else:
             fp, _, _, _ = ctx.pair.compute(
                 s.x, s.type, s.box, neigh.idx, neigh.sbits,
-                ctx.special_lj, ctx.special_coul, False, False, q=s.q)
+                ctx.special_lj, ctx.special_coul, False, False, q=s.q,
+                ext=_pair_ext(s, ctx))
         f = f + fp
     bconsts = consts if consts is not None else (None,) * len(ctx.bonded)
     for style, bc in zip(ctx.bonded, bconsts):

@@ -64,21 +64,26 @@ class PairStyle:
     def pair_fn(self, r2, itype, jtype):
         raise NotImplementedError
 
+    # pairwise styles support the multi-image small-box mode for free
+    # (the manybody overrides do their own gathers and do not, yet)
+    supports_image_ext = True
+
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
-                eflag: bool, vflag: bool, q=None):
+                eflag: bool, vflag: bool, q=None, ext=None):
         ex = getattr(self, "pair_fn_ex", None)
         return pair_sums(x, type_, box, idx, sbits, self.pair_fn,
                          special_lj, special_coul, eflag, vflag,
-                         q=q, pair_fn_ex=ex)
+                         q=q, pair_fn_ex=ex, ext=ext)
 
     def compute_peratom(self, s, neigh, ctx):
         """Per-atom pair energy/virial tallies (eatom (N,), vatom (N,6));
         reference ev_setup/ev_tally eatom/vatom (src/pair.cpp:893,1013)."""
+        from tpumd.md.verlet import _pair_ext
         ex = getattr(self, "pair_fn_ex", None)
         _, eatom, vatom, _ = pair_sums(
             s.x, s.type, s.box, neigh.idx, neigh.sbits, self.pair_fn,
             ctx.special_lj, ctx.special_coul, "atom", "atom",
-            q=s.q, pair_fn_ex=ex)
+            q=s.q, pair_fn_ex=ex, ext=_pair_ext(s, ctx))
         return eatom, vatom
 
     # gather-free cell-grid path (TPU); pairwise styles get it for free

@@ -113,6 +113,7 @@ def _spline_der_np(sp, delta, n, r):
 class PairEAM(PairStyle):
     name = "eam"
     supports_cellgrid = False  # enabled at init() for single-element systems
+    supports_image_ext = False
 
     def __init__(self, ntypes: int):
         super().__init__(ntypes)
@@ -387,7 +388,9 @@ class PairEAM(PairStyle):
         return (coeff[..., 0] * p + coeff[..., 1]) * p + coeff[..., 2]
 
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
-                eflag: bool, vflag: bool, q=None):
+                eflag: bool, vflag: bool, q=None, ext=None):
+        assert ext is None, (
+            f"{self.name}: small-box multi-image mode not supported")
         dtype = x.dtype
         n, k = idx.shape
         self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]

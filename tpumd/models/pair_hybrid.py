@@ -115,7 +115,7 @@ class PairHybrid(PairStyle):
         return max(m.style.max_cutoff for m in self.subs)
 
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
-                eflag: bool, vflag: bool, q=None):
+                eflag: bool, vflag: bool, q=None, ext=None):
         from tpumd.ops.pairwise import pair_sums
         f = jnp.zeros_like(x)
         ev = jnp.zeros((), x.dtype)
@@ -125,7 +125,7 @@ class PairHybrid(PairStyle):
             fn, fn_ex = m.wrap_pair_fn()
             fs, e1, e2, v6 = pair_sums(
                 x, type_, box, idx, sbits, fn, special_lj, special_coul,
-                eflag, vflag, q=q, pair_fn_ex=fn_ex)
+                eflag, vflag, q=q, pair_fn_ex=fn_ex, ext=ext)
             f = f + fs
             if eflag:
                 if e1 is not None:
@@ -177,7 +177,7 @@ class PairHybridScaled(PairHybrid):
             raise ValueError("hybrid/scaled: need one scale per sub-style")
 
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
-                eflag: bool, vflag: bool, q=None):
+                eflag: bool, vflag: bool, q=None, ext=None):
         from tpumd.ops.pairwise import pair_sums
         f = jnp.zeros_like(x)
         ev = jnp.zeros((), x.dtype)
@@ -187,7 +187,7 @@ class PairHybridScaled(PairHybrid):
             fn, fn_ex = m.wrap_pair_fn()
             fs, e1, e2, v6 = pair_sums(
                 x, type_, box, idx, sbits, fn, special_lj, special_coul,
-                eflag, vflag, q=q, pair_fn_ex=fn_ex)
+                eflag, vflag, q=q, pair_fn_ex=fn_ex, ext=ext)
             f = f + scale * fs
             if eflag:
                 if e1 is not None:

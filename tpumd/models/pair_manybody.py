@@ -32,12 +32,15 @@ class EnergyPairStyle(PairStyle):
     """Pair style defined by a total-energy function; forces via autodiff."""
 
     supports_cellgrid = False
+    supports_image_ext = False
 
     def energy(self, x, type_, ell, idx):
         raise NotImplementedError
 
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
-                eflag: bool, vflag: bool, q=None):
+                eflag: bool, vflag: bool, q=None, ext=None):
+        assert ext is None, (
+            f"{self.name}: small-box multi-image mode not supported")
         ell = box.lengths
 
         e, negf = jax.value_and_grad(self.energy)(x, type_, ell, idx)

@@ -123,6 +123,61 @@ def bin_permutation(x, valid, box: Box, cfg: CellGridConfig):
     return perm, valid_new, max_count, overflow
 
 
+def bin_compact(x, tag, natoms: int, box: Box, cfg: CellGridConfig):
+    """Compact re-bin: sort the ``natoms`` REAL atoms only (via the tag
+    map) instead of argsorting all ``cfg.capacity`` padded slots — at the
+    chain bench's 4x slot padding this cuts the rebuild sort cost ~4x.
+
+    Returns (src (n,) source slot per placement, dst (n,) destination
+    slot or capacity for overflow-dropped atoms, max_count, overflow).
+    """
+    npad = cfg.capacity
+    target = jnp.where(tag > 0, tag - 1, natoms)
+    row2slot = jnp.zeros((natoms,), jnp.int32).at[target].set(
+        jnp.arange(npad, dtype=jnp.int32), mode="drop")
+    xc = x[row2slot]
+    ell = box.lengths
+    dims = jnp.array([cfg.nx, cfg.ny, cfg.nz])
+    rel = (xc - box.lo) / ell * dims
+    ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, dims - 1)
+    cid = (ci[:, 2] * cfg.ny + ci[:, 1]) * cfg.nx + ci[:, 0]
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(natoms, dtype=jnp.int32) - first.astype(jnp.int32)
+    max_count = jnp.max(rank) + 1
+    overflow = max_count > cfg.cap
+    dst = jnp.where(rank < cfg.cap,
+                    sorted_cid * cfg.cap + jnp.minimum(rank, cfg.cap - 1),
+                    npad)
+    src = row2slot[order]
+    return src, dst, max_count, overflow
+
+
+def apply_permutation_compact(state: MDState, src, dst,
+                              capacity: int) -> MDState:
+    """Reorder per-atom arrays via n-sized gather + scatter (the compact
+    counterpart of apply_permutation; empty slots zeroed)."""
+    from tpumd.core.state import PER_ATOM_FIELDS
+    groups: dict = {}
+    for name in PER_ATOM_FIELDS:
+        a = getattr(state, name)
+        if a is not None:
+            groups.setdefault(a.dtype, []).append((name, a))
+    updates = {}
+    for dt_, fields in groups.items():
+        flat = [a.reshape(a.shape[0], -1) for _, a in fields]
+        widths = [f.shape[1] for f in flat]
+        packed = jnp.concatenate(flat, axis=1)
+        out = jnp.zeros_like(packed).at[dst].set(packed[src], mode="drop")
+        off = 0
+        for (name, a), w in zip(fields, widths):
+            updates[name] = out[:, off:off + w].reshape(
+                (capacity,) + a.shape[1:])
+            off += w
+    return state.replace(**updates)
+
+
 def apply_permutation(state: MDState, perm, valid_new) -> MDState:
     """Reorder all per-atom arrays into grid-slot order (capacity Np).
 

@@ -60,6 +60,12 @@ class NeighborConfig:
     # group-pair exclusions (neigh_modify exclude group g1 g2): pairs of
     # gmask bits; a pair (i,j) is dropped when i,j are in the two groups
     exclude_bits: tuple = ()
+    # small-box multi-image mode (the TPU analog of the reference's
+    # multi-hop ghosts, src/comm_brick.cpp maxneed): explicit periodic
+    # image copies of every atom at these lattice shifts serve as the
+    # j-side candidate set; shift (0,0,0) MUST be first so real atoms
+    # are rows [0, N).  Empty tuple = plain minimum-image mode.
+    image_shifts: tuple = ()
 
     @property
     def ncells(self) -> int:
@@ -102,17 +108,34 @@ def choose_config(
     """
     ell = (box.perp_widths() if box.istriclinic
            else np.asarray(jax.device_get(box.lengths), dtype=np.float64))
+    image_shifts: tuple = ()
     if (ell < 2.0 * cutneigh).any():
-        # minimum-image convention: each pair must have a unique nearest image
-        # (the reference instead replicates ghosts multiple hops,
-        # src/comm_brick.cpp maxneed)
-        raise ValueError(
-            f"box (perpendicular) widths {ell} must be >= 2*cutneigh "
-            f"({2 * cutneigh:.3f})")
+        # minimum-image convention breaks: a pair can interact through
+        # several periodic images at once.  The reference replicates
+        # ghosts multiple hops (src/comm_brick.cpp maxneed); here the
+        # j-side candidate set is expanded with explicit image copies.
+        if box.istriclinic:
+            raise ValueError(
+                f"triclinic perpendicular widths {ell} must be >= "
+                f"2*cutneigh ({2 * cutneigh:.3f})")
+        kimg = [0, 0, 0]
+        for c in range(3):
+            if box.periodic[c] and ell[c] < 2.0 * cutneigh:
+                # |k| <= floor(cut/L)+1 covers every in-range image pair
+                kimg[c] = int(np.floor(cutneigh / ell[c])) + 1
+        shifts = [(0, 0, 0)]
+        for sz in range(-kimg[2], kimg[2] + 1):
+            for sy in range(-kimg[1], kimg[1] + 1):
+                for sx in range(-kimg[0], kimg[0] + 1):
+                    if (sx, sy, sz) != (0, 0, 0):
+                        shifts.append((sx, sy, sz))
+        image_shifts = tuple(shifts)
+        # bin over the image-extended domain
+        ell = ell * (2 * np.asarray(kimg) + 1)
     nx, ny, nz = [max(1, int(np.floor(L / (cutneigh * box_margin)))) for L in ell]
     ncells = nx * ny * nz
-    density = natoms / float(np.prod(ell))
-    mean_per_cell = natoms / ncells
+    density = natoms * max(1, len(image_shifts)) / float(np.prod(ell))
+    mean_per_cell = natoms * max(1, len(image_shifts)) / ncells
     if cell_cap is None:
         cell_cap = int(np.ceil((mean_per_cell * 1.8 + 3) / 4) * 4)
     if kmax is None:
@@ -126,7 +149,29 @@ def choose_config(
         cutneigh=float(cutneigh), skin=float(skin), nx=nx, ny=ny, nz=nz,
         cell_cap=cell_cap, kmax=int(kmax), block=block,
         every=every, delay=delay, check=check, has_special=has_special,
+        image_shifts=image_shifts,
     )
+
+
+def ext_box(box: Box, cfg: NeighborConfig) -> Box:
+    """Virtual box covering the image-extended domain: image-expanded dims
+    become non-periodic (their periodicity is realized by the explicit
+    copies), untouched dims keep minimum-image wrapping."""
+    sh = np.asarray(cfg.image_shifts)
+    kmax_d = np.abs(sh).max(axis=0)
+    ell = box.hi - box.lo
+    lo = box.lo + jnp.asarray(-kmax_d, ell.dtype) * ell
+    hi = box.hi + jnp.asarray(kmax_d, ell.dtype) * ell
+    periodic = tuple(bool(p) and k == 0
+                     for p, k in zip(box.periodic, kmax_d))
+    return box.replace(lo=lo, hi=hi, periodic=periodic)
+
+
+def ext_coords(x, box: Box, cfg: NeighborConfig):
+    """(S*N, 3) image-copy coordinate table; rows [0, N) are the reals."""
+    ell = box.hi - box.lo
+    return jnp.concatenate(
+        [x + jnp.asarray(sv, x.dtype) * ell for sv in cfg.image_shifts])
 
 
 def _cell_index(x, box: Box, cfg: NeighborConfig):
@@ -176,37 +221,53 @@ def build_neighbors(
     gmask is required when cfg.exclude_bits is non-empty.
     """
     n = x.shape[0]
-    cell_id, ci = _cell_index(x, box, cfg)
+    if cfg.image_shifts:
+        # small-box multi-image mode: j-side candidates are explicit
+        # periodic copies; minimum image is disabled on expanded dims
+        nshift = len(cfg.image_shifts)
+        bbox = ext_box(box, cfg)
+        xj_all = ext_coords(x, box, cfg)          # (S*n, 3)
+        nj = nshift * n
+        cell_id, _ = _cell_index(xj_all, bbox, cfg)
+        _, ci = _cell_index(x, bbox, cfg)         # real-row stencil centers
+        gmask_j = (jnp.tile(gmask, nshift)
+                   if cfg.exclude_bits else gmask)
+    else:
+        bbox = box
+        xj_all = x
+        nj = n
+        cell_id, ci = _cell_index(x, box, cfg)
+        gmask_j = gmask
 
-    # --- bin atoms into (ncells, cap) tables, padding = n (out of range) ---
+    # --- bin atoms into (ncells, cap) tables, padding = nj (out of range) ---
     order = jnp.argsort(cell_id)
     sorted_cid = cell_id[order]
     first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = jnp.arange(nj, dtype=jnp.int32) - first.astype(jnp.int32)
     cell_over = jnp.max(rank) >= cfg.cell_cap
     rank_c = jnp.minimum(rank, cfg.cell_cap - 1)  # overflow drops atoms; flagged
-    cells = jnp.full((cfg.ncells, cfg.cell_cap), n, dtype=jnp.int32)
+    cells = jnp.full((cfg.ncells, cfg.cell_cap), nj, dtype=jnp.int32)
     cells = cells.at[sorted_cid, rank_c].set(order.astype(jnp.int32), mode="drop")
 
     stencil = _stencil_cells(ci, cfg)  # (N, S)
     nsten = stencil.shape[1]
     cut2 = jnp.asarray(cfg.cutneigh * cfg.cutneigh, dtype=x.dtype)
-    ell = box.lengths
+    ell = bbox.lengths
     nblocks = -(-n // cfg.block)
     npad = nblocks * cfg.block
 
     # ONE packed j-table (gather cost is per row): x,y,z + gmask column
-    far = jnp.full((1, 3), 2 * cfg.cutneigh, x.dtype) + box.hi
-    cols = [jnp.concatenate([x, far])]
+    far = jnp.full((1, 3), 2 * cfg.cutneigh, x.dtype) + bbox.hi
+    cols = [jnp.concatenate([xj_all, far])]
     if cfg.exclude_bits:
         cols.append(jnp.concatenate(
-            [gmask, jnp.zeros((1,), gmask.dtype)]).astype(x.dtype)[:, None])
+            [gmask_j, jnp.zeros((1,), gmask.dtype)]).astype(x.dtype)[:, None])
         gm_pad = jnp.pad(gmask, (0, npad - n))
     xp = jnp.concatenate(cols, axis=1)
     self_pad = jnp.arange(npad, dtype=jnp.int32)  # row's own index = padding value
 
     # minimum-image mask (non-periodic dims get no correction)
-    pmask = [1.0 if p else 0.0 for p in box.periodic]
+    pmask = [1.0 if p else 0.0 for p in bbox.periodic]
 
     def build_block(args):
         sten_b, xi_b, self_b, gm_b = args  # (B,27), (B,3), (B,), (B,)
@@ -224,7 +285,7 @@ def build_neighbors(
                 if pmask[c]:
                     dc = dc - ell[c] * jnp.round(dc / ell[c])
                 r2 = r2 + dc * dc
-        ok = (r2 < cut2) & (cand != self_b[:, None]) & (cand < n)
+        ok = (r2 < cut2) & (cand != self_b[:, None]) & (cand < nj)
         if cfg.exclude_bits:
             gj = pj[:, :, 3].astype(jnp.int32)
             gi = gm_b[:, None]
@@ -263,7 +324,9 @@ def build_neighbors(
 
     # --- special-bond weight codes -------------------------------------
     if cfg.has_special and special_tags is not None:
-        jtags = tag[idx]  # (N, K) global tags of neighbors
+        tag_j = (jnp.tile(tag, len(cfg.image_shifts))
+                 if cfg.image_shifts else tag)
+        jtags = tag_j[idx]  # (N, K) global tags of neighbors
         # code for pair (i, j): match j's tag against i's special list
         match = jtags[:, :, None] == special_tags[:, None, :]  # (N, K, S)
         code = jnp.max(

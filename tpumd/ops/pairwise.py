@@ -21,7 +21,7 @@ from tpumd.core.state import minimum_image  # noqa: F401 (re-export)
 
 
 def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
-              eflag: bool, vflag: bool, q=None, pair_fn_ex=None):
+              eflag: bool, vflag: bool, q=None, pair_fn_ex=None, ext=None):
     """Compute (f, evdwl, ecoul, virial6) for a pairwise-additive style.
 
     special_lj/special_coul: (4,) weight tables indexed by sbits code
@@ -39,9 +39,16 @@ def pair_sums(x, type_, box, idx, sbits, pair_fn, special_lj, special_coul,
     self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
     mask = idx != self_idx
 
-    cols = [x, type_.astype(x.dtype)[:, None]]
+    if ext is not None:
+        # small-box multi-image mode (NeighborConfig.image_shifts): idx
+        # addresses the (S*N)-row image-copy table; the virtual box has
+        # minimum image disabled on expanded dims
+        xj_tab, tj_tab, qj_tab, box = ext
+    else:
+        xj_tab, tj_tab, qj_tab = x, type_, q
+    cols = [xj_tab, tj_tab.astype(x.dtype)[:, None]]
     if q is not None:
-        cols.append(q[:, None])
+        cols.append(qj_tab[:, None])
     packed = jnp.concatenate(cols, axis=1)
     pj = packed[idx]                       # (N, K, 4|5)
 

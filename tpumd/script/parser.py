@@ -54,6 +54,13 @@ class LammpsScript:
         self.box = None
         self._atoms_x: list[np.ndarray] = []
         self._atoms_type: list[np.ndarray] = []
+        self._atoms_q: list[np.ndarray] = []
+        self._atoms_mol: list[np.ndarray] = []
+        self._atoms_image: list[np.ndarray] = []
+        self._molid_next = 1
+        # topology accumulated by create_atoms mol (1-based tags)
+        self._topo_acc: dict[str, list[np.ndarray]] = {
+            "bond": [], "angle": [], "dihedral": [], "improper": []}
         self.atom_style = "atomic"
         self.pair_style_args = None
         self.pending_pair_coeffs = []
@@ -255,11 +262,33 @@ class LammpsScript:
         sim = self._require_sim()
         sim.ntypes = ntypes
         sim.mass = np.zeros(ntypes + 1)
+        i = 2
+        while i < len(a):
+            key = a[i]
+            if key.endswith("/types") and key.split("/")[0] in (
+                    "bond", "angle", "dihedral", "improper"):
+                sim.bonded_ntypes[key.split("/")[0]] = int(a[i + 1])
+                i += 2
+            elif key.startswith("extra/"):   # capacity hints; padded anyway
+                i += 2
+            else:
+                raise ScriptError(f"create_box keyword {key} not supported")
         self._materialize_styles()
 
     def cmd_create_atoms(self, a):
         type_id = int(a[0])
         style = a[1]
+        rest = list(a[3:] if style == "region" else a[2:])
+        mol = molseed = None
+        i = 0
+        while i < len(rest):
+            if rest[i] == "mol":
+                mol = self.sim.molecules[rest[i + 1]]
+                molseed = int(rest[i + 2])
+                i += 3
+            else:
+                raise ScriptError(
+                    f"create_atoms keyword {rest[i]} not supported")
         lo, hi = self.box
         if style == "box":
             x, t = create_atoms_lattice(self.lattice, None, lo, hi, type_id)
@@ -268,8 +297,56 @@ class LammpsScript:
                                         lo, hi, type_id, fill_box=False)
         else:
             raise ScriptError(f"create_atoms style {style} not supported")
-        self._atoms_x.append(x)
-        self._atoms_type.append(t)
+        if mol is None:
+            self._atoms_x.append(x)
+            self._atoms_type.append(t)
+            self._atoms_q.append(None)
+            self._atoms_mol.append(None)
+            self._atoms_image.append(None)
+            return
+        # one molecule per lattice site with a random orientation drawn in
+        # site order (CreateAtoms::add_molecule, src/create_atoms.cpp:1376-
+        # 1394: 3 uniforms for the axis, 1 for the angle)
+        from tpumd.io.molecule import (axisangle_to_quat, norm3_np,
+                                       quat_to_mat_np, rotate_place_np)
+        from tpumd.utils.ranmars import RanMars
+        rng = RanMars(molseed)
+        nm = mol.natoms
+        tag0 = sum(len(arr) for arr in self._atoms_x)
+        coords = np.empty((len(x) * nm, 3), np.float64)
+        for k, site in enumerate(x):
+            r = np.array([rng.uniform() - 0.5 for _ in range(3)])
+            r = norm3_np(r)
+            theta = rng.uniform() * 2.0 * np.pi
+            rotmat = quat_to_mat_np(axisangle_to_quat(r, theta))
+            coords[k * nm:(k + 1) * nm] = rotate_place_np(
+                mol.dx, rotmat, site)
+        types = np.tile(np.asarray(mol.types, np.int32) + type_id, len(x))
+        # reference remaps every created atom into the box at the end of
+        # the command (src/create_atoms.cpp:617 -> Domain::remap) — the
+        # stored coordinate feeds velocity loop geom's byte hash
+        from tpumd.core.create import remap_host
+        periodic = tuple(tok == "p" for tok in self.sim.boundary)
+        img = remap_host(coords, np.asarray(lo, np.float64),
+                         np.asarray(hi, np.float64), periodic)
+        self._atoms_image.append(img)
+        self._atoms_x.append(coords)
+        self._atoms_type.append(types)
+        self._atoms_q.append(np.tile(
+            mol.q if mol.q is not None else np.zeros(nm), len(x)))
+        self._atoms_mol.append(
+            np.repeat(np.arange(self._molid_next,
+                                self._molid_next + len(x)), nm))
+        self._molid_next += len(x)
+        for kind, arr in (("bond", mol.bonds), ("angle", mol.angles),
+                          ("dihedral", mol.dihedrals),
+                          ("improper", mol.impropers)):
+            if len(arr):
+                per = np.tile(arr, (len(x), 1))
+                offs = np.repeat(np.arange(len(x)) * nm, len(arr))[:, None]
+                per = per.copy()
+                per[:, 1:] += offs + tag0
+                self._topo_acc[kind].append(per)
 
     def cmd_mass(self, a):
         sim = self._require_sim()
@@ -330,12 +407,41 @@ class LammpsScript:
                 box = Box.orthogonal(np.asarray(lo), np.asarray(hi),
                                      dtype=self.dtype, periodic=periodic)
             v = np.zeros_like(x)
-            q = (np.zeros(len(x))
-                 if self.atom_style in ("charge", "full") else None)
-            mol = (np.zeros(len(x), np.int32)
-                   if self.atom_style in ("full", "molecular") else None)
+
+            def _cat(segs, fallback_dtype, width=None):
+                # per-create_atoms segments; None = zeros of that length
+                if not any(s is not None for s in segs):
+                    return None
+                shape = (lambda n: (n,) if width is None else (n, width))
+                return np.concatenate([
+                    s if s is not None else
+                    np.zeros(shape(len(xa)), fallback_dtype)
+                    for s, xa in zip(segs, self._atoms_x)])
+
+            q = _cat(self._atoms_q, np.float64)
+            if q is None and self.atom_style in ("charge", "full"):
+                q = np.zeros(len(x))
+            mol = _cat(self._atoms_mol, np.int32)
+            if mol is not None:
+                mol = mol.astype(np.int32)
+            elif self.atom_style in ("full", "molecular"):
+                mol = np.zeros(len(x), np.int32)
+            image = _cat(self._atoms_image, np.int32, width=3)
             sim.state = make_state(x, v, t, box, q=q, molecule=mol,
-                                   dtype=self.dtype)
+                                   image=image, dtype=self.dtype)
+            # topology accumulated by create_atoms mol
+            if any(self._topo_acc.values()):
+                from tpumd.io.read_data import build_special
+                for kind, chunks in self._topo_acc.items():
+                    if chunks:
+                        arr = np.concatenate(chunks)
+                        sim.topology[kind] = arr
+                        sim.bonded_ntypes[kind] = max(
+                            sim.bonded_ntypes.get(kind, 0),
+                            int(arr[:, 0].max()))
+                if "bond" in sim.topology:
+                    sim.special_tags, sim.special_codes = build_special(
+                        len(x), sim.topology["bond"])
 
     def _group_sel_np(self, group: str) -> np.ndarray:
         """Boolean (N,) selector for a named group (host side)."""
@@ -1111,10 +1217,83 @@ class LammpsScript:
         pass
 
     def cmd_info(self, a):
+        """info [system|groups|styles|fixes|computes|variables|all ...]
+        (src/info.cpp categories; `out screen` only)."""
+        cats = [t for t in a if t not in ("out", "screen", "log")] or ["system"]
+        if "all" in cats:
+            cats = ["system", "groups", "styles", "fixes", "computes",
+                    "variables"]
         sim = self.sim
-        if sim is not None:
-            print(f"natoms={sim.natoms} ntypes={sim.ntypes} "
-                  f"step={sim.step} units={sim.units.name}")
+        for cat in cats:
+            print(f"Info-Info-Info: {cat}")
+            if cat == "system" and sim is not None:
+                lo = np.asarray(jax.device_get(sim.state.box.lo)) \
+                    if sim.state is not None else None
+                print(f"units = {sim.units.name}")
+                print(f"atom_style = {self.atom_style}")
+                print(f"natoms = {sim.natoms}  ntypes = {sim.ntypes}  "
+                      f"step = {sim.step}")
+                if sim.state is not None:
+                    hi = np.asarray(jax.device_get(sim.state.box.hi))
+                    per = "".join("p" if p else "f"
+                                  for p in sim.state.box.periodic)
+                    print(f"box = ({lo[0]:g} {lo[1]:g} {lo[2]:g}) to "
+                          f"({hi[0]:g} {hi[1]:g} {hi[2]:g})  boundary {per}")
+                if sim.pair is not None:
+                    print(f"pair_style = {sim.pair.name}")
+                if sim.kspace is not None:
+                    print(f"kspace_style = {type(sim.kspace).__name__}")
+            elif cat == "groups" and sim is not None:
+                for name, bit in sim.groups.items():
+                    print(f"group {name} bit {bit}")
+            elif cat == "styles":
+                from tpumd.models import registry as reg
+                reg._ensure_imports()
+                print("pair styles:", " ".join(sorted(reg._PAIR_STYLES)))
+                print("bond styles:", " ".join(sorted(reg._BOND_STYLES)))
+                print("angle styles:", " ".join(sorted(reg._ANGLE_STYLES)))
+            elif cat == "fixes" and sim is not None:
+                for fx in sim.fixes:
+                    print(f"fix {getattr(fx, 'id', '?')} "
+                          f"style {fx.name}")
+            elif cat == "computes" and sim is not None:
+                for cid, comp in sim.computes.items():
+                    print(f"compute {cid} style {comp.style}")
+            elif cat == "variables":
+                for name, (style, val) in self.variables.items():
+                    print(f"variable {name} style {style} = {val}")
+
+    def cmd_plugin(self, a):
+        """plugin load <module.py> | list | clear (src/plugin.cpp).
+
+        A tpumd plugin is a Python file executed with the open style
+        registries in scope: module-level code registers new styles via
+        @register_pair / @register_bonded / register_fix / register_compute
+        — the TPU-native analog of the reference's dlopen'd
+        lammpsplugin_init shared objects."""
+        sub = a[0]
+        if sub == "load":
+            import importlib.util
+            path = a[1] if os.path.isabs(a[1]) else os.path.join(
+                self.data_dir, a[1])
+            name = "tpumd_plugin_" + os.path.splitext(
+                os.path.basename(path))[0]
+            spec = importlib.util.spec_from_file_location(name, path)
+            if spec is None:
+                raise ScriptError(f"cannot load plugin {path!r}")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            self._plugins = getattr(self, "_plugins", {})
+            self._plugins[name] = mod
+            n = len(getattr(mod, "__tpumd_styles__", ())) or "?"
+            print(f"Loaded plugin {os.path.basename(path)}: {n} styles")
+        elif sub == "list":
+            for name in getattr(self, "_plugins", {}):
+                print(f"plugin {name}")
+        elif sub in ("clear", "unload"):
+            pass  # registrations are permanent for the session
+        else:
+            raise ScriptError(f"plugin subcommand {sub!r} not supported")
 
     def cmd_timer(self, a):
         if a and a[0] == "full":
