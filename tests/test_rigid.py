@@ -96,3 +96,21 @@ def test_rattle_water_thermo():
     assert v["epair"] == pytest.approx(last[2], rel=1e-5)
     assert v["etotal"] == pytest.approx(last[4], rel=1e-5)
     assert v["press"] == pytest.approx(last[5], rel=5e-4)
+
+
+def test_rigid_npt_water_thermo():
+    """fix rigid/npt golden parity vs the reference binary (src/RIGID/
+    fix_rigid_npt.cpp): MTK barostat on rigid water, iso coupling.
+    Box volume trajectory (the barostat observable) and thermo must
+    track the reference within the eigh-vs-jacobi frame roundoff."""
+    sim, ref, _, _ = run_case("rigid_npt_water")
+    v = sim.last_thermo
+    last = ref[-1]
+    assert last[0] == 20
+    # columns: step temp epair emol etotal press vol
+    assert v["temp"] == pytest.approx(last[1], rel=2e-5)
+    assert v["epair"] == pytest.approx(last[2], rel=2e-5)
+    assert v["etotal"] == pytest.approx(last[4], rel=2e-5)
+    assert v["press"] == pytest.approx(last[5], rel=5e-4)
+    # vol changes in the 5th digit over 20 steps; match it tightly
+    assert v["vol"] == pytest.approx(last[6], rel=1e-7)

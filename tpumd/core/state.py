@@ -158,6 +158,11 @@ class MDState:
     # compiled graphs as baked constants (large-topology compile times)
     special_tags: jnp.ndarray | None = None   # (N, S) int32, 0-padded
     special_codes: jnp.ndarray | None = None  # (N, S) int32 1/2/3
+    # in-kernel 2-body bonds (cell-grid fast path): per-atom partner tags
+    # and bond types, matched against rolled candidate tags exactly like
+    # the special lists — bond forces then cost zero gathers per step
+    bond_tags: jnp.ndarray | None = None      # (N, B) int32, 0-padded
+    bond_btypes: jnp.ndarray | None = None    # (N, B) int32
 
     @property
     def capacity(self) -> int:
@@ -167,7 +172,8 @@ class MDState:
 # every per-atom array field of MDState (for generic permute/pad/compact)
 PER_ATOM_FIELDS = ("x", "v", "f", "type", "tag", "image", "gmask", "q",
                    "molecule", "radius", "rmass", "omega", "torque",
-                   "special_tags", "special_codes")
+                   "special_tags", "special_codes",
+                   "bond_tags", "bond_btypes")
 
 
 def map_per_atom(state: MDState, fn) -> MDState:

@@ -44,9 +44,18 @@ class FixLangevin(Fix):
     def segment_inputs(self, nsteps, ctx, state):
         if self.rng != "lammps":
             return None
-        n = state.x.shape[0]
+        # draws are generated in the reference's row order (our post-sort
+        # setup order) and re-indexed by TAG so the kick reaches the same
+        # physical atom regardless of the engine's slot permutation
+        n = ctx.natoms or state.x.shape[0]
         draws = self._stream.fill(nsteps * n * 3)
         arr = draws.reshape(nsteps, n, 3).astype(np.dtype(state.x.dtype))
+        ref_tags = getattr(self._sim, "_ref_order_tags", None) \
+            if hasattr(self, "_sim") else None
+        if ref_tags is not None:
+            out = np.empty_like(arr)
+            out[:, ref_tags - 1, :] = arr
+            arr = out
         return jnp.asarray(arr)
 
     def _t_target(self, ctx):
@@ -62,7 +71,9 @@ class FixLangevin(Fix):
                   * np.sqrt(24.0 * u.boltz / (self.damp * ctx.dt * u.mvv2e))
                   * np.sqrt(t_target))
         if self.rng == "lammps":
-            rand = xin - 0.5
+            # tag-indexed draws -> this slot's atom (invalid slots read
+            # row 0 but are masked out by the group selector)
+            rand = xin[jnp.clip(s.tag - 1, 0)] - 0.5
         else:
             key = fstate
             key, sub = jax.random.split(key)

@@ -489,7 +489,7 @@ class FixRigidNVT(FixRigid):
     needs_step = True
 
     def __init__(self, style="molecule", groups=None, t_start=None,
-                 t_stop=None, t_period=None, t_chain=3, t_iter=1,
+                 t_stop=None, t_period=None, t_chain=10, t_iter=1,
                  t_order=3):
         super().__init__(style=style, groups=groups)
         if t_start is None:
@@ -685,3 +685,346 @@ class FixRigidNVT(FixRigid):
         vhalf = self._virial_half(s, ctx, vnew, s.v, body)
         v = jnp.where((body >= 0)[:, None], vnew, s.v)
         return s.replace(v=v), fst.replace(virial=fst.virial + vhalf)
+
+
+@struct.dataclass
+class RigidNPTState:
+    # dynamic body state (RigidState fields)
+    xcm: jnp.ndarray
+    vcm: jnp.ndarray
+    quat: jnp.ndarray
+    angmom: jnp.ndarray
+    omega: jnp.ndarray
+    virial: jnp.ndarray
+    inertia: jnp.ndarray
+    masstotal: jnp.ndarray
+    body_tag: jnp.ndarray
+    disp_tag: jnp.ndarray
+    # no-squish + Nose-Hoover thermostat (RigidNHState fields)
+    conjqm: jnp.ndarray
+    eta_t: jnp.ndarray
+    eta_r: jnp.ndarray
+    eta_dot_t: jnp.ndarray
+    eta_dot_r: jnp.ndarray
+    f_eta_t: jnp.ndarray
+    f_eta_r: jnp.ndarray
+    step: jnp.ndarray
+    begin: jnp.ndarray
+    end: jnp.ndarray
+    # barostat extension (fix_rigid_nh.cpp pstat machinery)
+    epsilon: jnp.ndarray      # (3,) strain bookkeeping
+    epsilon_dot: jnp.ndarray  # (3,)
+    eta_b: jnp.ndarray        # (p_chain,) barostat thermostat chain
+    eta_dot_b: jnp.ndarray
+    f_eta_b: jnp.ndarray
+    mtk_term2: jnp.ndarray    # scalar, refreshed by nh_epsilon_dot
+    akin_t: jnp.ndarray       # body translational 2*KE carried init->final
+    akin_r: jnp.ndarray
+    virial_save: jnp.ndarray  # (6,) step virial saved by the loop
+
+
+class FixRigidNPT(FixRigidNVT):
+    """fix ID group rigid/npt <bodystyle> temp T1 T2 Td iso/aniso/x/y/z ...
+
+    FixRigidNH with tstat + pstat (src/RIGID/fix_rigid_npt.cpp,
+    fix_rigid_nh.cpp:428-717 initial/final, :814-889 nhc_press_integrate,
+    :977-1031 remap, :1067-1095 nh_epsilon_dot): MTK barostat on the
+    rigid-body translational/rotational kinetic energy, body xcm and the
+    box dilated by exp(dtq*epsilon_dot) half-steps around set_xv.
+    """
+
+    name = "rigid/npt"
+    needs_virial = True
+
+    def __init__(self, style="molecule", groups=None, t_start=None,
+                 t_stop=None, t_period=None, t_chain=10, t_iter=1,
+                 t_order=3, p_start=None, p_stop=None, p_period=None,
+                 p_flag=(True, True, True), pstyle="iso", p_chain=10,
+                 tstat=True):
+        super().__init__(style=style, groups=groups,
+                         t_start=(t_start if tstat else 0.0),
+                         t_stop=(t_stop if tstat else 0.0),
+                         t_period=(t_period if tstat else 1.0),
+                         t_chain=t_chain, t_iter=t_iter, t_order=t_order)
+        self.tstat = tstat
+        if p_start is None:
+            raise ValueError(f"fix {self.name} requires a pressure keyword")
+        self.p_start = np.asarray(p_start, np.float64)
+        self.p_stop = np.asarray(p_stop, np.float64)
+        self.p_freq = np.where(np.asarray(p_period) > 0,
+                               1.0 / np.maximum(np.asarray(p_period), 1e-300),
+                               0.0)
+        self.p_flag = tuple(bool(f) for f in p_flag)
+        self.pdim = sum(self.p_flag)
+        self.p_freq_max = float(self.p_freq[list(self.p_flag)].max()
+                                if self.pdim else 0.0)
+        self.pstyle = pstyle  # "iso" -> scalar coupling, else aniso
+        self.p_chain = p_chain
+        self.t0 = None        # nph: captured at setup
+
+    # --------------------------------------------------------------- state
+    def init_state(self, s, ctx):
+        base = super().init_state(s, ctx)
+        dt_ = s.x.dtype
+        self.g_f = self.nf_t + self.nf_r
+        vol0 = float(jax.device_get(s.box.volume))
+        eps0 = np.where(self.p_flag, np.log(vol0) / 3.0, 0.0)
+        zb = jnp.zeros((self.p_chain,), dt_)
+        d = {f: getattr(base, f) for f in (
+            "xcm", "vcm", "quat", "angmom", "omega", "virial", "inertia",
+            "masstotal", "body_tag", "disp_tag", "conjqm", "eta_t", "eta_r",
+            "eta_dot_t", "eta_dot_r", "f_eta_t", "f_eta_r", "step", "begin",
+            "end")}
+        return RigidNPTState(
+            **d, epsilon=jnp.asarray(eps0, dt_),
+            epsilon_dot=jnp.zeros((3,), dt_),
+            eta_b=zb, eta_dot_b=zb, f_eta_b=zb,
+            mtk_term2=jnp.zeros((), dt_),
+            akin_t=jnp.zeros((), dt_), akin_r=jnp.zeros((), dt_),
+            virial_save=jnp.zeros((6,), dt_))
+
+    def save_virial(self, fstate, virial):
+        return fstate.replace(virial_save=virial)
+
+    # ------------------------------------------------------------ pressure
+    def _p_current(self, s, ctx, virial):
+        """compute_pressure: (mvv + virial)/V in each diagonal component;
+        iso couples to the scalar average (couple(), :946-975)."""
+        vol = s.box.volume
+        m = ctx.mass_per_atom(s)
+        valid = (s.tag > 0)[:, None]
+        mvv = ctx.units.mvv2e * jnp.sum(
+            jnp.where(valid, m[:, None] * s.v * s.v, 0.0), axis=0)
+        p = (mvv + virial[:3]) / vol * ctx.units.nktv2p
+        if self.pstyle == "iso":
+            p = jnp.full((3,), jnp.sum(p) / 3.0, p.dtype)
+        return p
+
+    def _press_target(self, fst, dtype):
+        num = (fst.step - fst.begin).astype(dtype)
+        den = jnp.maximum(fst.end - fst.begin, 1).astype(dtype)
+        delta = jnp.where(fst.end > fst.begin, num / den, 0.0)
+        p_t = (jnp.asarray(self.p_start, dtype)
+               + delta * jnp.asarray(self.p_stop - self.p_start, dtype))
+        flag = jnp.asarray(self.p_flag)
+        p_hydro = jnp.sum(jnp.where(flag, p_t, 0.0)) / max(self.pdim, 1)
+        return p_t, p_hydro
+
+    def _nh_epsilon_dot(self, s, fst, ctx, p_current):
+        """nh_epsilon_dot (:1067): barostat velocity update + MTK terms."""
+        dt_ = fst.vcm.dtype
+        u = ctx.units
+        dtq = 0.5 * ctx.dt
+        vol = s.box.volume
+        t_target = (self._t_target(fst, dt_) if self.tstat
+                    else jnp.asarray(self.t0 or 1.0, dt_))
+        kt = u.boltz * t_target
+        _, p_hydro = self._press_target(fst, dt_)
+        p_target, _ = self._press_target(fst, dt_)
+        mtk1 = (fst.akin_t + fst.akin_r) * u.mvv2e / self.g_f
+        scale = jnp.exp(-dtq * fst.eta_dot_b[0])
+        eps_mass = ((self.g_f + 3) * kt
+                    / jnp.asarray(self.p_freq ** 2 + (self.p_freq == 0),
+                                  dt_))
+        flag = jnp.asarray(self.p_flag)
+        f_eps = ((p_current - p_hydro) * vol / u.nktv2p + mtk1) / eps_mass
+        eps_dot = jnp.where(flag,
+                            (fst.epsilon_dot + dtq * f_eps) * scale,
+                            fst.epsilon_dot)
+        mtk2 = jnp.sum(jnp.where(flag, eps_dot, 0.0)) / self.g_f
+        return fst.replace(epsilon_dot=eps_dot, mtk_term2=mtk2)
+
+    def _nhc_press(self, fst, ctx):
+        """nhc_press_integrate (:814-889); note the exp(-0.5*tmp)
+        factor (the temp chains use exp(-tmp))."""
+        dt_ = fst.vcm.dtype
+        u = ctx.units
+        t_target = (self._t_target(fst, dt_) if self.tstat
+                    else jnp.asarray(self.t0 or 1.0, dt_))
+        kt = u.boltz * t_target
+        C = self.p_chain
+        tb_mass = kt / (self.p_freq_max * self.p_freq_max)
+        q_b = jnp.concatenate([
+            jnp.asarray([9.0], dt_) * tb_mass,
+            jnp.full((C - 1,), 1.0, dt_) * tb_mass])
+        eb, edb, fb = fst.eta_b, fst.eta_dot_b, fst.f_eta_b
+        for k in range(1, C):
+            fb = fb.at[k].set((q_b[k - 1] * edb[k - 1] ** 2 - kt) / q_b[k])
+        eps_mass = ((self.g_f + 3) * kt
+                    / jnp.asarray(self.p_freq ** 2 + (self.p_freq == 0),
+                                  dt_))
+        flag = jnp.asarray(self.p_flag)
+        kecur = jnp.sum(jnp.where(
+            flag, eps_mass * fst.epsilon_dot ** 2, 0.0)) / self.pdim
+        fb = fb.at[0].set((kecur - kt) / q_b[0])
+        for wdti1 in self._w_coeffs(ctx.dt) * self.t_iter:
+            wdti2, wdti4 = wdti1 / 2.0, wdti1 / 4.0
+            edb = edb.at[C - 1].add(wdti2 * fb[C - 1])
+            for k in range(1, C):
+                tmp = wdti4 * edb[C - k]
+                sf = jnp.exp(-0.5 * tmp)
+                edb = edb.at[C - k - 1].set(
+                    edb[C - k - 1] * sf * sf
+                    + wdti2 * fb[C - k - 1] * sf * maclaurin_series(tmp))
+            eb = eb + wdti1 * edb
+            for k in range(1, C):
+                fb = fb.at[k].set((q_b[k - 1] * edb[k - 1] ** 2 - kt)
+                                  / q_b[k])
+            for k in range(C - 1):
+                tmp = wdti4 * edb[k + 1]
+                sf = jnp.exp(-0.5 * tmp)
+                edb = edb.at[k].set(edb[k] * sf * sf + wdti2 * fb[k]
+                                    * sf * maclaurin_series(tmp))
+                fb = fb.at[k + 1].set((q_b[k] * edb[k] ** 2 - kt)
+                                      / q_b[k + 1])
+            edb = edb.at[C - 1].add(wdti2 * fb[C - 1])
+        return fst.replace(eta_b=eb, eta_dot_b=edb, f_eta_b=fb)
+
+    # --------------------------------------------------------------- remap
+    def _remap(self, s, fst, ctx):
+        """remap (:977): dilate box, atoms, and body xcm by
+        exp(dtq*epsilon_dot) about the box center; epsilon bookkeeping."""
+        dtq = 0.5 * ctx.dt
+        flag = jnp.asarray(self.p_flag)
+        expfac = jnp.where(flag, jnp.exp(dtq * fst.epsilon_dot), 1.0)
+        ctr = 0.5 * (s.box.lo + s.box.hi)
+        lo = (s.box.lo - ctr) * expfac + ctr
+        hi = (s.box.hi - ctr) * expfac + ctr
+        # lamda-roundtrip through the old box == scaling about the center
+        x = (s.x - ctr) * expfac + ctr
+        valid = (s.tag > 0)[:, None]
+        s = s.replace(x=jnp.where(valid, x, s.x),
+                      box=s.box.replace(lo=lo, hi=hi))
+        xcm = (fst.xcm - ctr) * expfac + ctr
+        fst = fst.replace(xcm=xcm,
+                          epsilon=fst.epsilon + dtq * fst.epsilon_dot)
+        return s, fst
+
+    # --------------------------------------------------------------- setup
+    def setup_with_state_virial(self, s, fst, ctx):
+        """FixRigidNH::setup tail (:346-424): akin from current body
+        motion, t0 for nph, then compute_press_target + nh_epsilon_dot
+        with the setup-time pressure."""
+        dt_ = s.x.dtype
+        akin_t = jnp.sum(fst.masstotal * jnp.sum(fst.vcm ** 2, axis=1))
+        akin_r = jnp.sum(fst.angmom * fst.omega)
+        if not self.tstat and self.t0 is None:
+            u = ctx.units
+            m = ctx.mass_per_atom(s)
+            valid = (s.tag > 0)[:, None]
+            mvv = u.mvv2e * jnp.sum(
+                jnp.where(valid, m[:, None] * s.v * s.v, 0.0))
+            dof = max(ctx.tdof, 1.0)
+            t0 = float(jax.device_get(mvv / (dof * u.boltz)))
+            if t0 == 0.0:
+                t0 = 1.0 if ctx.units.name == "lj" else 300.0
+            self.t0 = t0
+        fst = fst.replace(akin_t=akin_t.astype(dt_),
+                          akin_r=akin_r.astype(dt_))
+        p_cur = self._p_current(s, ctx, fst.virial_save)
+        return self._nh_epsilon_dot(s, fst, ctx, p_cur)
+
+    # --------------------------------------------------------- integration
+    def initial_integrate(self, s, fstate, ctx):
+        fst = fstate
+        dt_ = fst.vcm.dtype
+        body, disp = self._atom_body(s, fst)
+        dtv = ctx.dt
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        dtq = 0.5 * ctx.dt
+        fcm, torque = self._fcm_torque(s, fst, body)
+
+        flag = jnp.asarray(self.p_flag)
+        scale_t = jnp.exp(-dtq * (jnp.where(flag, fst.epsilon_dot, 0.0)
+                                  + fst.mtk_term2))
+        scale_r = jnp.exp(-dtq * (self.pdim * fst.mtk_term2))
+        if self.tstat:
+            scale_t = scale_t * jnp.exp(-dtq * fst.eta_dot_t[0])
+            scale_r = scale_r * jnp.exp(-dtq * fst.eta_dot_r[0])
+        tmp = dtq * jnp.where(flag, fst.epsilon_dot, 0.0)
+        scale_v = dtv * jnp.exp(tmp) * maclaurin_series(tmp)
+
+        vcm = (fst.vcm + (dtf / fst.masstotal)[:, None] * fcm) * scale_t
+        akin_t = jnp.sum(fst.masstotal * jnp.sum(vcm * vcm, axis=1))
+        xcm = fst.xcm + scale_v * vcm
+
+        rot = quat_to_mat(fst.quat)
+        tbody = jnp.einsum("nji,nj->ni", rot, torque)
+        fquat = quatvec(fst.quat, tbody)
+        conjqm = (fst.conjqm + 2.0 * dtf * fquat) * scale_r
+
+        quat = fst.quat
+        for k, dt_k in ((3, dtq), (2, dtq), (1, dtv), (2, dtq), (3, dtq)):
+            conjqm, quat = no_squish_rotate(k, conjqm, quat,
+                                            fst.inertia, dt_k)
+        rot = quat_to_mat(quat)
+        angmom = 0.5 * jnp.einsum("nij,nj->ni", rot,
+                                  invquatvec(quat, conjqm))
+        omega = angmom_to_omega(angmom, rot, fst.inertia)
+        akin_r = jnp.sum(angmom * omega)
+
+        fst = fst.replace(vcm=vcm, xcm=xcm, quat=quat, conjqm=conjqm,
+                          angmom=angmom, omega=omega,
+                          akin_t=akin_t.astype(dt_),
+                          akin_r=akin_r.astype(dt_))
+        if self.tstat:
+            fst = self._nhc_temp(fst, akin_t, akin_r, ctx)
+        fst = self._nhc_press(fst, ctx)
+
+        s, fst = self._remap(s, fst, ctx)          # half-step box dilation
+        s, fst = self._set_xv(s, fst, ctx, body, disp, rot)
+        s, fst2 = self._remap(s, fst, ctx)         # second half
+        return s, fst2
+
+    def final_integrate(self, s, fstate, ctx):
+        fst = fstate
+        dt_ = fst.vcm.dtype
+        body, disp = self._atom_body(s, fst)
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        dtq = 0.5 * ctx.dt
+        fcm, torque = self._fcm_torque(s, fst, body)
+
+        flag = jnp.asarray(self.p_flag)
+        scale_t = jnp.exp(-dtq * (jnp.where(flag, fst.epsilon_dot, 0.0)
+                                  + fst.mtk_term2))
+        scale_r = jnp.exp(-dtq * (self.pdim * fst.mtk_term2))
+        if self.tstat:
+            scale_t = scale_t * jnp.exp(-dtq * fst.eta_dot_t[0])
+            scale_r = scale_r * jnp.exp(-dtq * fst.eta_dot_r[0])
+
+        vcm = fst.vcm * scale_t + (dtf / fst.masstotal)[:, None] * fcm
+        akin_t = jnp.sum(fst.masstotal * jnp.sum(vcm * vcm, axis=1))
+        rot = quat_to_mat(fst.quat)
+        tbody = jnp.einsum("nji,nj->ni", rot, torque)
+        fquat = quatvec(fst.quat, tbody)
+        conjqm = scale_r * fst.conjqm + 2.0 * dtf * fquat
+        angmom = 0.5 * jnp.einsum("nij,nj->ni", rot,
+                                  invquatvec(fst.quat, conjqm))
+        omega = angmom_to_omega(angmom, rot, fst.inertia)
+        akin_r = jnp.sum(angmom * omega)
+        fst = fst.replace(vcm=vcm, conjqm=conjqm, angmom=angmom,
+                          omega=omega, akin_t=akin_t.astype(dt_),
+                          akin_r=akin_r.astype(dt_))
+
+        _, vnew = self._slave_v(s, fst, body, disp)
+        vhalf = self._virial_half(s, ctx, vnew, s.v, body)
+        v = jnp.where((body >= 0)[:, None], vnew, s.v)
+        s = s.replace(v=v)
+        fst = fst.replace(virial=fst.virial + vhalf)
+
+        # end-of-step barostat velocity update: pressure from the step's
+        # full tally (pair/bonded/kspace + both constraint halves)
+        total_virial = fst.virial_save + vhalf
+        p_cur = self._p_current(s, ctx, total_virial)
+        fst = self._nh_epsilon_dot(s, fst, ctx, p_cur)
+        return s, fst
+
+
+class FixRigidNPH(FixRigidNPT):
+    """fix rigid/nph: pstat without tstat (t_target = t0 at setup)."""
+
+    name = "rigid/nph"
+
+    def __init__(self, style="molecule", groups=None, **kw):
+        kw.pop("tstat", None)
+        super().__init__(style=style, groups=groups, tstat=False, **kw)

@@ -169,13 +169,83 @@ class Simulation:
             self.special_coul, dtype=self.dtype)
         return StepContext(
             units=self.units, dt=self.dt, neigh_cfg=cfg,
-            pair=self.pair, bonded=tuple(self.bonded), kspace=self.kspace,
+            pair=self.pair,
+            bonded=tuple(b for b in self.bonded
+                         if b is not self._kernel_bond),
+            kspace=self.kspace,
             fixes=tuple(self.fixes), mass_table=mass_table,
             special_lj=sl, special_coul=sc,
             natoms=self.natoms, tdof=self.dof(),
             shrink=self._shrink_spec(),
             respa=self.respa,
+            kernel_bond=self._kernel_bond,
+            kernel_bond_excl=self._kernel_bond_excl,
         )
+
+    _kernel_bond = None
+    _kernel_bond_excl = False
+
+    def _setup_kernel_bond(self, mode, shake_excl):
+        """Route an eligible 2-body bond style into the grid kernel:
+        build per-atom (N, B) partner-tag/bond-type tables that ride the
+        state (so they permute with the atoms) and let the pair sweep
+        match them like special lists — zero per-step gathers for bonds.
+        Eligibility: cellgrid mode, the style's max reach fits inside one
+        cell (e.g. FENE's hard R0 limit <= cutneigh), and a pair style to
+        ride on."""
+        self._kernel_bond = None
+        self._kernel_bond_excl = False
+        if mode != "cellgrid" or self.pair is None or self.respa is not None:
+            return
+        cand = [b for b in self.bonded
+                if b.kind == "bond" and hasattr(b, "kernel_bond_fn")]
+        if len(cand) != 1 or "bond" not in self.topology:
+            return
+        b = cand[0]
+        cutneigh = self.max_cutoff() + self.skin
+        if b.kernel_reach > cutneigh or b.kernel_reach <= 0:
+            return
+        tuples = self.topology["bond"]
+        if shake_excl.get("bond"):
+            keep = [i for i in range(len(tuples))
+                    if i not in shake_excl["bond"]]
+            tuples = tuples[keep]
+        if len(tuples) == 0:
+            return
+        n = self.natoms
+        tags = np.asarray(jax.device_get(self.state.tag))
+        row_of_tag = np.zeros(n + 1, dtype=np.int64)
+        row_of_tag[tags] = np.arange(n)
+        bt = np.asarray(tuples)
+        # per-row partner/bond-type lists (both directions of each bond)
+        counts = np.zeros(n, np.int64)
+        for t1, t2 in ((1, 2), (2, 1)):
+            np.add.at(counts, row_of_tag[bt[:, t1]], 1)
+        B = int(counts.max())
+        btags = np.zeros((n, B), np.int32)
+        btyps = np.zeros((n, B), np.int32)
+        fill = np.zeros(n, np.int64)
+        for t1, t2 in ((1, 2), (2, 1)):
+            for k in range(len(bt)):
+                r = row_of_tag[bt[k, t1]]
+                btags[r, fill[r]] = bt[k, t2]
+                btyps[r, fill[r]] = bt[k, 0]
+                fill[r] += 1
+        self.state = self.state.replace(
+            bond_tags=jnp.asarray(btags), bond_btypes=jnp.asarray(btyps))
+        self._kernel_bond = b
+        # can the special pass collapse into the bond hit?  Only when the
+        # kept special entries are exactly the (unconstrained) 1-2 pairs
+        # with both weights 0 and no in-kernel coul correction needs them
+        if (self.special_tags is not None and self.special_lj is not None
+                and float(np.asarray(self.special_lj)[1]) == 0.0
+                and not shake_excl.get("bond")
+                and self.state.q is None
+                and getattr(self.pair, "pair_fn_ex", None) is None):
+            sc = np.asarray(jax.device_get(self.state.special_codes))
+            st = np.asarray(jax.device_get(self.state.special_tags))
+            if ((sc[st > 0] == 1).all()):
+                self._kernel_bond_excl = True
 
     def _shrink_spec(self) -> tuple:
         """Static shrink-wrap spec ((dim, lo, hi, small), ...) for
@@ -251,6 +321,9 @@ class Simulation:
                 fx.group_tdof = float(self.dimension * ngroup
                                       - self.dimension)
         mode = self._resolve_mode()
+        # reference row order (post-sort, pre-grid-permutation): host RNG
+        # streams draw in this order and are re-indexed by tag
+        self._ref_order_tags = np.asarray(jax.device_get(self.state.tag))
         if self.special_tags is not None:
             # per-atom special lists ride the state (traced, not baked)
             st_np = np.asarray(self.special_tags, np.int32)
@@ -301,7 +374,10 @@ class Simulation:
                 # (re)build incidence with the current (post-sort) ordering
                 b.set_topology(self.natoms, tuples, row_of_tag)
             b.init()
-        self._consts = (tuple(b.device_incidence() for b in self.bonded)
+        self._setup_kernel_bond(mode, excl)
+        self._consts = (tuple(b.device_incidence()
+                              for b in self.bonded
+                              if b is not self._kernel_bond)
                         or None)
         if self.kspace is not None:
             self.kspace.init(self)
@@ -321,7 +397,8 @@ class Simulation:
                     valid=valid, xhold=s.x,
                     ago=jnp.zeros((), jnp.int32),
                     nbuilds=jnp.ones((), jnp.int32),
-                    overflow=over, max_count=max_count)
+                    overflow=over, max_count=max_count,
+                    row2slot=cg.row2slot_from_tags(s.tag, self.natoms))
             else:
                 idx, sbits, max_count, over = nb.build_neighbors(
                     s.x, s.box, ctx.neigh_cfg,
@@ -371,6 +448,11 @@ class Simulation:
             if getattr(fx, "needs_virial", False):
                 fstates[i] = fx.save_virial(
                     fstates[i], virial.astype(s.x.dtype))
+        # barostat setup priming (FixRigidNH::setup tail needs the
+        # setup-time pressure, i.e. state + saved virial together)
+        for i, fx in enumerate(self.fixes):
+            if hasattr(fx, "setup_with_state_virial"):
+                fstates[i] = fx.setup_with_state_virial(s, fstates[i], ctx)
         self._carry = (s, neigh, tuple(fstates),
                        jnp.asarray(self.step, jnp.int32))
         if self.respa is not None:
@@ -589,7 +671,8 @@ class Simulation:
         t_force = timeit(lambda: force_fn(s, neigh))
         if ctx.is_cellgrid:
             build_fn = jax.jit(lambda x, tg: cg.bin_compact(
-                x, tg, ctx.natoms, s.box, ctx.neigh_cfg)[0])
+                x, tg, ctx.natoms, s.box, ctx.neigh_cfg,
+                row2slot=neigh.row2slot)[0])
             t_build = timeit(lambda: build_fn(s.x, s.tag))
         else:
             build_fn = jax.jit(lambda x: nb.build_neighbors(
@@ -646,7 +729,8 @@ class Simulation:
             s0 = cg.apply_permutation(s0, perm, valid)
             neigh = cg.CellGridState(
                 valid=valid, xhold=s0.x, ago=jnp.zeros((), jnp.int32),
-                nbuilds=neigh0.nbuilds, overflow=over, max_count=max_count)
+                nbuilds=neigh0.nbuilds, overflow=over, max_count=max_count,
+                row2slot=cg.row2slot_from_tags(s0.tag, self.natoms))
         else:
             self.state = s0
             self._ctx = ctx = self._make_ctx()

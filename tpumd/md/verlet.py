@@ -46,6 +46,12 @@ class StepContext:
     # iteration count of level l inside level l+1 (outermost = 1) and
     # cats[l] is the tuple of force categories evaluated at level l
     respa: tuple | None = None
+    # 2-body bond style evaluated inside the grid kernel via tag matching
+    # (excluded from the `bonded` view list); kernel_bond_excl: the
+    # special list reduces to exactly the bonded pairs with weight 0, so
+    # the kernel drops the special pass and uses the bond hit directly
+    kernel_bond: Any = None
+    kernel_bond_excl: bool = False
 
     def mass_per_atom(self, s: MDState):
         if s.rmass is not None:
@@ -118,9 +124,21 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
     elif ctx.pair is not None:
         if ctx.is_cellgrid:
             special = _cellgrid_special(s, ctx)
-            fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
-                s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
-                eflag, vflag, q=s.q, special=special)
+            if ctx.kernel_bond is not None:
+                if ctx.kernel_bond_excl:
+                    special = None
+                bond = (s.bond_tags, s.bond_btypes,
+                        ctx.kernel_bond.kernel_bond_fn, s.tag,
+                        ctx.kernel_bond_excl)
+                fp, evdwl, ecoul, vir, eb = ctx.pair.compute_cellgrid(
+                    s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
+                    eflag, vflag, q=s.q, special=special, bond=bond)
+                if eflag:
+                    energies["ebond"] = energies["ebond"] + eb
+            else:
+                fp, evdwl, ecoul, vir = ctx.pair.compute_cellgrid(
+                    s.x, s.type, neigh.valid, s.box, ctx.neigh_cfg,
+                    eflag, vflag, q=s.q, special=special)
         else:
             fp, evdwl, ecoul, vir = ctx.pair.compute(
                 s.x, s.type, s.box, neigh.idx, neigh.sbits,
@@ -142,30 +160,50 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
     bconsts = consts if consts is not None else (None,) * len(ctx.bonded)
     if ctx.bonded and ctx.is_cellgrid:
         # bonded terms evaluate on a canonical tag-order view of the
-        # grid-permuted atoms (incidence lists are built in tag space);
-        # two small row gathers replace any topology re-mapping at rebuild
-        npad = s.x.shape[0]
+        # grid-permuted atoms (incidence lists are built in tag space).
+        # The tag->slot map is carried by the neighbor state (rebuilt
+        # once per re-bin, not per eval), the view is ONE packed gather
+        # (x/type/q bitcast together), and the result returns to grid
+        # order with ONE n-row scatter instead of a capacity-row gather.
         n = ctx.natoms
-        target = jnp.where(s.tag > 0, s.tag - 1, n)
-        row2slot = jnp.zeros((n,), jnp.int32).at[target].set(
-            jnp.arange(npad, dtype=jnp.int32), mode="drop")
-        s_bview = s.replace(x=s.x[row2slot], type=s.type[row2slot],
-                            q=None if s.q is None else s.q[row2slot])
-        back = jnp.clip(s.tag - 1, 0, n - 1)
-        valid_col = (s.tag > 0)[:, None]
+        row2slot = neigh.row2slot
+        cols = [s.x, jax.lax.bitcast_convert_type(
+            s.type.reshape(-1, 1), s.x.dtype)] if s.x.dtype == jnp.float32 \
+            else None
+        if cols is not None:
+            if s.q is not None:
+                cols.append(s.q.reshape(-1, 1))
+            packed = jnp.concatenate(cols, axis=1)[row2slot]
+            x_v = packed[:, :3]
+            t_v = jax.lax.bitcast_convert_type(
+                packed[:, 3:4], jnp.int32).reshape(-1)
+            q_v = packed[:, 4] if s.q is not None else None
+        else:
+            x_v = s.x[row2slot]
+            t_v = s.type[row2slot]
+            q_v = None if s.q is None else s.q[row2slot]
+        s_bview = s.replace(x=x_v, type=t_v, q=q_v)
+        fb_cs = []
     for style, bc in zip(ctx.bonded, bconsts):
         if ctx.is_cellgrid:
             fb_c, ed, vir = style.compute(s_bview, ctx, eflag, vflag,
                                           consts=bc)
-            fb = jnp.where(valid_col, fb_c[back], 0.0)
+            fb_cs.append(fb_c)
+            fb = None
         else:
             fb, ed, vir = style.compute(s, ctx, eflag, vflag, consts=bc)
-        f = f + fb
+        if fb is not None:
+            f = f + fb
         if eflag and ed:
             for key, val in ed.items():
                 energies[key] = energies[key] + val
         if vflag:
             virial = virial + vir
+    if ctx.bonded and ctx.is_cellgrid and fb_cs:
+        # one scatter-add returns ALL bonded styles' forces to grid order
+        f = f.at[row2slot].add(
+            sum(fb_cs) if len(fb_cs) > 1 else fb_cs[0],
+            unique_indices=True)
 
     if ctx.kspace is not None:
         fk, ek, vir = ctx.kspace.compute(s, eflag, vflag)
@@ -215,8 +253,8 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
     s = reset_box_shrink(s, ctx)
     if ctx.is_cellgrid:
         cfg = ctx.neigh_cfg
-        src, dst, max_count, over = cg.bin_compact(
-            s.x, s.tag, ctx.natoms, s.box, cfg)
+        src, dst, row2slot, max_count, over = cg.bin_compact(
+            s.x, s.tag, ctx.natoms, s.box, cfg, row2slot=neigh.row2slot)
         s = cg.apply_permutation_compact(s, src, dst, cfg.capacity)
         valid = jnp.zeros((cfg.capacity,), bool).at[dst].set(
             True, mode="drop")
@@ -226,6 +264,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
             nbuilds=neigh.nbuilds + 1,
             overflow=neigh.overflow | over,
             max_count=max_count,
+            row2slot=row2slot,
         )
         return s, neigh
     idx, sbits, max_count, over = nb.build_neighbors(

@@ -90,13 +90,14 @@ class PairStyle:
     supports_cellgrid = True
 
     def compute_cellgrid(self, x, type_, valid, box, cfg,
-                         eflag: bool, vflag: bool, q=None, special=None):
+                         eflag: bool, vflag: bool, q=None, special=None,
+                         bond=None):
         from tpumd.ops.cellgrid import cellgrid_pair_sums
         ex = getattr(self, "pair_fn_ex", None)
         return cellgrid_pair_sums(x, type_, valid, box, cfg, self.pair_fn,
                                   eflag, vflag, special=special,
                                   q=q if ex is not None else None,
-                                  pair_fn_ex=ex)
+                                  pair_fn_ex=ex, bond=bond)
 
     def table(self, arr, dtype):
         return jnp.asarray(arr, dtype=dtype)

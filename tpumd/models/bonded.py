@@ -215,6 +215,43 @@ class BondFENE(BondStyle):
         ebond = ebond + jnp.where(inside, 4.0 * eps * sr6 * (sr6 - 1.0) + eps, 0.0)
         return fbond, ebond
 
+    @property
+    def kernel_reach(self) -> float:
+        """FENE bonds cannot stretch past R0 (the log diverges), so when
+        max R0 <= cutneigh every bond partner is guaranteed inside the
+        27-cell stencil and the bond can ride the grid kernel."""
+        return float(np.max(self.r0[1:])) if len(self.r0) > 1 else 0.0
+
+    def kernel_bond_fn(self, r2, btype):
+        """bond_fn with select-based coefficients for the grid kernel
+        (a table gather over ~1e8-element pair blocks would dominate)."""
+        dt = r2.dtype
+        nt = len(self.k) - 1
+
+        def sel(table):
+            if nt == 1:
+                return jnp.asarray(float(table[1]), dt)
+            out = jnp.zeros((), dt)
+            for t in range(1, nt + 1):
+                out = out + jnp.where(btype == t,
+                                      jnp.asarray(float(table[t]), dt), 0.0)
+            return out
+
+        k, r0 = sel(self.k), sel(self.r0)
+        eps, sig = sel(self.epsilon), sel(self.sigma)
+        r0sq = r0 * r0
+        rlogarg = jnp.maximum(1.0 - r2 / r0sq, 0.1)
+        fbond = -k / rlogarg
+        ebond = -0.5 * k * r0sq * jnp.log(rlogarg)
+        sr2 = sig * sig / r2
+        sr6 = sr2 * sr2 * sr2
+        inside = r2 < jnp.power(2.0, 1.0 / 3.0) * sig * sig
+        fbond = fbond + jnp.where(inside,
+                                  48.0 * eps * sr6 * (sr6 - 0.5) / r2, 0.0)
+        ebond = ebond + jnp.where(inside,
+                                  4.0 * eps * sr6 * (sr6 - 1.0) + eps, 0.0)
+        return fbond, ebond
+
 
 def _mi(d, box):
     return minimum_image(d, box)

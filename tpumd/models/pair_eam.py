@@ -180,7 +180,9 @@ class PairEAM(PairStyle):
         self.supports_cellgrid = True
 
     def compute_cellgrid(self, x, type_, valid, box, cfg, eflag: bool,
-                         vflag: bool, q=None, special=None):
+                         vflag: bool, q=None, special=None, bond=None):
+        assert bond is None, "EAM grid kernel has no in-kernel bond path"
+
         """Two-pass EAM on the rolled cell grid (gather-free except the
         per-ATOM embedding spline): pass 1 sweeps the 9 shift blocks
         accumulating host densities, F'(rho) is evaluated per slot from the

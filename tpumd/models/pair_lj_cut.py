@@ -114,12 +114,13 @@ class PairLJCut(PairStyle):
                 self.ptail += mult * p_ij
 
     def compute_cellgrid(self, x, type_, valid, box, cfg,
-                         eflag: bool, vflag: bool, q=None, special=None):
+                         eflag: bool, vflag: bool, q=None, special=None,
+                         bond=None):
         # fused Pallas kernel for the force-only hot path (single element,
         # no special weighting, f32, TPU backend); energy/virial output
         # steps and everything else take the XLA cell-grid path
         import jax as _jax
-        if (not eflag and not vflag and special is None
+        if (not eflag and not vflag and special is None and bond is None
                 and self.ntypes == 1 and x.dtype == jnp.float32
                 and cfg.nz >= 3 and cfg.ny >= 3 and cfg.nx >= 3
                 and _jax.default_backend() == "tpu"):
@@ -130,7 +131,8 @@ class PairLJCut(PairStyle):
                 float(self.cutsq[1, 1]))
             return f, None, None, None
         return super().compute_cellgrid(x, type_, valid, box, cfg,
-                                        eflag, vflag, q=q, special=special)
+                                        eflag, vflag, q=q, special=special,
+                                        bond=bond)
 
     def pair_fn(self, r2, itype, jtype):
         if self.ntypes == 1:

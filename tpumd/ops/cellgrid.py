@@ -70,6 +70,10 @@ class CellGridState:
     nbuilds: jnp.ndarray
     overflow: jnp.ndarray
     max_count: jnp.ndarray  # max atoms seen in one cell
+    # (natoms,) tag->slot map, refreshed at every rebuild; molecular
+    # styles read it instead of re-deriving it per force eval (a
+    # capacity-sized scatter costs ~2 ms per call on TPU)
+    row2slot: jnp.ndarray | None = None
 
 
 def choose_cellgrid_config(box: Box, cutneigh: float, skin: float,
@@ -123,57 +127,97 @@ def bin_permutation(x, valid, box: Box, cfg: CellGridConfig):
     return perm, valid_new, max_count, overflow
 
 
-def bin_compact(x, tag, natoms: int, box: Box, cfg: CellGridConfig):
-    """Compact re-bin: sort the ``natoms`` REAL atoms only (via the tag
-    map) instead of argsorting all ``cfg.capacity`` padded slots — at the
-    chain bench's 4x slot padding this cuts the rebuild sort cost ~4x.
+def bin_compact(x, tag, natoms: int, box: Box, cfg: CellGridConfig,
+                row2slot=None):
+    """Compact re-bin: sort the ``natoms`` REAL atoms only instead of
+    argsorting all ``cfg.capacity`` padded slots — at the chain bench's
+    4x slot padding this cuts the rebuild sort cost ~4x.
+
+    TPU cost model: per-call row-op overhead (~1.7 ms at 32k rows)
+    dominates over width, so the slot and tag-index columns ride the
+    ONE key sort as payloads, the within-cell rank comes from a cummax
+    scan (a searchsorted would be a second ~3 ms sorted lookup), and
+    the tag->slot map is carried across rebuilds instead of being
+    re-scattered from the capacity-sized tag array.
 
     Returns (src (n,) source slot per placement, dst (n,) destination
-    slot or capacity for overflow-dropped atoms, max_count, overflow).
+    slot or capacity for overflow-dropped atoms, row2slot_new,
+    max_count, overflow).
     """
     npad = cfg.capacity
-    target = jnp.where(tag > 0, tag - 1, natoms)
-    row2slot = jnp.zeros((natoms,), jnp.int32).at[target].set(
-        jnp.arange(npad, dtype=jnp.int32), mode="drop")
+    n = natoms
+    if row2slot is None:
+        target = jnp.where(tag > 0, tag - 1, n)
+        row2slot = jnp.zeros((n,), jnp.int32).at[target].set(
+            jnp.arange(npad, dtype=jnp.int32), mode="drop")
     xc = x[row2slot]
     ell = box.lengths
     dims = jnp.array([cfg.nx, cfg.ny, cfg.nz])
     rel = (xc - box.lo) / ell * dims
     ci = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, dims - 1)
     cid = (ci[:, 2] * cfg.ny + ci[:, 1]) * cfg.nx + ci[:, 0]
-    order = jnp.argsort(cid)
-    sorted_cid = cid[order]
-    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(natoms, dtype=jnp.int32) - first.astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_cid, src, tagidx = jax.lax.sort(
+        (cid, row2slot, iota), num_keys=1)
+    newseg = jnp.concatenate([jnp.ones((1,), bool),
+                              sorted_cid[1:] != sorted_cid[:-1]])
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newseg, iota, 0))
+    rank = iota - first
     max_count = jnp.max(rank) + 1
     overflow = max_count > cfg.cap
     dst = jnp.where(rank < cfg.cap,
                     sorted_cid * cfg.cap + jnp.minimum(rank, cfg.cap - 1),
                     npad)
-    src = row2slot[order]
-    return src, dst, max_count, overflow
+    row2slot_new = jnp.zeros((n,), jnp.int32).at[tagidx].set(
+        jnp.minimum(dst, npad - 1))
+    return src, dst, row2slot_new, max_count, overflow
+
+
+def row2slot_from_tags(tag, natoms: int):
+    """(natoms,) tag->slot map from the permuted tag array (setup path)."""
+    npad = tag.shape[0]
+    target = jnp.where(tag > 0, tag - 1, natoms)
+    return jnp.zeros((natoms,), jnp.int32).at[target].set(
+        jnp.arange(npad, dtype=jnp.int32), mode="drop")
 
 
 def apply_permutation_compact(state: MDState, src, dst,
                               capacity: int) -> MDState:
     """Reorder per-atom arrays via n-sized gather + scatter (the compact
-    counterpart of apply_permutation; empty slots zeroed)."""
+    counterpart of apply_permutation; empty slots zeroed).
+
+    TPU row ops cost ~1.7 ms per CALL at 32k rows nearly independent of
+    width, so in f32 mode the int32 fields are bitcast into the float
+    table and the whole state moves in ONE gather + ONE scatter."""
     from tpumd.core.state import PER_ATOM_FIELDS
+    fdt = state.x.dtype
+    fuse_ints = fdt == jnp.float32
     groups: dict = {}
     for name in PER_ATOM_FIELDS:
         a = getattr(state, name)
-        if a is not None:
-            groups.setdefault(a.dtype, []).append((name, a))
+        if a is None:
+            continue
+        key = fdt if (fuse_ints and a.dtype == jnp.int32) else a.dtype
+        groups.setdefault(key, []).append((name, a))
     updates = {}
     for dt_, fields in groups.items():
-        flat = [a.reshape(a.shape[0], -1) for _, a in fields]
+        flat = []
+        for _, a in fields:
+            col = a.reshape(a.shape[0], -1)
+            if col.dtype != dt_:
+                col = jax.lax.bitcast_convert_type(col, dt_)
+            flat.append(col)
         widths = [f.shape[1] for f in flat]
         packed = jnp.concatenate(flat, axis=1)
-        out = jnp.zeros_like(packed).at[dst].set(packed[src], mode="drop")
+        out = jnp.zeros_like(packed).at[dst].set(
+            packed[src], mode="drop", unique_indices=True)
         off = 0
         for (name, a), w in zip(fields, widths):
-            updates[name] = out[:, off:off + w].reshape(
-                (capacity,) + a.shape[1:])
+            col = out[:, off:off + w]
+            if col.dtype != a.dtype:
+                col = jax.lax.bitcast_convert_type(col, a.dtype)
+            updates[name] = col.reshape((capacity,) + a.shape[1:])
             off += w
     return state.replace(**updates)
 
@@ -256,7 +300,7 @@ def compact_state(state: MDState, valid, natoms: int) -> MDState:
 
 def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
                        pair_fn, eflag: bool, vflag: bool,
-                       special=None, q=None, pair_fn_ex=None):
+                       special=None, q=None, pair_fn_ex=None, bond=None):
     """Forces/energy/virial via rolled dense cell-pair blocks.
 
     The x AND y stencil offsets are folded into one (up to) 9*cap-wide
@@ -272,6 +316,13 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     (the grid analog of the matrix path's sbits; reference SBBITS
     packing, src/npair_half_bin_newton.cpp:114).
     w = 1 + sum_s hit_s*(w_s - 1).
+
+    bond: optional (bond_tags (Np,B), bond_btypes (Np,B), bond_fn) —
+    2-body bonded forces ride the same rolled blocks by matching each
+    candidate's tag against the i slot's bond-partner list (valid when
+    the bond's max reach <= cutneigh, e.g. FENE's hard R0 limit), so
+    molecular decks pay ZERO per-step gathers for bonds.  When given,
+    a fifth return value carries the 1/2-tallied bond energy.
 
     q/pair_fn_ex: charged styles with an in-kernel special correction
     (e.g. coul/long's k-space exclusion term, src/pair_lj_charmm_coul_
@@ -311,6 +362,7 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     if q is not None:
         qg = q.reshape(gshape)
         qrow = xyrow(qg, None, None)
+    tagrow = None
     if special is not None:
         atag, stags, sw_lj_in, sw_coul_in = special
         tagrow = xyrow(atag.reshape(gshape), None, None)
@@ -319,6 +371,13 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
         sw_g = sw_lj_in.reshape(gshape + (S,))
         swc_g = (None if sw_coul_in is None
                  else sw_coul_in.reshape(gshape + (S,)))
+    if bond is not None:
+        btags_in, btypes_in, bond_fn, atag_b, bond_excl = bond
+        if tagrow is None:
+            tagrow = xyrow(atag_b.reshape(gshape), None, None)
+        B = btags_in.shape[1]
+        btags_g = btags_in.reshape(gshape + (B,))
+        btypes_g = btypes_in.reshape(gshape + (B,))
 
     # self-exclusion: in the zero shift, slot j == own slot within the
     # (ox=0, oy=0) segment of the row
@@ -330,6 +389,7 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     fx = [jnp.zeros(gshape, dtype) for _ in range(3)]
     evdwl = jnp.zeros((), dtype)
     ecoul = jnp.zeros((), dtype)
+    ebond = jnp.zeros((), dtype)
     virial = jnp.zeros((6,), dtype) if vflag else None
 
     shifts = ([(dz, 0) for dz in _offs(cfg.nz)] if foldy else
@@ -389,6 +449,31 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
                 fp = fp * w
                 if eflag:
                     e = e * w
+        if bond is not None:
+            # 2-body bonds matched in-kernel like the special lists;
+            # bond force is NOT special-weighted and adds on top of the
+            # (excluded) pair term
+            tagj_b = roll2(tagrow, None, None)[..., None, :]
+            bhit = bfp = None
+            btype_hit = jnp.zeros(mask.shape, jnp.int32)
+            for bi in range(B):
+                bt = btags_g[..., :, bi:bi + 1]
+                hit = (bt > 0) & (bt == tagj_b)
+                bhit = hit if bhit is None else (bhit | hit)
+                btype_hit = jnp.where(hit, btypes_g[..., :, bi:bi + 1],
+                                      btype_hit)
+            bf, be = bond_fn(r2, btype_hit)
+            bondmask = bhit & mask
+            if bond_excl:
+                # the special list was exactly {bond partners, w=0}:
+                # bonded pairs take ONLY the bond force
+                fp = jnp.where(bondmask, bf, fp)
+                if eflag:
+                    e = jnp.where(bondmask, 0.0, e)
+            else:
+                fp = fp + jnp.where(bondmask, bf, 0.0)
+            if eflag:
+                ebond = ebond + 0.5 * jnp.sum(jnp.where(bondmask, be, 0))
         fp = jnp.where(mask, fp, 0)
         for c in range(3):
             fx[c] = fx[c] + jnp.sum(d[c] * fp, axis=-1)
@@ -404,6 +489,10 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
             ])
 
     f = jnp.stack([c.reshape(-1) for c in fx], axis=1)
+    if bond is not None:
+        return (f, (evdwl if eflag else None),
+                (ecoul if eflag else None), virial,
+                (ebond if eflag else None))
     return (f, (evdwl if eflag else None),
             (ecoul if eflag else None), virial)
 

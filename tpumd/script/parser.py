@@ -715,8 +715,11 @@ class LammpsScript:
             cls = FixRattle if style == "rattle" else FixShake
             sim.fixes.append(cls.parse(args))
         elif style in ("rigid", "rigid/nve", "rigid/small",
-                       "rigid/nve/small", "rigid/nvt", "rigid/nvt/small"):
-            from tpumd.md.fix_rigid import FixRigid, FixRigidNVT
+                       "rigid/nve/small", "rigid/nvt", "rigid/nvt/small",
+                       "rigid/npt", "rigid/npt/small",
+                       "rigid/nph", "rigid/nph/small"):
+            from tpumd.md.fix_rigid import (FixRigid, FixRigidNPH,
+                                            FixRigidNPT, FixRigidNVT)
             bstyle = args[0]
             groups = []
             rest = args[1:]
@@ -739,10 +742,48 @@ class LammpsScript:
                               t_iter=int(rest[i + 2]),
                               t_order=int(rest[i + 3]))
                     i += 4
+                elif rest[i] in ("iso", "aniso"):
+                    v = [float(rest[i + 1]), float(rest[i + 2]),
+                         float(rest[i + 3])]
+                    kw.update(p_start=[v[0]] * 3, p_stop=[v[1]] * 3,
+                              p_period=[v[2]] * 3,
+                              p_flag=(True, True, True),
+                              pstyle=rest[i])
+                    i += 4
+                elif rest[i] in ("x", "y", "z"):
+                    dim = "xyz".index(rest[i])
+                    ps = kw.setdefault("p_start", [0.0, 0.0, 0.0])
+                    pe = kw.setdefault("p_stop", [0.0, 0.0, 0.0])
+                    pp = kw.setdefault("p_period", [1.0, 1.0, 1.0])
+                    pf = list(kw.get("p_flag", (False, False, False)))
+                    ps[dim] = float(rest[i + 1])
+                    pe[dim] = float(rest[i + 2])
+                    pp[dim] = float(rest[i + 3])
+                    pf[dim] = True
+                    kw.update(p_flag=tuple(pf), pstyle="aniso")
+                    i += 4
+                elif rest[i] == "pchain":
+                    kw.update(p_chain=int(rest[i + 1]))
+                    i += 2
+                elif rest[i] == "dilate":      # "all" only (default)
+                    i += 2
                 else:
                     raise ScriptError(
                         f"fix rigid keyword {rest[i]!r} unsupported")
-            if "/nvt" in style:
+            if "/npt" in style:
+                sim.fixes.append(FixRigidNPT(style=bstyle, groups=groups,
+                                             **kw))
+            elif "/nph" in style:
+                kw.pop("t_start", None); kw.pop("t_stop", None)
+                kw.pop("t_period", None)
+                sim.fixes.append(FixRigidNPH(style=bstyle, groups=groups,
+                                             **kw))
+            elif "/nvt" in style:
+                for k in ("p_start", "p_stop", "p_period", "p_flag",
+                          "pstyle", "p_chain"):
+                    if k in kw:
+                        raise ScriptError(
+                            "fix rigid/nvt does not take pressure keywords")
                 sim.fixes.append(FixRigidNVT(style=bstyle, groups=groups,
                                              **kw))
             else:
