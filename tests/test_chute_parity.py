@@ -52,3 +52,26 @@ def test_chute_step0():
     assert v["ke"] == pytest.approx(784139.13, rel=1e-7)
     assert _thermo(sim, "c_1") == pytest.approx(1601.1263, rel=1e-7)
     assert v["vol"] == pytest.approx(29833.783, rel=1e-7)
+
+
+@pytest.mark.slow
+def test_chute_parity_cellgrid():
+    """Same deck on the rolled-grid granular kernel with DENSE candidate
+    shear history (ops/cellgrid_gran.py), incl. the compact tag-keyed
+    history carry across 2 rebuilds.  The grid's frozen 27-cell candidate
+    superset can catch a contact forming between rebuilds that the frozen
+    reference list misses, so parity is slightly looser than the matrix
+    engine's."""
+    deck = open(f"{BENCH}/in.chute").read()
+    pre, _ = deck.rsplit("run", 1)
+    script = LammpsScript(data_dir=BENCH)
+    script.sim = None
+    script.run_string(pre)
+    sim = script.sim
+    sim.neighbor_mode = "cellgrid"
+    sim.run(100)
+    assert sim._ctx.is_cellgrid
+    assert sim._carry[1].shear is not None
+    assert _thermo(sim, "ke") == pytest.approx(784292.08, rel=1e-5)
+    assert _thermo(sim, "c_1") == pytest.approx(1571.0968, rel=1e-4)
+    assert _thermo(sim, "vol") == pytest.approx(29834.707, rel=1e-6)

@@ -112,6 +112,44 @@ class Dump:
                 raise ValueError(f"dump field {name!r} not supported")
         return cols, lo, hi, len(order)
 
+    def _write_binary(self, sim, cols, lo, hi, n, path, mode):
+        """Native binary dump (DumpAtom::header_binary + write_binary,
+        src/dump_atom.cpp:181-276,573-578): readable by the reference's
+        tools/binary2txt and dump readers.  Triggered by a .bin suffix,
+        like the reference."""
+        import struct
+        magic = (b"DUMPCUSTOM" if self.style == "custom" else b"DUMPATOM")
+        bmap = {"p": 0, "f": 1, "s": 2, "m": 3}
+        bounds = []
+        for tok in sim.boundary:
+            c0 = tok[0]
+            c1 = tok[1] if len(tok) > 1 else tok[0]
+            bounds += [bmap[c0], bmap[c1]]
+        tilt = np.asarray(jax.device_get(sim.state.box.tilt), np.float64)
+        tri = 1 if sim.state.box.istriclinic else 0
+        mat = np.column_stack([np.asarray(cols[f], np.float64)
+                               for f in self.fields])
+        with open(path, mode + "b") as fh:
+            fh.write(struct.pack("<q", -len(magic)))
+            fh.write(magic)
+            fh.write(struct.pack("<ii", 1, 2))       # ENDIAN, REVISION
+            fh.write(struct.pack("<qq", sim.step, n))
+            fh.write(struct.pack("<i", tri))
+            fh.write(struct.pack("<6i", *bounds))
+            fh.write(struct.pack("<6d", lo[0], hi[0], lo[1], hi[1],
+                                 lo[2], hi[2]))
+            if tri:
+                fh.write(struct.pack("<3d", *tilt))
+            fh.write(struct.pack("<i", len(self.fields)))  # size_one
+            fh.write(struct.pack("<i", 0))            # unit_style off
+            fh.write(struct.pack("<b", 0))            # time flag off
+            colstr = " ".join(self.fields).encode()
+            fh.write(struct.pack("<i", len(colstr)))
+            fh.write(colstr)
+            fh.write(struct.pack("<i", 1))            # nprocs / 1 chunk
+            fh.write(struct.pack("<i", mat.size))
+            fh.write(mat.astype("<f8").tobytes())
+
     def write(self, sim):
         cols, lo, hi, n = self._columns(sim)
         path = self.path.replace("*", str(sim.step))
@@ -119,6 +157,8 @@ class Dump:
         # files are one snapshot each and always truncated
         mode = "w" if ("*" in self.path or not self._opened) else "a"
         self._opened = True
+        if path.endswith(".bin"):
+            return self._write_binary(sim, cols, lo, hi, n, path, mode)
         # .gz paths write through gzip (COMPRESS package dump styles)
         if path.endswith(".gz"):
             import gzip

@@ -114,6 +114,12 @@ class Simulation:
         widths_ok = bool(np.all(
             np.asarray(jax.device_get(self.state.box.lengths), np.float64)
             >= 2.0 * (self.max_cutoff() + self.skin)))
+        # granular has a rolled-block kernel with dense candidate shear
+        # history (ops/cellgrid_gran.py, parity-tested), but on current
+        # XLA the many-consumer pair intermediates fail to fuse and the
+        # sweep is HBM-bound ~10x slower than the matrix gather path at
+        # chute geometry — keep matrix as the auto choice; force with
+        # neighbor_mode="cellgrid" to use the grid path
         eligible = (
             self.pair is not None
             and getattr(self.pair, "supports_cellgrid", False)
@@ -140,6 +146,10 @@ class Simulation:
                 cap=getattr(self, "_cap_override", None),
                 box_margin=margin,
             )
+            if self.neigh_exclude:
+                import dataclasses as _dc
+                cfg = _dc.replace(cfg,
+                                  exclude_bits=tuple(self.neigh_exclude))
         else:
             cfg = nb.choose_config(
                 self.state.box, cutneigh, self.skin, self.natoms,
@@ -374,6 +384,14 @@ class Simulation:
                 # (re)build incidence with the current (post-sort) ordering
                 b.set_topology(self.natoms, tuples, row_of_tag)
             b.init()
+        if getattr(self.pair, "is_tip4p", False):
+            # resolve alpha + per-O hydrogen rows from the topology
+            tip_rows = row_of_tag
+            if tip_rows is None:
+                tags = np.asarray(jax.device_get(self.state.tag))
+                tip_rows = np.zeros(self.natoms + 1, dtype=np.int64)
+                tip_rows[tags] = np.arange(self.natoms)
+            self.pair.setup_tip4p(self, tip_rows)
         self._setup_kernel_bond(mode, excl)
         self._consts = (tuple(b.device_incidence()
                               for b in self.bonded
@@ -393,12 +411,17 @@ class Simulation:
                 perm, valid, max_count, over = cg.bin_permutation(
                     s.x, valid0, s.box, cfg)
                 s = cg.apply_permutation(s, perm, valid)
+                shear_d = None
+                if getattr(self.pair, "is_granular", False):
+                    from tpumd.ops.cellgrid_gran import shear_shape
+                    shear_d = jnp.zeros(shear_shape(cfg), s.x.dtype)
                 neigh = cg.CellGridState(
                     valid=valid, xhold=s.x,
                     ago=jnp.zeros((), jnp.int32),
                     nbuilds=jnp.ones((), jnp.int32),
                     overflow=over, max_count=max_count,
-                    row2slot=cg.row2slot_from_tags(s.tag, self.natoms))
+                    row2slot=cg.row2slot_from_tags(s.tag, self.natoms),
+                    shear=shear_d)
             else:
                 idx, sbits, max_count, over = nb.build_neighbors(
                     s.x, s.box, ctx.neigh_cfg,
@@ -718,6 +741,19 @@ class Simulation:
         have changed via overrides or box deformation)."""
         s0, neigh0, fstates, istep = snapshot[:4]
         if self._ctx.is_cellgrid:
+            ctags_t = cshear_t = None
+            if neigh0.shear is not None:
+                # carry contact history across the re-grow through a
+                # tag-indexed compact table (capacities/cells change)
+                from tpumd.ops import cellgrid_gran as cgg
+                ctags_o, cshear_o = cgg.extract_compact_history(
+                    neigh0.shear, s0.tag, self._ctx.neigh_cfg)
+                tgt = jnp.where(s0.tag > 0, s0.tag - 1, self.natoms)
+                ctags_t = jnp.zeros((self.natoms, cgg.KH), jnp.int32
+                                    ).at[tgt].set(ctags_o, mode="drop")
+                cshear_t = jnp.zeros((self.natoms, cgg.KH, 3),
+                                     cshear_o.dtype
+                                     ).at[tgt].set(cshear_o, mode="drop")
             s0 = cg.compact_state(s0, neigh0.valid, self.natoms)
             self.state = s0
             self._ctx = ctx = self._make_ctx()
@@ -727,10 +763,23 @@ class Simulation:
             perm, valid, max_count, over = cg.bin_permutation(
                 s0.x, valid0, s0.box, cfg)
             s0 = cg.apply_permutation(s0, perm, valid)
+            shear_d = None
+            if ctags_t is not None:
+                from tpumd.ops import cellgrid_gran as cgg
+                rows = jnp.clip(s0.tag - 1, 0)
+                ok = (s0.tag > 0)
+                ctags_n = jnp.where(ok[:, None], ctags_t[rows], 0)
+                cshear_n = jnp.where(ok[:, None, None], cshear_t[rows], 0)
+                shear_d = cgg.redistribute_history(
+                    ctags_n, cshear_n, s0.tag, cfg)
+            elif getattr(self.pair, "is_granular", False):
+                from tpumd.ops.cellgrid_gran import shear_shape
+                shear_d = jnp.zeros(shear_shape(cfg), s0.x.dtype)
             neigh = cg.CellGridState(
                 valid=valid, xhold=s0.x, ago=jnp.zeros((), jnp.int32),
                 nbuilds=neigh0.nbuilds, overflow=over, max_count=max_count,
-                row2slot=cg.row2slot_from_tags(s0.tag, self.natoms))
+                row2slot=cg.row2slot_from_tags(s0.tag, self.natoms),
+                shear=shear_d)
         else:
             self.state = s0
             self._ctx = ctx = self._make_ctx()
@@ -995,8 +1044,13 @@ class Simulation:
 
     verbose = True
 
+    log_fh = None       # `log` command file handle (src/lammps.cpp logfile)
+
     def _log(self, line: str):
         self.log_lines.append(line)
+        if self.log_fh is not None:
+            self.log_fh.write(line + "\n")
+            self.log_fh.flush()
         if self.verbose:
             print(line, flush=True)
 

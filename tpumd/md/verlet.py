@@ -116,8 +116,13 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
     torque = None
 
     if ctx.pair is not None and getattr(ctx.pair, "is_granular", False):
-        fp, torque, shear_new = ctx.pair.compute_gran(
-            s, neigh.idx, neigh.shear, ctx.dt, shearupdate)
+        if ctx.is_cellgrid:
+            fp, torque, shear_new = ctx.pair.compute_gran_cellgrid(
+                s, neigh.valid, neigh.shear, ctx.neigh_cfg, ctx.dt,
+                shearupdate, exclude_bits=ctx.neigh_cfg.exclude_bits)
+        else:
+            fp, torque, shear_new = ctx.pair.compute_gran(
+                s, neigh.idx, neigh.shear, ctx.dt, shearupdate)
         f = f + fp
         if shearupdate:
             neigh = neigh.replace(shear=shear_new)
@@ -253,11 +258,25 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
     s = reset_box_shrink(s, ctx)
     if ctx.is_cellgrid:
         cfg = ctx.neigh_cfg
+        shear = neigh.shear
+        if shear is not None:
+            # compact the touching contacts out of the OLD candidate
+            # layout (tag-keyed) before the atoms move slots
+            from tpumd.ops import cellgrid_gran as cgg
+            ctags, cshear = cgg.extract_compact_history(shear, s.tag, cfg)
         src, dst, row2slot, max_count, over = cg.bin_compact(
             s.x, s.tag, ctx.natoms, s.box, cfg, row2slot=neigh.row2slot)
         s = cg.apply_permutation_compact(s, src, dst, cfg.capacity)
         valid = jnp.zeros((cfg.capacity,), bool).at[dst].set(
             True, mode="drop")
+        if shear is not None:
+            # permute the compact tables with the atoms, then match them
+            # back into the NEW candidate layout
+            ctags = jnp.zeros_like(ctags).at[dst].set(
+                ctags[src], mode="drop")
+            cshear = jnp.zeros_like(cshear).at[dst].set(
+                cshear[src], mode="drop")
+            shear = cgg.redistribute_history(ctags, cshear, s.tag, cfg)
         neigh = cg.CellGridState(
             valid=valid, xhold=s.x,
             ago=jnp.zeros((), jnp.int32),
@@ -265,6 +284,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
             overflow=neigh.overflow | over,
             max_count=max_count,
             row2slot=row2slot,
+            shear=shear,
         )
         return s, neigh
     idx, sbits, max_count, over = nb.build_neighbors(

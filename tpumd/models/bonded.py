@@ -161,6 +161,10 @@ class BondHarmonic(BondStyle):
         self.k[btype] = k
         self.r0[btype] = r0
 
+    def equilibrium_distance(self, btype):
+        # Bond::equilibrium_distance for tip4p geometry resolution
+        return float(self.r0[btype])
+
     def bond_fn(self, r2, btype):
         k = jnp.asarray(self.k, r2.dtype)[btype]
         r0 = jnp.asarray(self.r0, r2.dtype)[btype]
@@ -354,6 +358,10 @@ class AngleHarmonic(AngleStyle):
     def coeff(self, atype, k, theta0_deg):
         self.k[atype] = k
         self.theta0[atype] = theta0_deg * np.pi / 180.0
+
+    def equilibrium_angle(self, atype):
+        # Angle::equilibrium_angle (radians) for tip4p geometry
+        return float(self.theta0[atype])
 
     k_ub = None
 

@@ -764,3 +764,23 @@ class PPPMCG(PPPM):
 
     def __init__(self, accuracy_relative, smallq=None, order=5):
         super().__init__(accuracy_relative, order=order)
+
+
+class PPPMTIP4P(PPPM):
+    """pppm/tip4p (src/KSPACE/pppm_tip4p.cpp): charge assignment and
+    field gather at the M charge sites; the k-space force on each
+    fictitious site is partitioned back onto O/H with the same chain
+    rule the pair style uses (particle_map/make_rho/fieldforce site
+    overrides collapse into one coordinate transform here)."""
+
+    def init(self, sim):
+        super().init(sim)
+        if not getattr(sim.pair, "is_tip4p", False):
+            raise ValueError("kspace pppm/tip4p requires a tip4p pair style")
+        self._pair = sim.pair
+
+    def compute(self, s, eflag: bool, vflag: bool):
+        pair = self._pair
+        xq = pair.charge_sites(s.x, s.box)
+        fk, ek, vir = super().compute(s.replace(x=xq), eflag, vflag)
+        return pair.distribute_site_forces(fk), ek, vir

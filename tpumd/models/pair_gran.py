@@ -177,3 +177,24 @@ class PairGranHookeHistory:
 
     def mean_neighbors(self, density, cutneigh):
         return density * 4.0 / 3.0 * np.pi * cutneigh**3
+
+    # ---------------- cell-grid path (dense candidate shear history) ----
+    def gran_params(self, exclude_bits=()):
+        return dict(kn=self.kn, kt=self.kt, gamman=self.gamman,
+                    gammat=self.gammat, xmu=self.xmu,
+                    limit_damping=self.limit_damping,
+                    freeze_bit=self.freeze_group_bit,
+                    exclude_bits=tuple(exclude_bits))
+
+    def compute_gran_cellgrid(self, s, valid, shear_cand, cfg, dt,
+                              shearupdate: bool, exclude_bits=()):
+        """Rolled-block granular sweep (ops/cellgrid_gran.py): forces,
+        torques and the updated dense candidate shear."""
+        from tpumd.ops.cellgrid_gran import gran_candidate_sums
+        planes = (s.v[:, 0], s.v[:, 1], s.v[:, 2],
+                  s.omega[:, 0], s.omega[:, 1], s.omega[:, 2],
+                  s.radius, jnp.where(s.rmass > 0, s.rmass, 1.0),
+                  s.gmask.astype(s.x.dtype))
+        return gran_candidate_sums(
+            s.x, valid, shear_cand, s.box, cfg,
+            self.gran_params(exclude_bits), planes, dt, shearupdate)

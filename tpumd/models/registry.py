@@ -71,3 +71,4 @@ def _ensure_imports():
     import tpumd.models.pair_gran  # noqa: F401
     import tpumd.models.pair_table  # noqa: F401
     import tpumd.models.pair_breadth2  # noqa: F401
+    import tpumd.models.pair_tip4p  # noqa: F401

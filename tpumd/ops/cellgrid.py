@@ -46,6 +46,9 @@ class CellGridConfig:
     every: int = 1
     delay: int = 0
     check: bool = True
+    # neigh_modify exclude group pairs (gmask-bit tuples), enforced
+    # in-kernel by the granular sweep
+    exclude_bits: tuple = ()
 
     @property
     def ncells(self) -> int:
@@ -74,6 +77,9 @@ class CellGridState:
     # styles read it instead of re-deriving it per force eval (a
     # capacity-sized scatter costs ~2 ms per call on TPU)
     row2slot: jnp.ndarray | None = None
+    # granular: DENSE per-candidate shear history (ops/cellgrid_gran.py
+    # shear_shape(cfg)), remapped compactly at rebuilds
+    shear: jnp.ndarray | None = None
 
 
 def choose_cellgrid_config(box: Box, cutneigh: float, skin: float,

@@ -1209,9 +1209,14 @@ class LammpsScript:
         from tpumd.io.dump import Dump
         sim = self._require_sim()
         did, group, style, every, path = a[0], a[1], a[2], int(a[3]), a[4]
-        fields = a[5:] if style == "custom" else None
         path = path if os.path.isabs(path) else os.path.join(
             self.data_dir, path)
+        if style == "image":
+            from tpumd.io.dump_image import DumpImage
+            sim.dumps.append(DumpImage(did, group, style, every, path,
+                                       args=a[5:]))
+            return
+        fields = a[5:] if style == "custom" else None
         sim.dumps.append(Dump(did, group, style, every, path, fields))
 
     def cmd_dump_modify(self, a):
@@ -1304,6 +1309,27 @@ class LammpsScript:
                 for name, (style, val) in self.variables.items():
                     print(f"variable {name} style {style} = {val}")
 
+    def cmd_balance(self, a):
+        """balance thresh rcb | balance thresh shift dimstr N stopthresh
+        (src/balance.cpp): equal-atom spatial row blocks for the sharded
+        matrix decomposition; the cell-grid engine is balanced by
+        construction (equal slots = equal dense compute)."""
+        from tpumd.parallel.balance import balance_atoms
+        sim = self._require_sim()
+        self._finalize_atoms()
+        thresh = float(a[0])
+        style = a[1]
+        if style == "rcb":
+            before, after = balance_atoms(sim, "rcb")
+        elif style == "shift":
+            before, after = balance_atoms(sim, "shift", dims=a[2])
+        elif style in ("x", "y", "z"):
+            before, after = balance_atoms(sim, "shift", dims=style)
+        else:
+            raise ScriptError(f"balance style {style!r} not supported")
+        print(f"  rebalancing: imbalance {before:.6g} -> {after:.6g} "
+              f"(threshold {thresh})", flush=True)
+
     def cmd_plugin(self, a):
         """plugin load <module.py> | list | clear (src/plugin.cpp).
 
@@ -1341,7 +1367,17 @@ class LammpsScript:
             self._require_sim().timer_full = True
 
     def cmd_log(self, a):
-        pass
+        """log <file>|none [append] (src/lammps.cpp:557): redirect the
+        thermo/finish output stream to a new log file mid-script."""
+        sim = self._require_sim()
+        if sim.log_fh is not None:
+            sim.log_fh.close()
+            sim.log_fh = None
+        if a[0] == "none":
+            return
+        path = a[0] if os.path.isabs(a[0]) else os.path.join(
+            self.data_dir, a[0])
+        sim.log_fh = open(path, "a" if "append" in a[1:] else "w")
 
     def cmd_kspace_style(self, a):
         sim = self._require_sim()
@@ -1352,6 +1388,12 @@ class LammpsScript:
             from tpumd.models.kspace_pppm import PPPMCG
             sim.kspace = PPPMCG(float(a[1]),
                                 *[float(v) for v in a[2:3]])
+        elif a[0] == "pppm/tip4p":
+            from tpumd.models.kspace_pppm import PPPMTIP4P
+            sim.kspace = PPPMTIP4P(float(a[1]))
+        elif a[0] == "msm":
+            from tpumd.models.kspace_msm import MSM
+            sim.kspace = MSM(float(a[1]))
         elif a[0] == "ewald":
             from tpumd.models.kspace_ewald import Ewald
             sim.kspace = Ewald(float(a[1]))
