@@ -411,17 +411,18 @@ class Simulation:
                 perm, valid, max_count, over = cg.bin_permutation(
                     s.x, valid0, s.box, cfg)
                 s = cg.apply_permutation(s, perm, valid)
-                shear_d = None
+                stags_d = shear_d = None
                 if getattr(self.pair, "is_granular", False):
-                    from tpumd.ops.cellgrid_gran import shear_shape
-                    shear_d = jnp.zeros(shear_shape(cfg), s.x.dtype)
+                    from tpumd.ops.cellgrid_gran import KH
+                    stags_d = jnp.zeros((cfg.capacity, KH), jnp.int32)
+                    shear_d = jnp.zeros((cfg.capacity, KH, 3), s.x.dtype)
                 neigh = cg.CellGridState(
                     valid=valid, xhold=s.x,
                     ago=jnp.zeros((), jnp.int32),
                     nbuilds=jnp.ones((), jnp.int32),
                     overflow=over, max_count=max_count,
                     row2slot=cg.row2slot_from_tags(s.tag, self.natoms),
-                    shear=shear_d)
+                    shear_tags=stags_d, shear=shear_d)
             else:
                 idx, sbits, max_count, over = nb.build_neighbors(
                     s.x, s.box, ctx.neigh_cfg,
@@ -744,16 +745,16 @@ class Simulation:
             ctags_t = cshear_t = None
             if neigh0.shear is not None:
                 # carry contact history across the re-grow through a
-                # tag-indexed compact table (capacities/cells change)
+                # tag-indexed view (capacities/cells change)
                 from tpumd.ops import cellgrid_gran as cgg
-                ctags_o, cshear_o = cgg.extract_compact_history(
-                    neigh0.shear, s0.tag, self._ctx.neigh_cfg)
                 tgt = jnp.where(s0.tag > 0, s0.tag - 1, self.natoms)
                 ctags_t = jnp.zeros((self.natoms, cgg.KH), jnp.int32
-                                    ).at[tgt].set(ctags_o, mode="drop")
+                                    ).at[tgt].set(neigh0.shear_tags,
+                                                  mode="drop")
                 cshear_t = jnp.zeros((self.natoms, cgg.KH, 3),
-                                     cshear_o.dtype
-                                     ).at[tgt].set(cshear_o, mode="drop")
+                                     neigh0.shear.dtype
+                                     ).at[tgt].set(neigh0.shear,
+                                                   mode="drop")
             s0 = cg.compact_state(s0, neigh0.valid, self.natoms)
             self.state = s0
             self._ctx = ctx = self._make_ctx()
@@ -764,22 +765,21 @@ class Simulation:
                 s0.x, valid0, s0.box, cfg)
             s0 = cg.apply_permutation(s0, perm, valid)
             shear_d = None
+            stags_d = shear_d = None
             if ctags_t is not None:
-                from tpumd.ops import cellgrid_gran as cgg
                 rows = jnp.clip(s0.tag - 1, 0)
                 ok = (s0.tag > 0)
-                ctags_n = jnp.where(ok[:, None], ctags_t[rows], 0)
-                cshear_n = jnp.where(ok[:, None, None], cshear_t[rows], 0)
-                shear_d = cgg.redistribute_history(
-                    ctags_n, cshear_n, s0.tag, cfg)
+                stags_d = jnp.where(ok[:, None], ctags_t[rows], 0)
+                shear_d = jnp.where(ok[:, None, None], cshear_t[rows], 0)
             elif getattr(self.pair, "is_granular", False):
-                from tpumd.ops.cellgrid_gran import shear_shape
-                shear_d = jnp.zeros(shear_shape(cfg), s0.x.dtype)
+                from tpumd.ops.cellgrid_gran import KH
+                stags_d = jnp.zeros((cfg.capacity, KH), jnp.int32)
+                shear_d = jnp.zeros((cfg.capacity, KH, 3), s0.x.dtype)
             neigh = cg.CellGridState(
                 valid=valid, xhold=s0.x, ago=jnp.zeros((), jnp.int32),
                 nbuilds=neigh0.nbuilds, overflow=over, max_count=max_count,
                 row2slot=cg.row2slot_from_tags(s0.tag, self.natoms),
-                shear=shear_d)
+                shear_tags=stags_d, shear=shear_d)
         else:
             self.state = s0
             self._ctx = ctx = self._make_ctx()

@@ -117,15 +117,20 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
 
     if ctx.pair is not None and getattr(ctx.pair, "is_granular", False):
         if ctx.is_cellgrid:
-            fp, torque, shear_new = ctx.pair.compute_gran_cellgrid(
-                s, neigh.valid, neigh.shear, ctx.neigh_cfg, ctx.dt,
-                shearupdate, exclude_bits=ctx.neigh_cfg.exclude_bits)
+            fp, torque, stags_new, shear_new = \
+                ctx.pair.compute_gran_cellgrid(
+                    s, neigh.valid, neigh.shear_tags, neigh.shear,
+                    ctx.neigh_cfg, ctx.dt, shearupdate,
+                    exclude_bits=ctx.neigh_cfg.exclude_bits)
+            if shearupdate:
+                neigh = neigh.replace(shear_tags=stags_new,
+                                      shear=shear_new)
         else:
             fp, torque, shear_new = ctx.pair.compute_gran(
                 s, neigh.idx, neigh.shear, ctx.dt, shearupdate)
+            if shearupdate:
+                neigh = neigh.replace(shear=shear_new)
         f = f + fp
-        if shearupdate:
-            neigh = neigh.replace(shear=shear_new)
     elif ctx.pair is not None:
         if ctx.is_cellgrid:
             special = _cellgrid_special(s, ctx)
@@ -258,25 +263,19 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
     s = reset_box_shrink(s, ctx)
     if ctx.is_cellgrid:
         cfg = ctx.neigh_cfg
-        shear = neigh.shear
-        if shear is not None:
-            # compact the touching contacts out of the OLD candidate
-            # layout (tag-keyed) before the atoms move slots
-            from tpumd.ops import cellgrid_gran as cgg
-            ctags, cshear = cgg.extract_compact_history(shear, s.tag, cfg)
         src, dst, row2slot, max_count, over = cg.bin_compact(
             s.x, s.tag, ctx.natoms, s.box, cfg, row2slot=neigh.row2slot)
         s = cg.apply_permutation_compact(s, src, dst, cfg.capacity)
         valid = jnp.zeros((cfg.capacity,), bool).at[dst].set(
             True, mode="drop")
+        shear_tags, shear = neigh.shear_tags, neigh.shear
         if shear is not None:
-            # permute the compact tables with the atoms, then match them
-            # back into the NEW candidate layout
-            ctags = jnp.zeros_like(ctags).at[dst].set(
-                ctags[src], mode="drop")
-            cshear = jnp.zeros_like(cshear).at[dst].set(
-                cshear[src], mode="drop")
-            shear = cgg.redistribute_history(ctags, cshear, s.tag, cfg)
+            # the compact history tables are per-atom: they move slots
+            # with the same permutation as the rest of the state
+            shear_tags = jnp.zeros_like(shear_tags).at[dst].set(
+                shear_tags[src], mode="drop")
+            shear = jnp.zeros_like(shear).at[dst].set(
+                shear[src], mode="drop")
         neigh = cg.CellGridState(
             valid=valid, xhold=s.x,
             ago=jnp.zeros((), jnp.int32),
@@ -284,6 +283,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
             overflow=neigh.overflow | over,
             max_count=max_count,
             row2slot=row2slot,
+            shear_tags=shear_tags,
             shear=shear,
         )
         return s, neigh

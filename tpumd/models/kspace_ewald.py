@@ -114,3 +114,137 @@ class Ewald:
                     ug * sk2 * (delta - vterm * kv[:, a] * kv[:, b])))
             virial = jnp.stack(comp)
         return f, elong, virial
+
+
+class EwaldDisp(Ewald):
+    """kspace_style ewald/disp: coulomb + geometric-mixing 1/r^6
+    dispersion in one k-space sum (src/KSPACE/ewald_disp.cpp).
+
+    The dispersion structure factor S_B(k) = sum_i B_i e^{ik.x} with
+    B_i = sqrt(lj4_ii) = sqrt(4 eps_i sigma_i^6) (init_coeffs :544-556);
+    per-k coefficient ke_6 = -h^3(sqrt(pi) erfc(b) + (0.5/b^2-1)
+    e^{-b^2}/b), b = h/(2g) (coefficients :497-530); energy prefactor
+    2 pi sqrt(pi)/(24 V) and the self/volume corrections of init_self
+    (:640-643).  Dispersion forces come from jax.grad of the traced
+    k-sum — exactly consistent with the energy by construction."""
+
+    style = "ewald/disp"
+
+    def init(self, sim):
+        super().init(sim)
+        pair = sim.pair
+        if not hasattr(pair, "lj4"):
+            raise ValueError("ewald/disp requires an lj/long pair style")
+        lj4 = np.asarray(pair.lj4)
+        nt = lj4.shape[0] - 1
+        B = np.zeros(nt + 1)
+        for i in range(1, nt + 1):
+            B[i] = np.sqrt(abs(lj4[i, i]))
+        typ = np.asarray(jax.device_get(sim.state.type))
+        self.Bq = np.where(typ > 0, B[np.clip(typ, 0, nt)], 0.0)
+        self.bsum = float(self.Bq.sum())
+        self.b2sum = float((self.Bq ** 2).sum())
+        # dispersion splitting parameter: g_ewald_6 defaults to g_ewald
+        # (EwaldDisp::init :285)
+        self.g_ewald_6 = self.g_ewald
+        pair.g_ewald_6 = self.g_ewald_6
+
+        # rebuild the k set with EwaldDisp's combined rms (coulomb + LJ
+        # term, :352-366) and its nbox/gsqmx acceptance (:300-334,
+        # :385-406) — the dispersion kernel converges slowly in k, so
+        # the set must match the reference's exactly
+        lo = np.asarray(jax.device_get(sim.state.box.lo), np.float64)
+        hi = np.asarray(jax.device_get(sim.state.box.hi), np.float64)
+        prd = hi - lo
+        g = self.g_ewald
+        g2 = g * g
+        g7 = g2 * g2 * g2 * g
+        natoms = sim.natoms
+        acc = self.accuracy
+
+        def rms(km, prd_d):
+            v = (2.0 * self.q2 * g / prd_d
+                 * np.sqrt(1.0 / (np.pi * km * natoms))
+                 * np.exp(-np.pi ** 2 * km * km / (g2 * prd_d * prd_d)))
+            v += (4.0 * self.b2sum * g7 / 3.0
+                  * np.sqrt(1.0 / (np.pi * natoms))
+                  * np.exp(-np.pi ** 2 * km * km / (g2 * prd_d * prd_d))
+                  * (np.pi * km / (g * prd_d) + 1.0))
+            return v
+
+        kmax = []
+        for d in range(3):
+            km = 1
+            while rms(km, prd[d]) > acc:
+                km += 1
+            kmax.append(km)
+        nbox = max(kmax)
+        unitk = 2.0 * np.pi / prd
+        gsqmx = max((unitk[d] * kmax[d]) ** 2 for d in range(3)) * 1.00001
+        ks = []
+        for kx in range(0, nbox + 1):
+            for ky in range(-nbox, nbox + 1):
+                for kz in range(-nbox, nbox + 1):
+                    if kx == 0 and ky == 0 and kz == 0:
+                        continue
+                    if kx == 0 and ky < 0:
+                        continue
+                    if kx == 0 and ky == 0 and kz < 0:
+                        continue
+                    kvec = unitk * np.array([kx, ky, kz], np.float64)
+                    ksqv = float(kvec @ kvec)
+                    if ksqv <= gsqmx:
+                        ks.append((kvec, ksqv))
+        self.kvecs = np.array([k for k, _ in ks])
+        ksq = np.array([s for _, s in ks])
+        self.ug = np.exp(-0.25 * ksq / g2) / ksq
+        h1 = np.sqrt(ksq)
+        b = 0.5 * h1 / self.g_ewald_6
+        import math
+        erfc_b = np.array([math.erfc(v) for v in b])
+        expb2 = np.exp(-b * b)
+        self.ke6 = -h1 * ksq * (MY_PIS * erfc_b
+                                + (0.5 / (b * b) - 1.0) * expb2 / b)
+        self.kv6_c2 = 3.0 * h1 * (MY_PIS * erfc_b - expb2 / b)
+
+    def compute(self, s, eflag: bool, vflag: bool):
+        f, elong, virial = super().compute(s, eflag, vflag)
+        dt_ = s.x.dtype
+        kv = jnp.asarray(self.kvecs, dt_)
+        ke6 = jnp.asarray(self.ke6, dt_)
+        Bq = jnp.asarray(self.Bq, dt_)
+        vol = s.box.volume
+        g3 = self.g_ewald_6 ** 3
+        c1 = 2.0 * jnp.pi * MY_PIS / (24.0 * vol)
+
+        def e6_of(x):
+            phase = x @ kv.T
+            Sr = jnp.sum(Bq[:, None] * jnp.cos(phase), axis=0)
+            Si = jnp.sum(Bq[:, None] * jnp.sin(phase), axis=0)
+            # c1 = 2 pi sqrt(pi)/(24V) already carries the half-space
+            # symmetry factor (full-space constant is pi sqrt(pi)/(24V))
+            return c1 * jnp.sum(ke6 * (Sr * Sr + Si * Si)), (Sr, Si)
+
+        (e6, (Sr, Si)), grads = jax.value_and_grad(
+            e6_of, has_aux=True)(s.x)
+        f = f - grads
+        if eflag:
+            virial_self6 = jnp.pi * MY_PIS * g3 / (6.0 * vol) \
+                * self.bsum ** 2
+            energy_self6 = -self.b2sum * g3 * g3 / 12.0 + virial_self6
+            elong = elong + e6 - energy_self6
+        if vflag:
+            sk2 = Sr * Sr + Si * Si
+            c2 = jnp.asarray(self.kv6_c2, dt_)
+            virial_self6 = jnp.pi * MY_PIS * g3 / (6.0 * vol) \
+                * self.bsum ** 2
+            comp = []
+            for a, b in ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)):
+                delta = ke6 if a == b else jnp.zeros_like(ke6)
+                comp.append(c1 * jnp.sum(
+                    (delta - c2 * kv[:, a] * kv[:, b]) * sk2))
+            v6 = jnp.stack(comp)
+            v6 = v6 - virial_self6 * jnp.asarray(
+                [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], dt_)
+            virial = virial + v6
+        return f, elong, virial

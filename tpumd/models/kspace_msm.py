@@ -497,3 +497,72 @@ class PairLJCutCoulMSM(PairLJCutCoulCut):
                        - (1.0 - w_coul) * prefactor, 0.0)
         fcoul = jnp.where(in_c, forcecoul * r2inv, 0.0)
         return fpair, e, ec, fcoul
+
+
+@register_pair("lj/long/coul/long")
+class PairLJLongCoulLong(PairLJCutCoulCut):
+    """pair lj/long/coul/long flag_lj flag_coul cut_lj [cut_coul]
+    (src/KSPACE/pair_lj_long_coul_long.cpp): Ewald-split coulomb AND
+    (optionally) Ewald-split geometric dispersion — the real-space
+    complement of ewald/disp.  Series (non-tabulated) branch."""
+
+    name = "lj/long/coul/long"
+    supports_image_ext = False
+    g_ewald = 0.0
+    g_ewald_6 = 0.0
+
+    def settings(self, flag_lj, flag_coul, cut_lj, cut_coul=None):
+        if str(flag_lj) != "long" or str(flag_coul) != "long":
+            raise ValueError(
+                "pair lj/long/coul/long: only 'long long' supported")
+        super().settings(cut_lj, cut_coul)
+
+    def derive(self):
+        eps, sig = self.params
+        self.lj1 = 48.0 * eps * sig ** 12
+        self.lj2 = 24.0 * eps * sig ** 6
+        self.lj3 = 4.0 * eps * sig ** 12
+        self.lj4 = 4.0 * eps * sig ** 6
+        self.cut_coulsq = self.cut_coul ** 2
+
+    def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
+        from tpumd.models.pair_charmm import A1, A2, A3, A4, A5, \
+            EWALD_F, EWALD_P
+        dt_ = r2.dtype
+        r2inv = 1.0 / r2
+        # coulomb: standard erfc split with the special-case subtraction
+        in_c = r2 < self.cut_coulsq
+        r = jnp.sqrt(r2)
+        grij = self.g_ewald * r
+        expm2 = jnp.exp(-grij * grij)
+        t = 1.0 / (1.0 + EWALD_P * grij)
+        erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+        prefactor = self.units.qqr2e * qi * qj / r
+        forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
+            - (1.0 - w_coul) * prefactor
+        ec = jnp.where(in_c, prefactor * erfc
+                       - (1.0 - w_coul) * prefactor, 0.0)
+        fcoul = jnp.where(in_c, forcecoul * r2inv, 0.0)
+        # dispersion: long-range split (compute :79-93 series branch):
+        # repulsion stays real-space, -C/r^6 splits via g_ewald_6
+        in_lj = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        lj1 = jnp.asarray(self.lj1, dt_)[it, jt]
+        lj2 = jnp.asarray(self.lj2, dt_)[it, jt]
+        lj3 = jnp.asarray(self.lj3, dt_)[it, jt]
+        lj4 = jnp.asarray(self.lj4, dt_)[it, jt]
+        g2 = self.g_ewald_6 ** 2
+        g6 = g2 ** 3
+        g8 = g6 * g2
+        rn = r2inv * r2inv * r2inv                 # r^-6
+        x2e = g2 * r2
+        a2 = 1.0 / x2e
+        x2 = a2 * jnp.exp(-x2e) * lj4
+        tspec = rn * (1.0 - w_lj)
+        force_lj = w_lj * rn * rn * lj1 \
+            - g8 * (((6.0 * a2 + 6.0) * a2 + 3.0) * a2 + 1.0) * x2 * r2 \
+            + tspec * lj2
+        e = w_lj * rn * rn * lj3 \
+            - g6 * ((a2 + 1.0) * a2 + 0.5) * x2 + tspec * lj4
+        fpair = jnp.where(in_lj, force_lj * r2inv, 0.0)
+        e = jnp.where(in_lj, e, 0.0)
+        return fpair, e, ec, fcoul

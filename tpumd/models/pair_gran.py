@@ -186,15 +186,29 @@ class PairGranHookeHistory:
                     freeze_bit=self.freeze_group_bit,
                     exclude_bits=tuple(exclude_bits))
 
-    def compute_gran_cellgrid(self, s, valid, shear_cand, cfg, dt,
+    def compute_gran_cellgrid(self, s, valid, shear_tags, shear, cfg, dt,
                               shearupdate: bool, exclude_bits=()):
-        """Rolled-block granular sweep (ops/cellgrid_gran.py): forces,
-        torques and the updated dense candidate shear."""
-        from tpumd.ops.cellgrid_gran import gran_candidate_sums
+        """Rolled-block granular sweep with compact tag-keyed history:
+        the fused pallas kernel on TPU/f32 in-step (VMEM-resident pair
+        blocks), the XLA path elsewhere (CPU parity, energy evals)."""
+        import jax as _jax
         planes = (s.v[:, 0], s.v[:, 1], s.v[:, 2],
                   s.omega[:, 0], s.omega[:, 1], s.omega[:, 2],
                   s.radius, jnp.where(s.rmass > 0, s.rmass, 1.0),
                   s.gmask.astype(s.x.dtype))
-        return gran_candidate_sums(
-            s.x, valid, shear_cand, s.box, cfg,
+        if (shearupdate and s.x.dtype == jnp.float32
+                and _jax.default_backend() == "tpu"
+                and 3 * cfg.cap < 128 and cfg.nz >= 3
+                and cfg.ny >= 2 and cfg.nx >= 2):
+            from tpumd.ops.pallas_gran import gran_cellgrid_forces_pallas
+            params_t = (self.kn, self.kt, self.gamman, self.gammat,
+                        self.xmu, self.limit_damping,
+                        self.freeze_group_bit, tuple(exclude_bits))
+            return gran_cellgrid_forces_pallas(
+                s.x, s.tag, valid, shear_tags, shear, s.box, cfg,
+                params_t, dt, planes)
+        from tpumd.ops.cellgrid_gran import gran_compact_sums
+        f, tq, st, sh = gran_compact_sums(
+            s.x, s.tag, valid, shear_tags, shear, s.box, cfg,
             self.gran_params(exclude_bits), planes, dt, shearupdate)
+        return f, tq, st, sh

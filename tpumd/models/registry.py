@@ -72,3 +72,4 @@ def _ensure_imports():
     import tpumd.models.pair_table  # noqa: F401
     import tpumd.models.pair_breadth2  # noqa: F401
     import tpumd.models.pair_tip4p  # noqa: F401
+    import tpumd.models.kspace_msm  # noqa: F401 (lj/cut/coul/msm, lj/long)

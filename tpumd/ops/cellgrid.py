@@ -77,8 +77,10 @@ class CellGridState:
     # styles read it instead of re-deriving it per force eval (a
     # capacity-sized scatter costs ~2 ms per call on TPU)
     row2slot: jnp.ndarray | None = None
-    # granular: DENSE per-candidate shear history (ops/cellgrid_gran.py
-    # shear_shape(cfg)), remapped compactly at rebuilds
+    # granular: COMPACT tag-keyed shear history (ops/cellgrid_gran.py):
+    # per-slot partner tags (Np, KH) + accumulated shear (Np, KH, 3);
+    # per-atom tables, so re-bins carry them with one gather + scatter
+    shear_tags: jnp.ndarray | None = None
     shear: jnp.ndarray | None = None
 
 

@@ -1,21 +1,26 @@
-"""Granular contact forces on the rolled cell grid with DENSE per-candidate
+"""Granular contact forces on the rolled cell grid with COMPACT tag-keyed
 shear history.
 
 TPU redesign of pair gran/hooke/history + FixNeighHistory
 (src/GRANULAR/pair_gran_hooke_history.cpp:169-380,
-src/fix_neigh_history.cpp): the matrix engine's (N, K) neighbor gather
-costs ~5 ms/step at 32k spheres because TPU gathers pay per ROW.  Here
-contacts are enumerated gather-free by rolling the dense cell grid (same
-scheme as cellgrid_pair_sums), and the per-contact tangential shear
-accumulator lives in a DENSE array indexed by candidate coordinates
-(z-shift, cell, i-slot, j-lane) — a stable pair identity while the
-binning is frozen, so every step reads/writes history with ZERO matching.
+src/fix_neigh_history.cpp).  The matrix engine's (N, K) neighbor gather
+costs ~5 ms/step at 32k spheres because TPU gathers pay per ROW; a dense
+per-candidate history array avoids matching but costs ~0.5 GB of HBM
+traffic per sweep.  The design here carries history COMPACTLY per atom:
 
-At a re-bin the candidate coordinates change, so history is carried over
-compactly: touching entries (shear != 0) are compacted per atom into a
-small tag-keyed table (Kh slots), permuted with the atoms, and
-redistributed into the new candidate layout by tag matching — the grid
-analog of FixNeighHistory's paged copy, paid only at rebuilds.
+    shear_tags (Np, KH) int32   partner tag of each live contact
+    shear      (Np, KH, 3)      its accumulated tangential displacement
+
+Each force sweep enumerates candidates gather-free by rolling the dense
+cell grid (as in cellgrid_pair_sums), matches every candidate's tag
+against the i slot's KH compact slots to fetch the old shear (pure
+VPU compares, no HBM gathers), and RE-COMPACTS the touching contacts
+into fresh KH slots via an in-sweep cumsum + one-hot contraction.
+Because the tables are per-ATOM, a re-bin carries them with the same
+one-gather/one-scatter permutation as the rest of the state — the
+O(grid) extract/redistribute of a dense layout disappears.
+
+KH = 12 slots (the kissing number for equal spheres is 12).
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ import jax.numpy as jnp
 from tpumd.core.state import Box
 from tpumd.ops.cellgrid import CellGridConfig, _offs, _roll_nbr
 
-KH = 16          # compact history slots per atom carried across rebuilds
+KH = 12
 
 
 def _plan(cfg: CellGridConfig):
@@ -40,19 +45,22 @@ def _plan(cfg: CellGridConfig):
     return cap, xoffs, yoffs, foldy, shifts, rowlen
 
 
-def shear_shape(cfg: CellGridConfig):
-    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
-    return (len(shifts), cfg.nz, cfg.ny, cfg.nx, cap, rowlen, 3)
+def gran_compact_sums(x, tag, valid, shear_tags, shear, box: Box,
+                      cfg: CellGridConfig, params, state_planes,
+                      dt, shearupdate: bool):
+    """One granular force sweep with compact history.
 
-
-def _rows(cfg, box, x, planes):
-    """Widened xy-rows for the j-side: positions get periodic coordinate
-    corrections on periodic dims (non-periodic dims roll without
-    correction — wrapped cells are distance-filtered)."""
+    params: dict of scalars (kn, kt, gamman, gammat, xmu, limit_damping,
+    freeze_bit, exclude_bits); state_planes: (v(3), omega(3), radius,
+    rmass, gmask) per-slot planes.  Returns (f (Np,3), torque (Np,3),
+    shear_tags_new, shear_new)."""
     cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
     gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
+    dtype = x.dtype
+    vx, vy, vz, ox, oy, oz, rad, rm, gm = state_planes
     Lx = box.lengths[0] if box.periodic[0] else None
     Ly = box.lengths[1] if box.periodic[1] else None
+    Lz = box.lengths[2] if box.periodic[2] else None
 
     def xyrow(a, corrx, corry):
         row = jnp.concatenate(
@@ -65,26 +73,10 @@ def _rows(cfg, box, x, planes):
     xg = [x[:, c].reshape(gshape) for c in range(3)]
     rows = [xyrow(xg[0], Lx, None), xyrow(xg[1], None, Ly),
             xyrow(xg[2], None, None)]
-    prow = [xyrow(p.reshape(gshape), None, None) for p in planes]
-    return xg, rows, prow, gshape
-
-
-def gran_candidate_sums(x, valid, shear_cand, box: Box,
-                        cfg: CellGridConfig, params, state_planes,
-                        dt, shearupdate: bool):
-    """One granular force sweep.  params: dict of scalars (kn, kt,
-    gamman, gammat, xmu, limit_damping, freeze_bit, exclude_bits);
-    state_planes: (v(3), omega(3), radius, rmass, gmask_f) per-slot
-    planes.  Returns (f (Np,3), torque (Np,3), shear_cand_new)."""
-    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
-    dtype = x.dtype
-    vx, vy, vz, ox, oy, oz, rad, rm, gm = state_planes
-    planes = [vx, vy, vz, ox, oy, oz, rad, rm, gm,
-              valid.astype(dtype)]
-    xg, rows, prow, gshape = _rows(cfg, box, x, planes)
-    vrowj = prow[:3]
-    orowj = prow[3:6]
-    radrow, rmrow, gmrow, valrow = prow[6], prow[7], prow[8], prow[9]
+    jplanes = [xyrow(p.reshape(gshape), None, None)
+               for p in (vx, vy, vz, ox, oy, oz, rad, rm,
+                         gm.astype(dtype), valid.astype(dtype))]
+    tagrow = xyrow(tag.reshape(gshape), None, None)
 
     vg = [p.reshape(gshape) for p in (vx, vy, vz)]
     og = [p.reshape(gshape) for p in (ox, oy, oz)]
@@ -92,17 +84,16 @@ def gran_candidate_sums(x, valid, shear_cand, box: Box,
     rmg = rm.reshape(gshape)
     gmg = gm.reshape(gshape).astype(jnp.int32)
     validg = valid.reshape(gshape)
+    stags_g = shear_tags.reshape(gshape + (KH,))
+    sh_g = shear.reshape(gshape + (KH, 3))
 
-    Lz = box.lengths[2] if box.periodic[2] else None
     zero_seg = yoffs.index(0) * len(xoffs) + xoffs.index(0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (cap, rowlen), 1)
     not_self = jj != ii + zero_seg * cap
 
-    kn = params["kn"]
-    kt = params["kt"]
-    gamman = params["gamman"]
-    gammat = params["gammat"]
+    kn, kt = params["kn"], params["kt"]
+    gamman, gammat = params["gamman"], params["gammat"]
     xmu = params["xmu"]
     freeze_bit = params["freeze_bit"]
     exclude_bits = params["exclude_bits"]
@@ -110,22 +101,24 @@ def gran_candidate_sums(x, valid, shear_cand, box: Box,
 
     fx = [jnp.zeros(gshape, dtype) for _ in range(3)]
     tq = [jnp.zeros(gshape, dtype) for _ in range(3)]
-    shear_new = []
+    new_tags = jnp.zeros(gshape + (KH,), jnp.int32)
+    new_shear = jnp.zeros(gshape + (KH, 3), dtype)
+    count = jnp.zeros(gshape, jnp.int32)    # contacts compacted so far
 
     for si, (dz, dy) in enumerate(shifts):
         def roll2(a, corrz, corry):
             r = _roll_nbr(a, dz, 0, corrz)
             return _roll_nbr(r, dy, 1, corry) if not foldy else r
 
-        Ly = box.lengths[1] if box.periodic[1] else None
         xj = [roll2(rows[0], None, None), roll2(rows[1], None, Ly),
               roll2(rows[2], Lz, None)]
-        vj = [roll2(r, None, None) for r in vrowj]
-        oj = [roll2(r, None, None) for r in orowj]
-        radj = roll2(radrow, None, None)[..., None, :]
-        rmj = roll2(rmrow, None, None)[..., None, :]
-        gmj = roll2(gmrow, None, None).astype(jnp.int32)[..., None, :]
-        valj = roll2(valrow, None, None)[..., None, :] > 0.5
+        vj = [roll2(jplanes[c], None, None) for c in range(3)]
+        oj = [roll2(jplanes[3 + c], None, None) for c in range(3)]
+        radj = roll2(jplanes[6], None, None)[..., None, :]
+        rmj = roll2(jplanes[7], None, None)[..., None, :]
+        gmj = roll2(jplanes[8], None, None).astype(jnp.int32)[..., None, :]
+        valj = roll2(jplanes[9], None, None)[..., None, :] > 0.5
+        tagj = roll2(tagrow, None, None)[..., None, :]   # (...,1,rowlen)
 
         d = [xg[c][..., :, None] - xj[c][..., None, :] for c in range(3)]
         rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
@@ -170,10 +163,18 @@ def gran_candidate_sums(x, valid, shear_cand, box: Box,
                vt[1] + (d[2] * wr[0] - d[0] * wr[2]),
                vt[2] + (d[0] * wr[1] - d[1] * wr[0])]
 
-        shold = shear_cand[si]
-        sh = [jnp.where(touching, shold[..., c], 0.0) for c in range(3)]
+        # old shear: match candidate tag against the i slot's KH compact
+        # slots (selects; no gathers)
+        sh = [jnp.zeros_like(rsq) for _ in range(3)]
+        for k in range(KH):
+            st = stags_g[..., :, k:k + 1]
+            hit = (st > 0) & (st == tagj)
+            for c in range(3):
+                sh[c] = sh[c] + jnp.where(hit, sh_g[..., :, None, k, c], 0.0)
+        sh = [jnp.where(touching, sh[c], 0.0) for c in range(3)]
+
         if shearupdate:
-            sh = [jnp.where(touching, sh[c] + vtr[c] * dt, sh[c])
+            sh = [sh[c] + jnp.where(touching, vtr[c] * dt, 0.0)
                   for c in range(3)]
         shrmag = jnp.sqrt(sh[0] * sh[0] + sh[1] * sh[1] + sh[2] * sh[2])
         if shearupdate:
@@ -205,90 +206,26 @@ def gran_candidate_sums(x, valid, shear_cand, box: Box,
         for c in range(3):
             tq[c] = tq[c] - jnp.sum(
                 jnp.where(touching, radi * tor[c], 0.0), axis=-1)
+
         if shearupdate:
-            shear_new.append(jnp.stack(
-                [jnp.where(touching, sh[c], 0.0) for c in range(3)],
-                axis=-1))
+            # re-compact this shift's touching contacts into the fresh
+            # per-atom tables: global position = running count + rank
+            pos = count[..., None] + jnp.cumsum(touching, axis=-1) - 1
+            tjb = jnp.broadcast_to(tagj, touching.shape)
+            shs = jnp.stack(sh, axis=-1)
+            for k in range(KH):
+                hit = touching & (pos == k)
+                tk = jnp.max(jnp.where(hit, tjb, 0), axis=-1)
+                sk = jnp.sum(jnp.where(hit[..., None], shs, 0.0), axis=-2)
+                new_tags = new_tags.at[..., k].max(tk)
+                new_shear = new_shear.at[..., k, :].add(sk)
+            count = count + jnp.sum(touching, axis=-1)
 
     f = jnp.stack([c.reshape(-1) for c in fx], axis=1)
     torque = jnp.stack([c.reshape(-1) for c in tq], axis=1)
-    out_shear = (jnp.stack(shear_new) if shearupdate else shear_cand)
-    return f, torque, out_shear
-
-
-def extract_compact_history(shear_cand, tag, cfg: CellGridConfig):
-    """Compact nonzero candidate shear into a per-atom tag-keyed table.
-
-    Returns (ctags (Np, KH) int32 partner tags, cshear (Np, KH, 3)).
-    Entries beyond KH simultaneous contacts are dropped (kissing number
-    for spheres is 12; KH=16 leaves headroom)."""
-    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
-    gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
-    npad = cfg.capacity
-    tg = tag.reshape(gshape)
-
-    def xyrow(a):
-        row = jnp.concatenate([_roll_nbr(a, o, 2, None) for o in xoffs],
-                              axis=-1)
-        if not foldy:
-            return row
-        return jnp.concatenate([_roll_nbr(row, o, 1, None)
-                                for o in yoffs], axis=-1)
-
-    tagrow = xyrow(tg)
-    ctags = jnp.zeros((npad, KH), jnp.int32)
-    cshear = jnp.zeros((npad, KH, 3), shear_cand.dtype)
-    base = jnp.zeros(gshape, jnp.int32)
-    for si, (dz, dy) in enumerate(shifts):
-        def roll2(a):
-            r = _roll_nbr(a, dz, 0, None)
-            return _roll_nbr(r, dy, 1, None) if not foldy else r
-        tagj = roll2(tagrow)                                  # (..., rowlen)
-        sh = shear_cand[si]                                   # (..., cap, rowlen, 3)
-        has = jnp.any(sh != 0.0, axis=-1)                     # (..., cap, rowlen)
-        pos = base[..., None] + jnp.cumsum(has, axis=-1) - 1
-        # write each contact into its per-atom slot via K one-hot passes
-        tj = jnp.broadcast_to(tagj[..., None, :], sh.shape[:-1])
-        for k in range(KH):
-            hit = has & (pos == k)
-            tk = jnp.max(jnp.where(hit, tj, 0), axis=-1)
-            sk = jnp.sum(jnp.where(hit[..., None], sh, 0.0), axis=-2)
-            ctags = ctags.at[:, k].max(tk.reshape(-1))
-            cshear = cshear.at[:, k].add(sk.reshape(-1, 3))
-        base = base + jnp.sum(has, axis=-1)
-    return ctags, cshear
-
-
-def redistribute_history(ctags, cshear, tag, cfg: CellGridConfig):
-    """Scatter the compact per-atom history into the (new) dense candidate
-    layout by matching each candidate's tag against the atom's KH compact
-    slots (paid once per rebuild)."""
-    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
-    gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
-    tg = tag.reshape(gshape)
-    ctags_g = ctags.reshape(gshape + (KH,))
-    cshear_g = cshear.reshape(gshape + (KH, 3))
-
-    def xyrow(a):
-        row = jnp.concatenate([_roll_nbr(a, o, 2, None) for o in xoffs],
-                              axis=-1)
-        if not foldy:
-            return row
-        return jnp.concatenate([_roll_nbr(row, o, 1, None)
-                                for o in yoffs], axis=-1)
-
-    tagrow = xyrow(tg)
-    outs = []
-    for si, (dz, dy) in enumerate(shifts):
-        def roll2(a):
-            r = _roll_nbr(a, dz, 0, None)
-            return _roll_nbr(r, dy, 1, None) if not foldy else r
-        tagj = roll2(tagrow)[..., None, :]        # (..., 1, rowlen)
-        acc = jnp.zeros(gshape[:-1] + (cap, rowlen, 3), cshear.dtype)
-        for k in range(KH):
-            ct = ctags_g[..., :, k:k + 1]          # (..., cap, 1)
-            hit = (ct > 0) & (ct == tagj)
-            acc = acc + jnp.where(
-                hit[..., None], cshear_g[..., :, None, k, :], 0.0)
-        outs.append(acc)
-    return jnp.stack(outs)
+    if shearupdate:
+        out_tags = new_tags.reshape(-1, KH)
+        out_shear = new_shear.reshape(-1, KH, 3)
+    else:
+        out_tags, out_shear = shear_tags, shear
+    return f, torque, out_tags, out_shear

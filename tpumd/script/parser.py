@@ -1397,6 +1397,9 @@ class LammpsScript:
         elif a[0] == "ewald":
             from tpumd.models.kspace_ewald import Ewald
             sim.kspace = Ewald(float(a[1]))
+        elif a[0] == "ewald/disp":
+            from tpumd.models.kspace_ewald import EwaldDisp
+            sim.kspace = EwaldDisp(float(a[1]))
         elif a[0] == "none":
             sim.kspace = None
         else:
