@@ -120,16 +120,38 @@ class PairLJCut(PairStyle):
         # no special weighting, f32, TPU backend); energy/virial output
         # steps and everything else take the XLA cell-grid path
         import jax as _jax
-        if (not eflag and not vflag and special is None and bond is None
-                and self.ntypes == 1 and x.dtype == jnp.float32
-                and cfg.nz >= 3 and cfg.ny >= 3 and cfg.nx >= 3
-                and _jax.default_backend() == "tpu"):
+        on_tpu_f32 = (not eflag and not vflag
+                      and self.ntypes == 1 and x.dtype == jnp.float32
+                      and cfg.nz >= 3 and cfg.ny >= 3 and cfg.nx >= 3
+                      and _jax.default_backend() == "tpu")
+        if on_tpu_f32 and special is None and bond is None:
             from tpumd.ops.pallas_lj import lj_cellgrid_forces_pallas
             f = lj_cellgrid_forces_pallas(
                 x, valid, box, cfg,
                 float(self.lj1[1, 1]), float(self.lj2[1, 1]),
                 float(self.cutsq[1, 1]))
             return f, None, None, None
+        if (on_tpu_f32 and special is None and bond is not None
+                and bond[4] and bond[0].shape[1] <= 2):
+            # chain fast path: LJ + in-kernel FENE, single bond type,
+            # special pass collapsed into the bond hit
+            btags, btypes, bond_fn, atag, _ = bond
+            style = getattr(bond_fn, "__self__", None)
+            if (style is not None and style.name == "fene"
+                    and len(style.k) == 2):
+                from tpumd.ops.pallas_lj import \
+                    lj_fene_cellgrid_forces_pallas
+                b0 = btags[:, 0]
+                b1 = (btags[:, 1] if btags.shape[1] == 2
+                      else jnp.zeros_like(b0))
+                fene = (float(style.k[1]), float(style.r0[1] ** 2),
+                        float(style.epsilon[1]),
+                        float(style.sigma[1] ** 2))
+                f = lj_fene_cellgrid_forces_pallas(
+                    x, valid, atag, b0, b1, box, cfg,
+                    float(self.lj1[1, 1]), float(self.lj2[1, 1]),
+                    float(self.cutsq[1, 1]), fene)
+                return f, None, None, None, None
         return super().compute_cellgrid(x, type_, valid, box, cfg,
                                         eflag, vflag, q=q, special=special,
                                         bond=bond)
