@@ -693,6 +693,22 @@ class Simulation:
         force_fn = jax.jit(lambda st, ne: compute_forces(
             st, ne, ctx, False, False, consts=self._consts)[0])
         t_force = timeit(lambda: force_fn(s, neigh))
+        # sub-category re-timings (Bond/Kspace columns of the reference's
+        # Timer::NORMAL breakdown, src/finish.cpp)
+        t_bond = t_kspace = 0.0
+        if ctx.bonded or ctx.kernel_bond is not None:
+            from tpumd.md.verlet import compute_forces_cats
+            bond_fn = jax.jit(lambda st, ne: compute_forces_cats(
+                st, ne, ctx, ("bond", "angle", "dihedral", "improper"),
+                self._consts))
+            try:
+                t_bond = timeit(lambda: bond_fn(s, neigh))
+            except Exception:   # kernel-bond styles have no cats path
+                t_bond = 0.0
+        if ctx.kspace is not None:
+            ks_fn = jax.jit(lambda st: ctx.kspace.compute(
+                st, False, False)[0])
+            t_kspace = timeit(lambda: ks_fn(s))
         if ctx.is_cellgrid:
             build_fn = jax.jit(lambda x, tg: cg.bin_compact(
                 x, tg, ctx.natoms, s.box, ctx.neigh_cfg,
@@ -706,10 +722,13 @@ class Simulation:
             t_build = timeit(lambda: build_fn(s.x))
         nbuilds = max(int(jax.device_get(neigh.nbuilds)) - 1, 0)
         per_step = elapsed / max(nsteps, 1)
-        pair_pct = 100 * t_force / per_step
+        pair_pct = 100 * max(t_force - t_bond - t_kspace, 0.0) / per_step
+        bond_pct = 100 * t_bond / per_step
+        ks_pct = 100 * t_kspace / per_step
         neigh_pct = 100 * t_build * nbuilds / max(nsteps, 1) / per_step
-        other = max(0.0, 100 - pair_pct - neigh_pct)
+        other = max(0.0, 100 - pair_pct - bond_pct - ks_pct - neigh_pct)
         self._log(f"Timing breakdown (approx): Pair {pair_pct:.1f}% | "
+                  f"Bond {bond_pct:.1f}% | Kspace {ks_pct:.1f}% | "
                   f"Neigh {neigh_pct:.1f}% | Integrate/Fix/Other "
                   f"{other:.1f}%  (force {t_force*1e3:.3f} ms/eval, "
                   f"build {t_build*1e3:.3f} ms)")
