@@ -95,3 +95,34 @@ velocity half1 set 1.0 NULL 3.0
     assert np.allclose(v[sel, 2], 3.0)
     assert not np.allclose(v[sel, 1], 0.0)   # NULL leaves component
     assert not np.allclose(v[~sel, 0], 1.0)  # others untouched
+
+
+def test_enforce2d_zeros_z():
+    s = _script("""
+fix 1 all nve
+fix 2 all enforce2d
+run 5
+""")
+    sim = s.sim
+    v = np.asarray(jax.device_get(sim.state.v), dtype=np.float64)
+    f = np.asarray(jax.device_get(sim.state.f), dtype=np.float64)
+    assert np.allclose(v[:, 2], 0.0)
+    assert np.allclose(f[:, 2], 0.0)
+    assert not np.allclose(v[:, 0], 0.0)
+
+
+def test_fix_balance_runs():
+    s = _script("""
+fix 1 all nve
+fix 2 all balance 5 1.0 rcb
+run 10
+""")
+    assert np.isfinite(s.sim.last_thermo["etotal"])
+
+
+def test_npt_tilt_on_ortho_box_errors():
+    with pytest.raises(Exception, match="triclinic"):
+        _script("""
+fix 1 all npt temp 1.0 1.0 0.5 xy 0.0 0.0 2.0
+run 1
+""")

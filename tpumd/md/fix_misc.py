@@ -343,3 +343,54 @@ class FixIndent(Fix):
         apply = self.group_sel(s) & (dr < 0.0)
         f = s.f + jnp.where(apply[:, None], (fmag / r)[:, None] * d, 0.0)
         return s.replace(f=f), fstate
+
+
+class FixEnforce2D(Fix):
+    """fix enforce2d: zero the z force and velocity each step (and the
+    xy angular components on sphere atoms) so a `dimension 2` run stays
+    planar (src/fix_enforce2d.cpp:86-118)."""
+
+    name = "enforce2d"
+
+    def post_force(self, s, fstate, ctx, xin=None):
+        sel = self.group_sel(s)
+        f = s.f.at[:, 2].set(jnp.where(sel, 0.0, s.f[:, 2]))
+        v = s.v.at[:, 2].set(jnp.where(sel, 0.0, s.v[:, 2]))
+        s = s.replace(f=f, v=v)
+        if s.omega is not None:
+            om = jnp.where(sel[:, None],
+                           s.omega * jnp.asarray([0.0, 0.0, 1.0],
+                                                 s.omega.dtype),
+                           s.omega)
+            s = s.replace(omega=om)
+        if s.torque is not None:
+            tq = jnp.where(sel[:, None],
+                           s.torque * jnp.asarray([0.0, 0.0, 1.0],
+                                                  s.torque.dtype),
+                           s.torque)
+            s = s.replace(torque=tq)
+        return s, fstate
+
+
+class FixBalance(Fix):
+    """fix balance N thresh rcb|shift [dims]: periodic host-side
+    rebalance (src/fix_balance.cpp) — when the equal-count row blocks'
+    spatial imbalance exceeds thresh, re-run the RCB/shift reorder."""
+
+    name = "balance"
+
+    def __init__(self, nevery, thresh, style, dims=""):
+        self.host_every = max(int(nevery), 1)
+        self.thresh = float(thresh)
+        self.style = style
+        self.dims = dims
+        self.last = (1.0, 1.0)
+
+    def host_end_of_step(self, sim):
+        import jax as _jax
+        from tpumd.parallel.balance import slab_imbalance, balance_atoms
+        x = np.asarray(_jax.device_get(sim.state.x), np.float64)
+        nparts = max(len(_jax.devices()), 1)
+        cur = slab_imbalance(x, np.arange(len(x)), nparts)
+        if cur > self.thresh:
+            self.last = balance_atoms(sim, self.style, dims=self.dims)

@@ -97,6 +97,15 @@ class FixNH(Fix):
     def init_state(self, s, ctx):
         import numpy as _np
         import jax as _jax
+        if self.tri and not s.box.istriclinic:
+            # FixNH::init errors on tilt couplings with an orthogonal
+            # box (src/fix_nh.cpp "Can not specify Pxy/Pxz/Pyz in fix
+            # npt/nph with non-triclinic box"); silently integrating
+            # omega_dot[3:] while _remap never writes tilt back would
+            # shear velocities without shearing the box.
+            raise ValueError(
+                "Can not specify Pxy/Pxz/Pyz in fix npt/nph with "
+                "non-triclinic box")
         tilt = _np.asarray(_jax.device_get(s.box.tilt), _np.float64)
         per = s.box.periodic
         self.scalexy = bool(per[1] and tilt[0] != 0.0

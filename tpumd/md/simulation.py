@@ -1047,7 +1047,20 @@ class Simulation:
             raise KeyError(f"no fix {name!r} with output")
         raise KeyError(f"unknown thermo keyword {key!r}")
 
+    _hist_saturated_warned = False
+
     def _thermo_line(self):
+        # compact granular-history saturation guard: an atom whose KH
+        # slots are all occupied may have silently dropped contacts
+        # (cellgrid_gran compacts touching contacts into KH=12 slots)
+        st = getattr(self._carry[1], "shear_tags", None)
+        if (st is not None and getattr(st, "ndim", 0) == 2
+                and not self._hist_saturated_warned):
+            if bool(jax.device_get(jnp.all(st != 0, axis=1).any())):
+                self._hist_saturated_warned = True
+                self._log("WARNING: granular contact-history slots "
+                          "saturated for some atom — contacts beyond "
+                          f"{st.shape[1]} per atom lose shear history")
         vals = self.thermo_values()
         if self.thermo_multi:
             return self._thermo_line_multi(vals)

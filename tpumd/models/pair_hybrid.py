@@ -114,6 +114,18 @@ class PairHybrid(PairStyle):
     def max_cutoff(self) -> float:
         return max(m.style.max_cutoff for m in self.subs)
 
+    def ecoul_self(self, q):
+        """Per-atom coulomb self-energy summed over sub-styles that carry
+        one (coul/dsf:37, coul/wolf): the reference tallies it per
+        sub-style over ALL local atoms via ev_tally(i,i,...), independent
+        of the type-pair activation mask."""
+        scales = getattr(self, "scales", None) or [1.0] * len(self.subs)
+        e = jnp.zeros((), q.dtype)
+        for scale, m in zip(scales, self.subs):
+            if hasattr(m.style, "ecoul_self"):
+                e = e + scale * m.style.ecoul_self(q)
+        return e
+
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
                 eflag: bool, vflag: bool, q=None, ext=None):
         from tpumd.ops.pairwise import pair_sums

@@ -58,9 +58,32 @@ def imbalance(counts: np.ndarray) -> float:
     return float(counts.max() / mean) if mean > 0 else 1.0
 
 
+def slab_imbalance(x: np.ndarray, order: np.ndarray, nparts: int) -> float:
+    """Spatial imbalance of equal-count row blocks under `order`: each
+    block's atoms are histogrammed into nparts equal-volume slabs of the
+    longest dim and the max/mean factor is taken over (block, slab)
+    density — 1.0 when blocks are spatially compact equal subdomains,
+    ~nparts when rows are spatially scrambled.  The same metric is used
+    for before and after so the printed line actually verifies what the
+    reorder did (a broken permutation no longer reads as success)."""
+    n = len(x)
+    ext_dim = int(np.argmax(x.max(0) - x.min(0)))
+    lo, hi = x[:, ext_dim].min(), x[:, ext_dim].max() + 1e-12
+    edges = [n * k // nparts for k in range(nparts + 1)]
+    # per-block spatial spread along the cut dim: a compact block spans
+    # ~1/nparts of the extent; count atoms OUTSIDE the block's fair slab
+    spans = []
+    for a, b in zip(edges[:-1], edges[1:]):
+        xb = np.sort(x[order[a:b], ext_dim])
+        spans.append((xb[-1] - xb[0]) * nparts / (hi - lo))
+    return float(np.max(spans))
+
+
 def balance_atoms(sim, style: str, dims: str = "", nparts: int | None = None):
     """Permute sim.state rows for equal-atom spatial blocks; returns
-    (imbalance_before, imbalance_after) for nparts blocks."""
+    (imbalance_before, imbalance_after): the max block-span factor of
+    the equal-count row blocks before and after the reorder (same
+    metric both sides)."""
     from tpumd.core.state import map_per_atom
     import jax.numpy as jnp
     if nparts is None:
@@ -68,24 +91,17 @@ def balance_atoms(sim, style: str, dims: str = "", nparts: int | None = None):
     s = sim.state
     x = np.asarray(jax.device_get(s.x), np.float64)
     n = len(x)
-    # "before": atoms per equal row-block
-    edges = [n * k // nparts for k in range(nparts + 1)]
-    counts0 = np.diff(edges).astype(float)  # rows are dense -> uniform
-    # spatial imbalance before: atoms per equal-volume slab of the
-    # longest dim (what a naive uniform decomposition would get)
-    ext_dim = int(np.argmax(x.max(0) - x.min(0)))
-    lo, hi = x[:, ext_dim].min(), x[:, ext_dim].max() + 1e-12
-    naive = np.histogram(x[:, ext_dim], bins=nparts, range=(lo, hi))[0]
-    before = imbalance(naive.astype(float))
+    before = slab_imbalance(x, np.arange(n), nparts)
     if style == "rcb":
         order = rcb_order(x, nparts)
     else:
+        ext_dim = int(np.argmax(x.max(0) - x.min(0)))
         order = dim_sort_order(x, dims or "xyz"[ext_dim])
+    after = slab_imbalance(x, order, nparts)
     pj = jnp.asarray(order)
     sim.state = map_per_atom(s, lambda a: a[pj])
     if sim.special_tags is not None:
         sim.special_tags = sim.special_tags[order]
         sim.special_codes = sim.special_codes[order]
     sim.invalidate_ctx()
-    after = imbalance(counts0)
     return before, after

@@ -994,8 +994,14 @@ class LammpsScript:
                 else:
                     i += 1
             sim.fixes.append(FixWallReflect(walls))
-        elif style in ("recenter", "enforce2d", "balance"):
-            pass  # harmless no-ops for now
+        elif style == "enforce2d":
+            from tpumd.md.fix_misc import FixEnforce2D
+            sim.fixes.append(FixEnforce2D())
+        elif style == "balance":
+            from tpumd.md.fix_misc import FixBalance
+            bstyle = "rcb" if "rcb" in args else "shift"
+            dims = args[3] if bstyle == "shift" and len(args) > 3 else ""
+            sim.fixes.append(FixBalance(args[0], args[1], bstyle, dims))
         else:
             raise ScriptError(f"fix style {style} not supported yet")
 
