@@ -17,4 +17,17 @@ A from-scratch reimplementation of the capabilities of LAMMPS
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the scan-compiled run segments take
+# 10-200 s to compile cold; warm starts (same deck/shapes/backend) then
+# load in seconds.  Opt out with TPUMD_NO_COMPILE_CACHE=1.
+if not _os.environ.get("TPUMD_NO_COMPILE_CACHE"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("TPUMD_COMPILE_CACHE",
+                                       "/tmp/jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from tpumd.utils.units import Units, get_units  # noqa: F401

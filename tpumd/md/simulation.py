@@ -600,8 +600,14 @@ class Simulation:
             xs = self._segment_inputs(seg, ctx)
             while True:
                 snapshot = self._carry
-                carry = run_segment(self._carry, ctx, seg, xs,
-                                    consts=self._consts)
+                if xs is None:
+                    from tpumd.md.verlet import run_segment_dyn
+                    carry = run_segment_dyn(self._carry, ctx,
+                                            jnp.int32(seg),
+                                            consts=self._consts)
+                else:
+                    carry = run_segment(self._carry, ctx, seg, xs,
+                                        consts=self._consts)
                 if bool(jax.device_get(carry[1].overflow)):
                     # grow capacities, redo the segment from the snapshot
                     # (same xs: host RNG streams are not re-drawn)

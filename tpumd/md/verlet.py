@@ -393,6 +393,29 @@ def run_segment(carry, ctx: StepContext, nsteps: int, xs=None, consts=None):
 
 
 @partial(jax.jit, static_argnames=("ctx",))
+def run_segment_dyn(carry, ctx: StepContext, nsteps, consts=None):
+    """Dynamic-length segment: ONE compile serves every segment length.
+
+    Usable when no fix feeds per-step host inputs (xs is None — e.g. the
+    bit-exact RanMars streams of CPU-parity langevin runs need scan).
+    The step body is identical to run_segment's, so trajectories are
+    bitwise the same; only the loop construct differs (fori_loop with a
+    traced bound instead of a static-length scan), which removes the
+    per-segment-length recompiles when thermo/dump intervals chop a run
+    into differently-sized chunks."""
+    if ctx.respa is not None:
+        step = make_respa_step(ctx, consts)
+    else:
+        step = make_step_fn(ctx, consts)
+
+    def body(_, c):
+        c2, _ = step(c, None)
+        return c2
+
+    return jax.lax.fori_loop(0, nsteps, body, carry)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
 def eval_energies(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                   consts=None):
     """Force + energy + virial evaluation for thermo output steps.
