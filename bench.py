@@ -1,72 +1,78 @@
 #!/usr/bin/env python
-"""Headline benchmark: 32k-atom LJ melt (the reference's bench/in.lj).
+"""Driver benchmark: the full reference deck suite on one chip.
 
-Runs the deck on the available accelerator (f32 on TPU) and prints ONE
-JSON line with throughput in Matom-step/s.  Baseline: 1.41 Matom-step/s =
-44.212 timesteps/s x 32000 atoms on 1 icc rank
-(/root/reference/bench/log.6Oct16.lj.fixed.icc.1).
+Prints ONE JSON line.  Headline metric stays the 32k LJ melt
+(Matom-step/s vs the 1-rank icc baseline, bench/log.6Oct16.lj.fixed.icc.1);
+the `decks` field carries every deck's throughput, multiplier, and tight
+step-100 thermo sanity vs the reference binary (tools/bench_all.py),
+including the 864k-atom LJ melt north-star row.
+
+Deck selection: TPUMD_BENCH_DECKS="lj chain ..." (default: all six).
+Exits non-zero if any deck errors or misses its sanity window.
 """
 
 import json
+import os
 import sys
-import time
 
-import jax
-import jax.numpy as jnp
-
-BASELINE_MATOM_STEPS = 1.41
-
-IN_LJ = """
-units           lj
-atom_style      atomic
-lattice         fcc 0.8442
-region          box block 0 20 0 20 0 20
-create_box      1 box
-create_atoms    1 box
-mass            1 1.0
-velocity        all create 1.44 87287 loop geom
-pair_style      lj/cut 2.5
-pair_coeff      1 1 1.0 1.0 2.5
-neighbor        0.3 bin
-neigh_modify    delay 0 every 20 check no
-fix             1 all nve
-"""
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def main():
-    from tpumd.script.parser import LammpsScript
+    from tools import bench_all
 
-    on_tpu = jax.default_backend() not in ("cpu",)
-    dtype = jnp.float32 if on_tpu else jnp.float64
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
+    decks = os.environ.get(
+        "TPUMD_BENCH_DECKS",
+        "lj chain eam chute rhodo_class lj864").split()
+    nsteps = 500
+    import jax
+    if jax.default_backend() == "cpu":
+        nsteps = 100
+    results = []
+    for name in decks:
+        try:
+            r = bench_all.bench_deck(name, nsteps)
+        except Exception as e:  # noqa: BLE001
+            r = {"deck": name, "error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
 
-    script = LammpsScript(dtype=dtype)
-    script.run_string(IN_LJ)
-    sim = script.sim
-    sim.verbose = False
-    sim.thermo_every = 0  # one compiled segment per run() call
-
-    nsteps = 500 if on_tpu else 100
-    sim.run(nsteps)  # warmup: compiles the nsteps-long scan
-    e_warm = sim.last_thermo["epair"]
-    sanity = abs(e_warm + 5.76) < 0.2  # near the reference melt energy
-
-    t0 = time.perf_counter()
-    sim.run(nsteps)  # same segment length -> fully cached
-    dt = time.perf_counter() - t0
-
-    steps_per_s = nsteps / dt
-    matom = steps_per_s * sim.natoms / 1e6
-    print(json.dumps({
+    by = {r["deck"]: r for r in results}
+    lj = by.get("lj", {})
+    out = {
         "metric": "lj_melt_32k_matom_steps_per_s",
-        "value": round(matom, 4),
+        "value": lj.get("matom_steps_per_s", 0.0),
         "unit": "Matom-step/s",
-        "vs_baseline": round(matom / BASELINE_MATOM_STEPS, 3),
-    }))
-    if not sanity:
-        # a silent physics regression must not ship a headline number
-        print(f"ERROR: e_pair sanity check failed: {e_warm}", file=sys.stderr)
+        "vs_baseline": round(lj.get("matom_steps_per_s", 0.0)
+                             / bench_all.BASELINES["lj"], 3),
+        "decks": {
+            r["deck"]: ({"error": r["error"]} if "error" in r else {
+                "matom_steps_per_s": r["matom_steps_per_s"],
+                "vs_baseline": r["vs_baseline"],
+                "engine": r["engine"],
+                "sanity_ok": r["sanity_ok"],
+            }) for r in results
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+    # persist the full table for the repo record
+    table_path = os.path.join(REPO, "BENCH_TABLE.json")
+    table = []
+    if os.path.exists(table_path):
+        with open(table_path) as fh:
+            table = json.load(fh)
+    merged = {r["deck"]: r for r in table}
+    merged.update(by)
+    with open(table_path, "w") as fh:
+        json.dump(list(merged.values()), fh, indent=1)
+
+    bad = [r["deck"] for r in results
+           if r.get("error") or not r.get("sanity_ok")]
+    if bad:
+        print(f"ERROR: sanity/error failures: {bad}", file=sys.stderr)
         sys.exit(1)
 
 

@@ -77,3 +77,173 @@ def test_capi_drive(lib):
     lib.lammps_command(h, b"run 5")
     assert lib.lammps_get_thermo(h, b"step") == 15.0
     lib.lammps_close(h)
+
+
+def test_capi_wave2(lib):
+    """Wave-2 symbols: extract_compute/fix/variable, set_variable,
+    extract/reset box, extract_setting, create_atoms, error state
+    (src/library.h:123-253 contracts)."""
+    lib.lammps_extract_compute.restype = ctypes.c_void_p
+    lib.lammps_extract_compute.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                           ctypes.c_int, ctypes.c_int]
+    lib.lammps_extract_variable.restype = ctypes.c_void_p
+    lib.lammps_extract_variable.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_char_p, ctypes.c_char_p]
+    lib.lammps_set_variable.restype = ctypes.c_int
+    lib.lammps_set_variable.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_char_p]
+    lib.lammps_extract_box.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_double)] * 5 + \
+        [ctypes.POINTER(ctypes.c_int)] * 2
+    lib.lammps_extract_setting.restype = ctypes.c_int
+    lib.lammps_extract_setting.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lammps_create_atoms.restype = ctypes.c_int
+    lib.lammps_create_atoms.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
+    lib.lammps_has_error.restype = ctypes.c_int
+    lib.lammps_has_error.argtypes = [ctypes.c_void_p]
+    lib.lammps_get_last_error_message.restype = ctypes.c_int
+    lib.lammps_get_last_error_message.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_char_p,
+                                                  ctypes.c_int]
+    lib.lammps_free.argtypes = [ctypes.c_void_p]
+
+    h = lib.lammps_open_no_mpi(0, None, None)
+    # build the box from C-supplied atom arrays (lammps_create_atoms)
+    lib.lammps_commands_string(h, b"""
+units lj
+atom_style atomic
+region box block 0 10 0 10 0 10
+create_box 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+""")
+    n = 4
+    ids = (ctypes.c_int * n)(4, 3, 2, 1)
+    typ = (ctypes.c_int * n)(1, 1, 1, 1)
+    pos = [1.0, 1.0, 1.0,  2.2, 1.0, 1.0,  1.0, 2.2, 1.0,  5.0, 5.0, 5.0]
+    x = (ctypes.c_double * (3 * n))(*pos)
+    v = (ctypes.c_double * (3 * n))(*([0.01] * 12))
+    rc = lib.lammps_create_atoms(h, n, ids, typ, x, v, None, 0)
+    assert rc == n
+    lib.lammps_commands_string(h, b"""
+velocity all set 0.0 0.0 0.0
+fix 1 all nve
+variable a equal 3.0*2
+variable nm string hello
+compute t all temp
+thermo_style custom step temp c_t pe
+run 2
+""")
+    assert lib.lammps_get_natoms(h) == float(n)
+    # atoms came back in tag order via gather
+    buf = (ctypes.c_double * (3 * n))()
+    lib.lammps_gather_atoms(h, b"x", 0, 3, buf)
+    arr = np.frombuffer(buf, np.float64).reshape(n, 3)
+    # ids were 4,3,2,1 -> tag order reverses the input rows
+    assert abs(arr[3, 0] - 1.0) < 0.2   # id 4 was at (1,1,1)
+
+    # equal-style variable -> malloc'd double
+    p = lib.lammps_extract_variable(h, b"a", None)
+    val = ctypes.cast(p, ctypes.POINTER(ctypes.c_double))[0]
+    assert val == 6.0
+    lib.lammps_free(p)
+    # string variable + set_variable
+    p = lib.lammps_extract_variable(h, b"nm", None)
+    assert ctypes.cast(p, ctypes.c_char_p).value == b"hello"
+    lib.lammps_free(p)
+    assert lib.lammps_set_variable(h, b"nm", b"world") == 0
+    p = lib.lammps_extract_variable(h, b"nm", None)
+    assert ctypes.cast(p, ctypes.c_char_p).value == b"world"
+    lib.lammps_free(p)
+
+    # compute temp scalar == thermo temp
+    p = lib.lammps_extract_compute(h, b"t", 0, 0)
+    tval = ctypes.cast(p, ctypes.POINTER(ctypes.c_double))[0]
+    assert abs(tval - lib.lammps_get_thermo(h, b"temp")) < 1e-10
+
+    # box extract
+    lo = (ctypes.c_double * 3)()
+    hi = (ctypes.c_double * 3)()
+    xy = ctypes.c_double(); yz = ctypes.c_double(); xz = ctypes.c_double()
+    per = (ctypes.c_int * 3)()
+    chg = ctypes.c_int()
+    lib.lammps_extract_box(h, lo, hi, ctypes.byref(xy), ctypes.byref(yz),
+                           ctypes.byref(xz), per, ctypes.byref(chg))
+    assert list(lo) == [0.0, 0.0, 0.0] and list(hi) == [10.0, 10.0, 10.0]
+    assert list(per) == [1, 1, 1] and chg.value == 0
+
+    # settings
+    assert lib.lammps_extract_setting(h, b"natoms") == n
+    assert lib.lammps_extract_setting(h, b"ntypes") == 1
+    assert lib.lammps_extract_setting(h, b"triclinic") == 0
+    assert lib.lammps_extract_setting(h, b"bogus") == -1
+
+    # error state: bad command records, does not crash
+    assert lib.lammps_has_error(h) == 0
+    lib.lammps_command(h, b"bogus_command 1 2 3")
+    assert lib.lammps_has_error(h) == 1
+    msg = ctypes.create_string_buffer(256)
+    assert lib.lammps_get_last_error_message(h, msg, 256) == 1
+    assert b"bogus_command" in msg.value
+    assert lib.lammps_has_error(h) == 0   # cleared by the read
+    lib.lammps_close(h)
+
+
+def test_capi_fix_external_callback(lib):
+    """Full MD loop driven from "C" with externally-set forces: a C
+    function pointer (built via ctypes CFUNCTYPE) registered through
+    lammps_set_fix_external_callback, mirroring
+    unittest/c-library/test_fix_external.cpp."""
+    lib.lammps_set_fix_external_callback.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.lammps_fix_external_get_force.restype = ctypes.c_void_p
+    lib.lammps_fix_external_get_force.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_char_p]
+    lib.lammps_fix_external_set_energy_global.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double]
+    lib.lammps_extract_fix.restype = ctypes.c_void_p
+    lib.lammps_extract_fix.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int]
+
+    FN = ctypes.CFUNCTYPE(
+        None, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)))
+
+    seen = []
+
+    @FN
+    def force_cb(caller, step, nlocal, ids, x, fext):
+        seen.append((int(step), int(nlocal)))
+        for i in range(nlocal):
+            fext[i][0] = 0.05
+            fext[i][1] = 0.0
+            fext[i][2] = -0.02
+
+    h = lib.lammps_open_no_mpi(0, None, None)
+    lib.lammps_commands_string(h, DECK.replace(b"run 10", b"run 0")
+                               + b"\nfix ext all external pf/callback 1 1\n")
+    addr = ctypes.cast(force_cb, ctypes.c_void_p)
+    lib.lammps_set_fix_external_callback(h, b"ext", addr, None)
+    lib.lammps_fix_external_set_energy_global(h, b"ext", 1.5)
+    lib.lammps_command(h, b"run 10")
+    assert seen and seen[0][1] == 256
+    assert [s for s, _ in seen][:3] == [0, 1, 2]
+    # energy set from C visible through extract_fix
+    p = lib.lammps_extract_fix(h, b"ext", 0, 0, 0, 0)
+    e = ctypes.cast(p, ctypes.POINTER(ctypes.c_double))[0]
+    assert e == 1.5
+    lib.lammps_free(p)
+    # pf/array path: write the force buffer rows directly
+    fp = lib.lammps_fix_external_get_force(h, b"ext")
+    rows = ctypes.cast(fp, ctypes.POINTER(ctypes.POINTER(ctypes.c_double)))
+    rows[0][0] = 0.1
+    assert np.isfinite(rows[0][0])
+    lib.lammps_close(h)

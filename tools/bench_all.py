@@ -3,8 +3,18 @@
 print a per-deck throughput table (Matom-step/s) vs the shipped 1-rank
 baselines (/root/reference/bench/log.6Oct16.*.fixed.icc.1).
 
-Usage: python tools/bench_all.py [lj eam chain chute] [--steps N]
+Usage: python tools/bench_all.py [lj eam chain chute rhodo_class lj864]
+                                 [--steps=N]
 Writes results to BENCH_TABLE.json in the repo root.
+
+Sanity protocol: each deck runs 100 steps first and its thermo row is
+compared against the reference binary's step-100 row at tight relative
+tolerances (a silent physics regression must not ship a perf number);
+the timed window is a separate 500-step segment.  Targets below are
+from the shipped logs (bench/log.6Oct16.*) or regenerated with the
+locally built reference binary (/tmp/lmpbuild/lmp) for the decks the
+snapshot does not cover (rhodo_class stand-in, 864k lj) — regenerate
+via tools/gen_bench_targets.sh.
 """
 
 import json
@@ -20,15 +30,15 @@ import jax
 import jax.numpy as jnp
 BENCH = "/root/reference/bench"
 
-# 1-rank icc baselines in Matom-step/s (timesteps/s x 32000 / 1e6)
+# 1-rank icc baselines in Matom-step/s (timesteps/s x natoms / 1e6)
 BASELINES = {"lj": 1.41, "chain": 3.27, "eam": 0.536, "chute": 6.0,
-             "rhodo": 0.091, "rhodo_class": 0.091}
+             "rhodo": 0.091, "rhodo_class": 0.091, "lj864": 1.41}
 
 IN_LJ = """
 units           lj
 atom_style      atomic
 lattice         fcc 0.8442
-region          box block 0 20 0 20 0 20
+region          box block 0 {n} 0 {n} 0 {n}
 create_box      1 box
 create_atoms    1 box
 mass            1 1.0
@@ -40,17 +50,30 @@ neigh_modify    delay 0 every 20 check no
 fix             1 all nve
 """
 
-# energy sanity targets: (key, value, abs tolerance) near the reference's
-# step-100 thermo values — a silent physics regression must not ship a
-# perf number
+# step-100 thermo targets: {key: (reference value, relative tolerance
+# [, scale])}.  |value - target| must be < rtol * max(|target|, scale);
+# the scale override keeps near-zero crossings (rhodo_class TotEng)
+# meaningful.  Tolerances reflect what f32 can hold at step 100:
+# deterministic NVE decks are tight; chain's langevin uses on-device
+# threefry instead of the reference's serial RanMars, so its row is an
+# ensemble match (temp fluctuates O(1/sqrt(N))); rhodo_class's violent
+# first-100-step heating amplifies f32 divergence.
 SANITY = {
-    "lj": ("epair", -5.76, 0.2),
-    "chain": ("etotal", 22.4, 0.3),
-    "eam": ("epair", -109900.0, 900.0),  # equilibrated melt (ref -109957)
-    "chute": ("ke", 784200.0, 2000.0),
-    # the synthetic water lattice relaxes and heats to ~560-590 K —
-    # verified IDENTICAL in the reference binary on this deck
-    "rhodo_class": ("temp", 560.0, 130.0),
+    "lj": {"temp": (0.7574531, 3e-3), "epair": (-5.7585055, 1e-3),
+           "etotal": (-4.6223613, 1e-3)},
+    "chain": {"temp": (0.9729966, 2e-2), "emol": (20.507698, 5e-3),
+              "etotal": (22.40326, 5e-3)},
+    "eam": {"temp": (801.832, 5e-3), "epair": (-109957.3, 1e-3),
+            "etotal": (-106640.77, 1e-3)},
+    "chute": {"ke": (784292.08, 1.5e-3)},
+    # regenerated with the reference binary on the synthetic water deck
+    # (no data.rhodo ships in the snapshot): /tmp/log.rhodo_class,
+    # 600-step run, step-100 row
+    "rhodo_class": {"temp": (594.64935, 2e-2), "epair": (-27958.561, 1e-2),
+                    "etotal": (400.25459, 1e-2, 42000.0)},
+    # reference binary on the 60^3-cell 864k melt: /tmp/log.lj864
+    "lj864": {"temp": (0.75926567, 3e-3), "epair": (-5.7611846, 1e-3),
+              "etotal": (-4.6222874, 1e-3)},
 }
 
 # rhodo stand-in: the reference snapshot ships in.rhodo but NO data.rhodo,
@@ -87,7 +110,9 @@ def build(deck_name):
         jax.config.update("jax_enable_x64", True)
     script = LammpsScript(dtype=dtype, data_dir=BENCH)
     if deck_name == "lj":
-        script.run_string(IN_LJ)
+        script.run_string(IN_LJ.format(n=20))
+    elif deck_name == "lj864":
+        script.run_string(IN_LJ.format(n=60))
     elif deck_name == "rhodo_class":
         golden = os.path.join(REPO, "tests", "golden", "water_npt")
         script.run_string(RHODO_CLASS.format(golden=golden))
@@ -104,36 +129,59 @@ def build(deck_name):
     return sim
 
 
+def check_sanity(name, sim):
+    """Compare the current thermo row against the step-100 reference."""
+    fails = {}
+    vals = {}
+    for key, spec in SANITY[name].items():
+        target, rtol = spec[0], spec[1]
+        scale = max(abs(target), spec[2] if len(spec) > 2 else 0.0)
+        val = float(sim.last_thermo[key])
+        vals[key] = val
+        if abs(val - target) > scale * rtol:
+            fails[key] = (val, target, rtol)
+    return vals, fails
+
+
 def bench_deck(name, nsteps):
-    t_build = time.perf_counter()
     sim = build(name)
     t0 = time.perf_counter()
-    sim.run(nsteps)              # compile + warmup
+    sim.run(100)                 # compile + sanity window
     compile_s = time.perf_counter() - t0
-    key, target, tol = SANITY[name]
-    val = sim.last_thermo[key]
-    ok = abs(val - target) < tol
+    vals, fails = check_sanity(name, sim)
+    if name == "rhodo_class":
+        # NPT compresses the synthetic water lattice ~15% linear over the
+        # first ~400 steps; equilibrate past the shrink, then re-derive
+        # the cell grid ONCE so the timed window has no reconfigs
+        sim.run(500)
     t0 = time.perf_counter()
-    sim.run(nsteps)              # timed (same segment length -> cached)
+    sim.run(nsteps)              # warmup at the timed length
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sim.run(nsteps)              # timed (dyn segments -> fully cached)
     dt = time.perf_counter() - t0
     sps = nsteps / dt
     matom = sps * sim.natoms / 1e6
     mode = "cellgrid" if sim._ctx.is_cellgrid else "matrix"
+    base = BASELINES[name]
     return {
         "deck": name, "natoms": sim.natoms, "steps": nsteps,
         "timesteps_per_s": round(sps, 3),
         "matom_steps_per_s": round(matom, 4),
-        "baseline": BASELINES[name],
-        "vs_baseline": round(matom / BASELINES[name], 2),
+        "baseline": base,
+        "vs_baseline": round(matom / base, 2),
         "engine": mode, "compile_s": round(compile_s, 1),
-        "sanity_ok": bool(ok), "sanity_value": float(val),
+        "warm_segment_s": round(warm_s, 1),
+        "sanity_ok": not fails,
+        "sanity": {k: round(v, 6) for k, v in vals.items()},
+        "sanity_fails": {k: list(v) for k, v in fails.items()},
         "backend": jax.default_backend(),
     }
 
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    decks = args or ["lj", "chain", "eam", "chute"]
+    decks = args or ["lj", "chain", "eam", "chute", "rhodo_class", "lj864"]
     nsteps = 500 if jax.default_backend() != "cpu" else 100
     for a in sys.argv[1:]:
         if a.startswith("--steps"):
@@ -141,13 +189,7 @@ def main():
     results = []
     for name in decks:
         try:
-            # rhodo_class: NPT compresses the synthetic water lattice ~15%
-            # linear; past ~300 steps the shrink crosses the cell-grid's
-            # 5% box margin and the segment recompiles (150 s) inside the
-            # timed window.  100 steps is the reference bench protocol
-            # (bench/README:22-24) — use it for this deck.
-            r = bench_deck(name, min(nsteps, 100)
-                           if name == "rhodo_class" else nsteps)
+            r = bench_deck(name, nsteps)
         except Exception as e:  # noqa: BLE001
             r = {"deck": name, "error": f"{type(e).__name__}: {e}"}
         results.append(r)
@@ -163,6 +205,11 @@ def main():
     with open(out, "w") as fh:
         json.dump(list(merged.values()), fh, indent=1)
     print(f"wrote {out}", file=sys.stderr)
+    bad = [r["deck"] for r in results
+           if r.get("error") or not r.get("sanity_ok")]
+    if bad:
+        print(f"SANITY/ERROR failures: {bad}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,176 @@ class TpuMD:
             sim._carry = (sim.state, c[1], c[2], c[3])
             sim.recompute_output()
 
+    # ------------------------------------------- computes/fixes/variables
+    def extract_compute(self, cid: str, style: int = 0, type: int = 0):
+        """lammps_extract_compute: style 0 = global, 1 = per-atom;
+        type 0 = scalar, 1 = vector, 2 = array."""
+        c = self.sim.computes[cid]
+        out = c.evaluate(self.sim)
+        if style == 1 or getattr(c, "peratom", False) and style != 0:
+            return np.asarray(jax.device_get(out))
+        if type == 0:
+            return float(np.asarray(out).reshape(-1)[0]) \
+                if np.ndim(out) else float(out)
+        if type == 1:
+            vec = getattr(c, "vector", None)
+            if vec is not None:
+                return np.asarray(jax.device_get(vec), dtype=np.float64)
+            return np.asarray(jax.device_get(out),
+                              dtype=np.float64).reshape(-1)
+        return np.asarray(jax.device_get(out), dtype=np.float64)
+
+    def extract_fix(self, fid: str, style: int = 0, type: int = 0,
+                    nrow: int = 0, ncol: int = 0):
+        """lammps_extract_fix (global scalars/vectors: fix ave/time,
+        external energy, NH energy...)."""
+        for fx in self.sim.fixes:
+            if getattr(fx, "id", None) == fid:
+                if type == 0:
+                    if hasattr(fx, "scalar"):
+                        return float(fx.scalar(self.sim))
+                    if hasattr(fx, "compute_scalar"):
+                        return float(fx.compute_scalar(self.sim))
+                    raise KeyError(f"fix {fid} has no global scalar")
+                vec = getattr(fx, "vector", None)
+                if callable(vec):
+                    vec = vec(self.sim)
+                if vec is None:
+                    raise KeyError(f"fix {fid} has no global vector")
+                vec = np.asarray(vec, dtype=np.float64)
+                if type == 1 and ncol == 0:
+                    return vec if nrow == 0 else float(vec[nrow - 1])
+                return vec
+        raise KeyError(f"unknown fix id {fid!r}")
+
+    def extract_variable(self, name: str, group: str | None = None):
+        """lammps_extract_variable: equal-style -> float, atom-style ->
+        per-atom double array, string/index -> str."""
+        out = self._script.evaluate_variable(name)
+        if isinstance(out, str):
+            return out
+        if np.ndim(out) == 0:
+            return float(out)
+        return np.asarray(jax.device_get(out), dtype=np.float64)
+
+    def set_variable(self, name: str, value) -> int:
+        """lammps_set_variable: reset a string/index-style variable."""
+        vars_ = self._script.variables
+        style = vars_.get(name, ("string", ""))[0]
+        if style not in ("string", "index"):
+            return -1
+        vars_[name] = (style, str(value))
+        return 0
+
+    # ------------------------------------------------------------ box/etc
+    def extract_box_full(self):
+        """(boxlo, boxhi, xy, yz, xz, periodicity, box_change)."""
+        sim = self.sim
+        box = sim.state.box
+        lo = np.asarray(jax.device_get(box.lo), dtype=np.float64)
+        hi = np.asarray(jax.device_get(box.hi), dtype=np.float64)
+        tilt = np.asarray(jax.device_get(box.tilt), dtype=np.float64)
+        per = [int(p) for p in box.periodic]
+        change = int(any(getattr(fx, "pstat", False)
+                         or getattr(fx, "box_change", False)
+                         for fx in sim.fixes))
+        return lo, hi, float(tilt[0]), float(tilt[2]), float(tilt[1]), \
+            per, change
+
+    def reset_box(self, boxlo, boxhi, xy=0.0, yz=0.0, xz=0.0):
+        """lammps_reset_box: move the box; atoms keep coordinates."""
+        import jax.numpy as jnp
+        sim = self.sim
+        box = sim.state.box
+        dt_ = box.lo.dtype
+        new = box.replace(lo=jnp.asarray(boxlo, dt_),
+                          hi=jnp.asarray(boxhi, dt_),
+                          tilt=jnp.asarray([xy, xz, yz], dt_))
+        sim.state = sim.state.replace(box=new)
+        if sim._carry is not None:
+            c = sim._carry
+            sim._carry = (c[0].replace(box=new),) + tuple(c[1:])
+            sim.state = sim._carry[0]
+            sim.invalidate_ctx()
+
+    def extract_setting(self, name: str) -> int:
+        """lammps_extract_setting (src/library.cpp): sizes and flags."""
+        sim = self.sim if self._script.sim is not None else None
+        s = sim.state if sim is not None and sim.state is not None else None
+        vals = {
+            "bigint": 8, "tagint": 4, "imageint": 4, "dimension":
+                (sim.dimension if sim else 3),
+            "box_exist": int(s is not None),
+            "nlocal": sim.natoms if sim else 0,
+            "nghost": 0,
+            "nall": sim.natoms if sim else 0,
+            "natoms": sim.natoms if sim else 0,
+            "ntypes": sim.ntypes if sim else 0,
+            "molecule_flag": int(s is not None and s.molecule is not None),
+            "q_flag": int(s is not None and s.q is not None),
+            "rmass_flag": int(s is not None and s.rmass is not None),
+            "triclinic": int(s is not None and bool(s.box.istriclinic)),
+            "world_size": 1, "world_rank": 0,
+            "universe_size": 1, "universe_rank": 0,
+            "nthreads": 1, "newton_pair": 0, "newton_bond": 0,
+        }
+        if name not in vals:
+            return -1
+        return int(vals[name])
+
+    def create_atoms(self, n, ids, types, x, v=None, image=None,
+                     shrinkexceed=False):
+        """lammps_create_atoms: inject atoms before the first run (the
+        common driver pattern: create_box, then create_atoms from arrays).
+        Returns the number of atoms created."""
+        x = np.asarray(x, dtype=np.float64).reshape(n, 3)
+        types = np.asarray(types, dtype=np.int64).reshape(n)
+        ids = (np.asarray(ids, dtype=np.int64).reshape(n)
+               if ids is not None else None)
+        v = (np.asarray(v, dtype=np.float64).reshape(n, 3)
+             if v is not None else None)
+        self._script.inject_atoms(ids, types, x, v)
+        return n
+
+    # -------------------------------------------------------- fix external
+    def _find_external(self, fid: str):
+        from tpumd.md.fix_external import FixExternal
+        for fx in self.sim.fixes:
+            if getattr(fx, "id", None) == fid and isinstance(fx,
+                                                             FixExternal):
+                return fx
+        raise KeyError(f"no fix external with id {fid!r}")
+
+    def set_fix_external_callback(self, fid: str, fn, caller=None):
+        """fn(caller, timestep, nlocal, ids, x, fexternal) — reference
+        FixExternalFnPtr contract (src/library.h:280)."""
+        fx = self._find_external(fid)
+
+        def wrapper(step, x, ids, fext):
+            fn(caller, step, x.shape[0], ids, x, fext)
+
+        fx.callback = wrapper
+
+    def fix_external_get_force(self, fid: str):
+        fx = self._find_external(fid)
+        return fx.host_force_buffer(self.sim)
+
+    def fix_external_set_energy_global(self, fid: str, eng: float):
+        self._find_external(fid).energy_global = float(eng)
+
+    def fix_external_set_virial_global(self, fid: str, virial):
+        self._find_external(fid).virial_global = np.asarray(
+            virial, dtype=np.float64).reshape(6)
+
+    # ---------------------------------------------------------- errors
+    def has_error(self) -> bool:
+        return self._script.last_error is not None
+
+    def get_last_error_message(self):
+        err = self._script.last_error
+        self._script.last_error = None
+        return err or ""
+
     # ------------------------------------------------------------ control
     def run(self, nsteps: int):
         self.sim.run(nsteps)

@@ -97,7 +97,9 @@ void lammps_close(void *handle) {
 void lammps_command(void *handle, const char *cmd) {
     tpumd_handle *h = (tpumd_handle *)handle;
     ENTER;
-    PyObject *out = callb("command", "(ls)", h->handle, cmd);
+    /* the C library contract records the error for lammps_has_error
+     * rather than propagating (src/library.cpp try/catch blocks) */
+    PyObject *out = callb("command_noraise", "(ls)", h->handle, cmd);
     Py_XDECREF(out);
     LEAVE;
 }
@@ -208,6 +210,292 @@ void lammps_gather_atoms(void *handle, const char *name, int type,
         Py_DECREF(out);
     }
     (void)type; (void)count;
+    LEAVE;
+}
+
+/* ---------------------------------------------------------------------
+ * wave 2: computes / fixes / variables / box / settings / create_atoms /
+ * error state / fix external (src/library.h:123-253 contracts)
+ * ------------------------------------------------------------------- */
+
+/* build a double** row table over a pinned (N,W) array */
+static void *rows_over(tpumd_handle *h, void *data, Py_ssize_t n0,
+                       Py_ssize_t w) {
+    double **rows = (double **)malloc(n0 * sizeof(double *));
+    for (Py_ssize_t i = 0; i < n0; i++)
+        rows[i] = (double *)data + w * i;
+    return remember_rowtab(h, rows);
+}
+
+/* unwrap: float -> handle-owned malloc'd double; array -> pinned data
+ * pointer (double** rows when 2-D) */
+static void *unwrap_numeric(tpumd_handle *h, PyObject *out, int want_rows) {
+    void *result = NULL;
+    if (PyFloat_Check(out) || PyLong_Check(out)) {
+        double *p = (double *)malloc(sizeof(double));
+        *p = PyFloat_AsDouble(out);
+        result = remember_rowtab(h, p);
+    } else {
+        Py_ssize_t n0 = 0, n1 = 0;
+        void *data = array_data(out, &n0, &n1);
+        if (data && n1 > 0 && want_rows)
+            result = rows_over(h, data, n0, n1);
+        else
+            result = data;
+    }
+    return result;
+}
+
+void *lammps_extract_compute(void *handle, const char *id, int style,
+                             int type) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    void *result = NULL;
+    ENTER;
+    PyObject *out = callb("extract_compute", "(lsii)", h->handle, id,
+                          style, type);
+    if (out) { result = unwrap_numeric(h, out, type == 2); Py_DECREF(out); }
+    LEAVE;
+    return result;
+}
+
+/* reference: global fix data is malloc'd, caller frees via lammps_free */
+void *lammps_extract_fix(void *handle, const char *id, int style, int type,
+                         int nrow, int ncol) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    void *result = NULL;
+    ENTER;
+    PyObject *out = callb("extract_fix", "(lsiiii)", h->handle, id, style,
+                          type, nrow, ncol);
+    if (out) {
+        if (PyFloat_Check(out) || PyLong_Check(out)) {
+            double *p = (double *)malloc(sizeof(double));
+            *p = PyFloat_AsDouble(out);
+            result = p;
+        } else {
+            Py_ssize_t n0 = 0, n1 = 0;
+            void *data = array_data(out, &n0, &n1);
+            if (data) {
+                size_t bytes = (size_t)n0 * (n1 ? n1 : 1) * sizeof(double);
+                double *p = (double *)malloc(bytes);
+                memcpy(p, data, bytes);
+                result = p;
+            }
+        }
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+/* equal-style -> malloc'd double* (caller frees); string -> strdup;
+ * atom-style -> malloc'd double array */
+void *lammps_extract_variable(void *handle, const char *name,
+                              const char *group) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    void *result = NULL;
+    (void)group;
+    ENTER;
+    PyObject *out = callb("extract_variable", "(ls)", h->handle, name);
+    if (out) {
+        long kind = PyLong_AsLong(PyTuple_GetItem(out, 0));
+        PyObject *val = PyTuple_GetItem(out, 1);
+        if (kind == 0) {
+            double *p = (double *)malloc(sizeof(double));
+            *p = PyFloat_AsDouble(val);
+            result = p;
+        } else if (kind == 1) {
+            result = strdup(PyUnicode_AsUTF8(val));
+        } else {
+            Py_ssize_t n0 = 0, n1 = 0;
+            void *data = array_data(val, &n0, &n1);
+            if (data) {
+                size_t bytes = (size_t)n0 * sizeof(double);
+                double *p = (double *)malloc(bytes);
+                memcpy(p, data, bytes);
+                result = p;
+            }
+        }
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+int lammps_set_variable(void *handle, const char *name, const char *str) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int rc = -1;
+    ENTER;
+    PyObject *out = callb("set_variable", "(lss)", h->handle, name, str);
+    if (out) { rc = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return rc;
+}
+
+void lammps_extract_box(void *handle, double *boxlo, double *boxhi,
+                        double *xy, double *yz, double *xz,
+                        int *periodicity, int *box_change) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("extract_box", "(l)", h->handle);
+    if (out) {
+        PyObject *lo = PyTuple_GetItem(out, 0);
+        PyObject *hi = PyTuple_GetItem(out, 1);
+        for (int i = 0; i < 3; i++) {
+            if (boxlo) boxlo[i] =
+                PyFloat_AsDouble(PyList_GetItem(lo, i));
+            if (boxhi) boxhi[i] =
+                PyFloat_AsDouble(PyList_GetItem(hi, i));
+        }
+        if (xy) *xy = PyFloat_AsDouble(PyTuple_GetItem(out, 2));
+        if (yz) *yz = PyFloat_AsDouble(PyTuple_GetItem(out, 3));
+        if (xz) *xz = PyFloat_AsDouble(PyTuple_GetItem(out, 4));
+        if (periodicity) {
+            PyObject *per = PyTuple_GetItem(out, 5);
+            for (int i = 0; i < 3; i++)
+                periodicity[i] =
+                    (int)PyLong_AsLong(PyList_GetItem(per, i));
+        }
+        if (box_change) *box_change =
+            (int)PyLong_AsLong(PyTuple_GetItem(out, 6));
+        Py_DECREF(out);
+    }
+    LEAVE;
+}
+
+void lammps_reset_box(void *handle, double *boxlo, double *boxhi,
+                      double xy, double yz, double xz) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("reset_box", "(l(ddd)(ddd)ddd)", h->handle,
+                          boxlo[0], boxlo[1], boxlo[2],
+                          boxhi[0], boxhi[1], boxhi[2], xy, yz, xz);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+int lammps_extract_setting(void *handle, const char *name) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int v = -1;
+    ENTER;
+    PyObject *out = callb("extract_setting", "(ls)", h->handle, name);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_create_atoms(void *handle, int n, const int *id, const int *type,
+                        const double *x, const double *v, const int *image,
+                        int bexpand) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int rc = -1;
+    (void)image; (void)bexpand;
+    ENTER;
+    PyObject *ids = id ? PyList_New(n) : Py_NewRef(Py_None);
+    PyObject *types = PyList_New(n);
+    PyObject *xs = PyList_New(3 * (Py_ssize_t)n);
+    PyObject *vs = v ? PyList_New(3 * (Py_ssize_t)n) : Py_NewRef(Py_None);
+    for (int i = 0; i < n; i++) {
+        if (id) PyList_SET_ITEM(ids, i, PyLong_FromLong(id[i]));
+        PyList_SET_ITEM(types, i, PyLong_FromLong(type[i]));
+        for (int k = 0; k < 3; k++) {
+            PyList_SET_ITEM(xs, 3 * (Py_ssize_t)i + k,
+                            PyFloat_FromDouble(x[3 * i + k]));
+            if (v) PyList_SET_ITEM(vs, 3 * (Py_ssize_t)i + k,
+                                   PyFloat_FromDouble(v[3 * i + k]));
+        }
+    }
+    PyObject *out = callb("create_atoms", "(liOOOO)", h->handle, n,
+                          ids, types, xs, vs);
+    Py_DECREF(ids); Py_DECREF(types); Py_DECREF(xs); Py_DECREF(vs);
+    if (out) { rc = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return rc;
+}
+
+int lammps_has_error(void *handle) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("has_error", "(l)", h->handle);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_get_last_error_message(void *handle, char *buffer,
+                                  int buf_size) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int had = 0;
+    ENTER;
+    PyObject *out = callb("get_last_error_message", "(l)", h->handle);
+    if (out) {
+        const char *msg = PyUnicode_AsUTF8(out);
+        if (msg && msg[0]) {
+            had = 1;
+            if (buffer && buf_size > 0) {
+                strncpy(buffer, msg, buf_size - 1);
+                buffer[buf_size - 1] = '\0';
+            }
+        } else if (buffer && buf_size > 0) {
+            buffer[0] = '\0';
+        }
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return had;
+}
+
+void lammps_free(void *ptr) { free(ptr); }
+
+/* ------------------------------------------------------- fix external */
+typedef void (*FixExternalFnPtr)(void *, int64_t, int, int *, double **,
+                                 double **);
+
+void lammps_set_fix_external_callback(void *handle, const char *id,
+                                      FixExternalFnPtr funcptr, void *ptr) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("set_fix_external_callback_addr", "(lsLL)",
+                          h->handle, id, (long long)(intptr_t)funcptr,
+                          (long long)(intptr_t)ptr);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+double **lammps_fix_external_get_force(void *handle, const char *id) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    void *result = NULL;
+    ENTER;
+    PyObject *out = callb("fix_external_get_force", "(ls)", h->handle, id);
+    if (out) {
+        Py_ssize_t n0 = 0, n1 = 0;
+        void *data = array_data(out, &n0, &n1);
+        if (data) result = rows_over(h, data, n0, 3);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return (double **)result;
+}
+
+void lammps_fix_external_set_energy_global(void *handle, const char *id,
+                                           double eng) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("fix_external_set_energy_global", "(lsd)",
+                          h->handle, id, eng);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+void lammps_fix_external_set_virial_global(void *handle, const char *id,
+                                           double *virial) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("fix_external_set_virial_global",
+                          "(ls(dddddd))", h->handle, id, virial[0],
+                          virial[1], virial[2], virial[3], virial[4],
+                          virial[5]);
+    Py_XDECREF(out);
     LEAVE;
 }
 

@@ -124,6 +124,10 @@ class Simulation:
             self.pair is not None
             and getattr(self.pair, "supports_cellgrid", False)
             and special_ok
+            # fixes whose host-side buffers are indexed by atom row (fix
+            # external) need the matrix engine's stable row order
+            and not any(getattr(fx, "forces_matrix_engine", False)
+                        for fx in self.fixes)
             and all(self.state.box.periodic)
             and not self.state.box.istriclinic
             and widths_ok
@@ -585,6 +589,9 @@ class Simulation:
                 fstates0[i] = fx.pre_run(fstates0[i], self.step, target)
         self._carry = (s0, neigh0, tuple(fstates0), istep0) \
             + tuple(self._carry[4:])
+        for fx in self.fixes:
+            if hasattr(fx, "sync_array"):
+                fx.sync_array(self)   # fix external pf/array force push
         t0 = time.perf_counter()
         if not hasattr(self, "_cpu_start"):
             self._cpu_start = t0
@@ -598,9 +605,18 @@ class Simulation:
                     nxt = min(nxt, (self.step // every + 1) * every)
             seg = nxt - self.step
             xs = self._segment_inputs(seg, ctx)
+            cb_fixes = [fx for fx in self.fixes
+                        if getattr(fx, "mode", "") == "pf/callback"
+                        and fx.callback is not None]
+            if cb_fixes and xs is not None:
+                raise RuntimeError(
+                    "fix external pf/callback cannot combine with fixes "
+                    "that feed per-step host streams")
             while True:
                 snapshot = self._carry
-                if xs is None:
+                if cb_fixes:
+                    carry = self._advance_with_callbacks(seg, ctx, cb_fixes)
+                elif xs is None:
                     from tpumd.md.verlet import run_segment_dyn
                     carry = run_segment_dyn(self._carry, ctx,
                                             jnp.int32(seg),
@@ -755,6 +771,42 @@ class Simulation:
         self._log(f"Minimization: {'converged' if conv else 'max iterations'}"
                   f" after {niter} iterations, E {e0:.10g} -> {e1:.10g}")
         return conv
+
+    def _advance_with_callbacks(self, seg: int, ctx, cb_fixes):
+        """Advance ``seg`` steps, splitting each step whose timestep is a
+        multiple of a pf/callback fix's Ncall into a compiled pre-half
+        (through force computation) + host callback + compiled post-half
+        — the reference's mid-post_force callback timing
+        (src/fix_external.cpp:141-176)."""
+        from tpumd.md.verlet import (run_segment_dyn, step_post_half,
+                                     step_pre_half)
+        # setup-time callback: Fix::setup -> post_force at the run's start
+        # step (src/fix_external.cpp:110-113); its fill persists in the
+        # fix state and applies over steps start+1 .. next multiple.
+        for fx in cb_fixes:
+            if self.step % fx.ncall == 0:
+                fx.invoke_callback(self, self.step, at_setup=True)
+        done = 0
+        while done < seg:
+            t0 = self.step + done
+            next_cb = min((t0 // fx.ncall + 1) * fx.ncall
+                          for fx in cb_fixes)
+            plain = min(seg - done, next_cb - t0 - 1)
+            if plain > 0:
+                self._carry = run_segment_dyn(
+                    self._carry, ctx, jnp.int32(plain),
+                    consts=self._consts)
+                done += plain
+                continue
+            mid = step_pre_half(self._carry, ctx, consts=self._consts)
+            self._carry = mid
+            for fx in cb_fixes:
+                if (t0 + 1) % fx.ncall == 0:
+                    fx.invoke_callback(self, t0 + 1)
+            self._carry = step_post_half(self._carry, ctx,
+                                         consts=self._consts)
+            done += 1
+        return self._carry
 
     def _segment_inputs(self, seg: int, ctx):
         xs = tuple(fx.segment_inputs(seg, ctx, self._carry[0])

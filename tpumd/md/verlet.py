@@ -327,11 +327,9 @@ def make_step_fn(ctx: StepContext, consts=None):
     streams), or a tuple of Nones.  consts: traced per-style constants
     (see compute_forces)."""
 
-    def step(carry, xs):
+    def step_pre(carry):
+        """First half: integrate positions, rebuild, compute forces."""
         s, neigh, fstates, istep = carry
-        if xs is None:
-            xs = tuple(None for _ in ctx.fixes)
-
         fstates = list(fstates)
         for i, fx in enumerate(ctx.fixes):
             if getattr(fx, "needs_step", False):
@@ -360,7 +358,18 @@ def make_step_fn(ctx: StepContext, consts=None):
         s = s.replace(f=f)
         if torque is not None:
             s = s.replace(torque=torque)
+        if virial is None:
+            virial = jnp.zeros((6,), s.x.dtype)
+        return (s, neigh, tuple(fstates), istep, virial)
 
+    def step_post(mid, xs):
+        """Second half: fix post_force, final integrate, end_of_step."""
+        s, neigh, fstates, istep, virial = mid
+        if xs is None:
+            xs = tuple(None for _ in ctx.fixes)
+        need_virial = any(getattr(fx, "needs_virial", False)
+                          for fx in ctx.fixes)
+        fstates = list(fstates)
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.post_force(s, fstates[i], ctx, xs[i])
             if need_virial and getattr(fx, "contributes_virial", False):
@@ -377,6 +386,11 @@ def make_step_fn(ctx: StepContext, consts=None):
 
         return (s, neigh, tuple(fstates), istep + 1), None
 
+    def step(carry, xs):
+        return step_post(step_pre(carry), xs)
+
+    step.pre = step_pre
+    step.post = step_post
     return step
 
 
@@ -389,6 +403,24 @@ def run_segment(carry, ctx: StepContext, nsteps: int, xs=None, consts=None):
     if xs is None:
         xs = tuple(None for _ in ctx.fixes)
     carry, _ = jax.lax.scan(step, carry, xs, length=nsteps)
+    return carry
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def step_pre_half(carry, ctx: StepContext, consts=None):
+    """First half of one step (through force computation) — pauses the
+    step so a host-side callback (fix external pf/callback,
+    src/fix_external.cpp:141-176) can read the freshly updated positions
+    and inject forces before post_force/final_integrate run."""
+    if ctx.respa is not None:
+        raise NotImplementedError("fix external pf/callback under respa")
+    return make_step_fn(ctx, consts).pre(carry)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def step_post_half(mid, ctx: StepContext, consts=None):
+    """Second half of one step (post_force onward)."""
+    carry, _ = make_step_fn(ctx, consts).post(mid, None)
     return carry
 
 

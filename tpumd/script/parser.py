@@ -57,6 +57,9 @@ class LammpsScript:
         self._atoms_q: list[np.ndarray] = []
         self._atoms_mol: list[np.ndarray] = []
         self._atoms_image: list[np.ndarray] = []
+        self._atoms_v: list[np.ndarray] = []
+        self._atoms_tag: list[np.ndarray] = []
+        self.last_error: str | None = None  # library error state
         self._molid_next = 1
         # topology accumulated by create_atoms mol (1-based tags)
         self._topo_acc: dict[str, list[np.ndarray]] = {
@@ -143,8 +146,13 @@ class LammpsScript:
         cmd, args = args[0], args[1:]
         handler = getattr(self, "cmd_" + cmd.replace("/", "_"), None)
         if handler is None:
+            self.last_error = f"Unknown command: {cmd}"
             raise ScriptError(f"Unknown command: {cmd}")
-        handler(args)
+        try:
+            handler(args)
+        except Exception as e:  # library error state (src/library.cpp
+            self.last_error = str(e)  # lammps_has_error contract)
+            raise
 
     def _require_sim(self) -> Simulation:
         if self.sim is None:
@@ -303,6 +311,8 @@ class LammpsScript:
             self._atoms_q.append(None)
             self._atoms_mol.append(None)
             self._atoms_image.append(None)
+            self._atoms_v.append(None)
+            self._atoms_tag.append(None)
             return
         # one molecule per lattice site with a random orientation drawn in
         # site order (CreateAtoms::add_molecule, src/create_atoms.cpp:1376-
@@ -332,6 +342,8 @@ class LammpsScript:
         self._atoms_image.append(img)
         self._atoms_x.append(coords)
         self._atoms_type.append(types)
+        self._atoms_v.append(None)
+        self._atoms_tag.append(None)
         self._atoms_q.append(np.tile(
             mol.q if mol.q is not None else np.zeros(nm), len(x)))
         self._atoms_mol.append(
@@ -406,8 +418,6 @@ class LammpsScript:
             else:
                 box = Box.orthogonal(np.asarray(lo), np.asarray(hi),
                                      dtype=self.dtype, periodic=periodic)
-            v = np.zeros_like(x)
-
             def _cat(segs, fallback_dtype, width=None):
                 # per-create_atoms segments; None = zeros of that length
                 if not any(s is not None for s in segs):
@@ -418,6 +428,20 @@ class LammpsScript:
                     np.zeros(shape(len(xa)), fallback_dtype)
                     for s, xa in zip(segs, self._atoms_x)])
 
+            v = _cat(self._atoms_v, np.float64, width=3)
+            if v is None:
+                v = np.zeros_like(x)
+            tags = None
+            if any(s is not None for s in self._atoms_tag):
+                # driver-supplied ids (lammps_create_atoms); segments
+                # without explicit ids get the next sequential tags
+                parts, nxt = [], 1
+                for seg, xa in zip(self._atoms_tag, self._atoms_x):
+                    if seg is None:
+                        seg = np.arange(nxt, nxt + len(xa), dtype=np.int64)
+                    parts.append(seg)
+                    nxt = max(nxt, int(seg.max()) + 1)
+                tags = np.concatenate(parts).astype(np.int32)
             q = _cat(self._atoms_q, np.float64)
             if q is None and self.atom_style in ("charge", "full"):
                 q = np.zeros(len(x))
@@ -427,8 +451,9 @@ class LammpsScript:
             elif self.atom_style in ("full", "molecular"):
                 mol = np.zeros(len(x), np.int32)
             image = _cat(self._atoms_image, np.int32, width=3)
-            sim.state = make_state(x, v, t, box, q=q, molecule=mol,
-                                   image=image, dtype=self.dtype)
+            sim.state = make_state(x, v, t, box, tags=tags, q=q,
+                                   molecule=mol, image=image,
+                                   dtype=self.dtype)
             # topology accumulated by create_atoms mol
             if any(self._topo_acc.values()):
                 from tpumd.io.read_data import build_special
@@ -442,6 +467,27 @@ class LammpsScript:
                 if "bond" in sim.topology:
                     sim.special_tags, sim.special_codes = build_special(
                         len(x), sim.topology["bond"])
+
+    def inject_atoms(self, ids, types, x, v=None):
+        """lammps_create_atoms (src/library.cpp): append atoms supplied
+        by a driver program as flat arrays, after create_box and before
+        the first run/setup."""
+        if self.box is None:
+            raise ScriptError(
+                "lammps_create_atoms before create_box/read_data")
+        if self.sim is not None and self.sim.state is not None:
+            raise ScriptError(
+                "lammps_create_atoms after setup is not supported")
+        n = len(x)
+        self._atoms_x.append(np.asarray(x, np.float64).reshape(n, 3))
+        self._atoms_type.append(np.asarray(types, np.int32).reshape(n))
+        self._atoms_q.append(None)
+        self._atoms_mol.append(None)
+        self._atoms_image.append(None)
+        self._atoms_v.append(
+            None if v is None else np.asarray(v, np.float64).reshape(n, 3))
+        self._atoms_tag.append(
+            None if ids is None else np.asarray(ids, np.int64).reshape(n))
 
     def _group_sel_np(self, group: str) -> np.ndarray:
         """Boolean (N,) selector for a named group (host side)."""
@@ -703,6 +749,15 @@ class LammpsScript:
     def _dispatch_fix(self, sim, style, args):
         if style == "nve":
             sim.fixes.append(FixNVE())
+        elif style == "external":
+            from tpumd.md.fix_external import FixExternal
+            mode = args[0]
+            if mode == "pf/callback":
+                fx = FixExternal(mode, ncall=int(args[1]),
+                                 napply=int(args[2]))
+            else:
+                fx = FixExternal(mode, napply=int(args[1]))
+            sim.fixes.append(fx)
         elif style == "langevin":
             from tpumd.md.fix_langevin import FixLangevin
             sim.fixes.append(FixLangevin(
