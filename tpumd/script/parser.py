@@ -1452,6 +1452,9 @@ class LammpsScript:
         elif a[0] == "pppm/tip4p":
             from tpumd.models.kspace_pppm import PPPMTIP4P
             sim.kspace = PPPMTIP4P(float(a[1]))
+        elif a[0] == "pppm/disp":
+            from tpumd.models.kspace_pppm_disp import PPPMDisp
+            sim.kspace = PPPMDisp(float(a[1]))
         elif a[0] == "msm":
             from tpumd.models.kspace_msm import MSM
             sim.kspace = MSM(float(a[1]))
@@ -1488,6 +1491,19 @@ class LammpsScript:
                 i += 2
             elif key == "gewald":
                 ks.gewald_override = float(a[i + 1])
+                i += 2
+            elif key == "disp/auto":
+                ks.disp_auto = a[i + 1] == "yes"
+                i += 2
+            elif key == "mesh/disp":
+                ks.mesh6_override = (int(a[i + 1]), int(a[i + 2]),
+                                     int(a[i + 3]))
+                i += 4
+            elif key == "order/disp":
+                ks.order_6 = int(a[i + 1])
+                i += 2
+            elif key == "gewald/disp":
+                ks.gewald6_override = float(a[i + 1])
                 i += 2
             else:
                 raise ScriptError(f"kspace_modify {key} not supported")
