@@ -142,7 +142,26 @@ class Simulation:
         # under a barostat, leave headroom so moderate box shrinkage keeps
         # cell edges >= cutneigh (revalidated per segment)
         margin = 1.05 if self._barostat_active() else 1.0
+        # cell-size factor: cells of F*cutneigh (stencil stays +-1).
+        # Short-cutoff dilute systems (chain: ~3 atoms/cell) pay ~4x
+        # Poisson-tail cap padding and per-row overhead at F=1; fatter
+        # cells trade a little extra pair math for full VPU lanes and
+        # ~2.5x fewer padded rows.  Auto: grow F while the mean cell
+        # occupancy is far below a lane-efficient cap.
+        cell_factor = getattr(self, "cell_factor", None)
+        if mode == "cellgrid" and cell_factor is None:
+            ell = np.asarray(jax.device_get(self.state.box.lengths),
+                             np.float64)
+            cell_factor = 1.0
+            while cell_factor < 4.0:
+                ncell = np.prod(np.maximum(
+                    1, np.floor(ell / (cutneigh * margin
+                                       * (cell_factor * 2))).astype(int)))
+                if ncell < 27 or self.natoms / ncell > 28.0:
+                    break
+                cell_factor *= 2
         if mode == "cellgrid":
+            margin = margin * (cell_factor or 1.0)
             cfg = cg.choose_cellgrid_config(
                 self.state.box, cutneigh, self.skin, self.natoms,
                 every=self.neigh_every, delay=self.neigh_delay,
