@@ -28,6 +28,7 @@ class FixDeform(Fix):
     name = "deform"
     needs_step = True
     box_change = True
+    eos_box_change = True
 
     def __init__(self, nevery, specs, remap="x"):
         # specs: dim -> (style, args...)

@@ -54,6 +54,7 @@ class FixSpringSelf(Fix):
     """Tether each atom to its original position: f -= k (x - x0)."""
 
     name = "spring/self"
+    peratom_state = True      # x0 rides cell-grid slot permutations
 
     def __init__(self, k):
         self.k = float(k)
@@ -150,6 +151,76 @@ class FixTempBerendsen(Fix):
             * (self.t_start / jnp.maximum(t, 1e-30) - 1.0), 0.0))
         factor = jnp.where(t > 0, lamda, 1.0)
         return s.replace(v=s.v * factor), fstate
+
+
+class FixPressBerendsen(Fix):
+    """Berendsen weak-coupling barostat (src/fix_press_berendsen.cpp):
+    each end_of_step dilates the box per flagged dim by
+    mu = (1 - dt/P_period (P_target - P) / bulkmodulus)^(1/3) about the
+    box center and rescales atom lamda coords; no velocity scaling.
+    Orthogonal boxes only (as the reference)."""
+
+    name = "press/berendsen"
+    needs_step = True
+    needs_virial = True
+    box_change = True
+    eos_box_change = True
+
+    def __init__(self, p_flags, p_start, p_stop, p_period,
+                 modulus=10.0, couple=False):
+        self.p_flags = tuple(p_flags)        # per-dim bool
+        self.p_start = tuple(p_start)
+        self.p_stop = tuple(p_stop)
+        self.p_period = tuple(p_period)
+        self.modulus = float(modulus)
+        self.couple = bool(couple)           # xyz/iso -> scalar pressure
+
+    def init_state(self, s, ctx):
+        z = jnp.zeros((), jnp.int32)
+        return {"step": z, "begin": z, "end": z,
+                "virial": jnp.zeros((6,), s.x.dtype)}
+
+    def set_step(self, fstate, istep):
+        return {**fstate, "step": istep}
+
+    def pre_run(self, fstate, begin, end):
+        return {**fstate, "begin": jnp.asarray(begin, jnp.int32),
+                "end": jnp.asarray(end, jnp.int32)}
+
+    def save_virial(self, fstate, virial):
+        return {**fstate, "virial": virial}
+
+    def end_of_step(self, s, fst, ctx):
+        dt_ = s.x.dtype
+        u = ctx.units
+        m = ctx.mass_per_atom(s)
+        mvv = u.mvv2e * jnp.sum(m[:, None] * s.v * s.v, axis=0)
+        vol = s.box.volume
+        p_cur = (mvv + fst["virial"][:3]) / vol * u.nktv2p
+        if self.couple:
+            p_cur = jnp.full((3,), jnp.sum(p_cur) / 3.0, dt_)
+        num = (fst["step"] - fst["begin"]).astype(dt_)
+        den = jnp.maximum((fst["end"] - fst["begin"]).astype(dt_), 1.0)
+        delta = num / den
+        box = s.box
+        lam = (s.x - box.lo) / box.lengths
+        lo, hi = [], []
+        for d in range(3):
+            lo_d, hi_d = box.lo[d], box.hi[d]
+            if self.p_flags[d]:
+                tgt = self.p_start[d] + delta \
+                    * (self.p_stop[d] - self.p_start[d])
+                dil = (1.0 - ctx.dt / self.p_period[d]
+                       * (tgt - p_cur[d]) / self.modulus) ** (1.0 / 3.0)
+                ctr = 0.5 * (lo_d + hi_d)
+                lo_d = (lo_d - ctr) * dil + ctr
+                hi_d = (hi_d - ctr) * dil + ctr
+            lo.append(lo_d)
+            hi.append(hi_d)
+        lo = jnp.stack(lo)
+        hi = jnp.stack(hi)
+        x = lo + lam * (hi - lo)
+        return s.replace(x=x, box=box.replace(lo=lo, hi=hi)), fst
 
 
 class FixSpring(Fix):

@@ -631,18 +631,45 @@ class Simulation:
                 raise RuntimeError(
                     "fix external pf/callback cannot combine with fixes "
                     "that feed per-step host streams")
+            # end_of_step box-changing fixes (press/berendsen, deform)
+            # dilate AFTER the force evaluation whose energies thermo
+            # must report (Thermo reads the force-eval-time pe/virial,
+            # src/thermo.cpp) — split the segment's last step in half and
+            # evaluate energies at the mid state
+            split_last = (ctx.respa is None and not cb_fixes
+                          and any(getattr(fx, "eos_box_change", False)
+                                  for fx in self.fixes))
+            mid_energies = None
             while True:
                 snapshot = self._carry
+                mid_energies = None
+                nmain = seg - 1 if split_last else seg
                 if cb_fixes:
                     carry = self._advance_with_callbacks(seg, ctx, cb_fixes)
-                elif xs is None:
+                elif xs is None or nmain == 0:
                     from tpumd.md.verlet import run_segment_dyn
-                    carry = run_segment_dyn(self._carry, ctx,
-                                            jnp.int32(seg),
-                                            consts=self._consts)
+                    carry = self._carry
+                    if nmain > 0:
+                        carry = run_segment_dyn(carry, ctx,
+                                                jnp.int32(nmain),
+                                                consts=self._consts)
                 else:
-                    carry = run_segment(self._carry, ctx, seg, xs,
+                    xs_main = jax.tree_util.tree_map(
+                        lambda a: a[:nmain], xs)
+                    carry = run_segment(self._carry, ctx, nmain, xs_main,
                                         consts=self._consts)
+                if split_last:
+                    from tpumd.md.verlet import (step_pre_half,
+                                                 step_post_half)
+                    xs_last = None if xs is None else \
+                        jax.tree_util.tree_map(lambda a: a[seg - 1], xs)
+                    mid = step_pre_half(carry, ctx, consts=self._consts,
+                                        xs=xs_last)
+                    _, energies_m, virial_m, _ = eval_energies(
+                        mid[0], mid[1], ctx, consts=self._consts)
+                    mid_energies = (energies_m, virial_m)
+                    carry = step_post_half(mid, ctx, consts=self._consts,
+                                           xs=xs_last)
                 if bool(jax.device_get(carry[1].overflow)):
                     # grow capacities, redo the segment from the snapshot
                     # (same xs: host RNG streams are not re-drawn)
@@ -660,8 +687,11 @@ class Simulation:
                 self.state = s
             # carry keeps the in-step f/torque; this eval only refreshes
             # energies and the virial for thermo
-            f, energies, virial, _ = eval_energies(s, neigh, ctx,
-                                                   consts=self._consts)
+            if mid_energies is not None:
+                energies, virial = mid_energies
+            else:
+                f, energies, virial, _ = eval_energies(
+                    s, neigh, ctx, consts=self._consts)
             for i, fx in enumerate(self.fixes):
                 if getattr(fx, "contributes_virial", False):
                     virial = virial + fx.virial_contrib(fstates[i])

@@ -258,7 +258,22 @@ def _remap_shear(old_idx, new_idx, shear):
     return jnp.where((has & new_valid)[..., None], out, 0.0)
 
 
-def _rebuild(s: MDState, neigh, ctx: StepContext):
+def _permute_fix_states(fstates, ctx, src, dst, cap):
+    """Move per-atom fix-state arrays (leading dim == capacity) with the
+    cell-grid re-bin permutation, like the shear history tables; fixes
+    opt in via ``peratom_state = True`` (e.g. move x0, spring/self x0)."""
+    out = []
+    for fx, fs in zip(ctx.fixes, fstates):
+        if getattr(fx, "peratom_state", False):
+            fs = jax.tree_util.tree_map(
+                lambda a: (jnp.zeros_like(a).at[dst].set(a[src], mode="drop")
+                           if getattr(a, "ndim", 0) >= 1
+                           and a.shape[0] == cap else a), fs)
+        out.append(fs)
+    return tuple(out)
+
+
+def _rebuild(s: MDState, neigh, ctx: StepContext, fstates=()):
     s = wrap_pbc(s)
     s = reset_box_shrink(s, ctx)
     if ctx.is_cellgrid:
@@ -266,6 +281,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
         src, dst, row2slot, max_count, over = cg.bin_compact(
             s.x, s.tag, ctx.natoms, s.box, cfg, row2slot=neigh.row2slot)
         s = cg.apply_permutation_compact(s, src, dst, cfg.capacity)
+        fstates = _permute_fix_states(fstates, ctx, src, dst, cfg.capacity)
         valid = jnp.zeros((cfg.capacity,), bool).at[dst].set(
             True, mode="drop")
         shear_tags, shear = neigh.shear_tags, neigh.shear
@@ -286,7 +302,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
             shear_tags=shear_tags,
             shear=shear,
         )
-        return s, neigh
+        return s, neigh, fstates
     idx, sbits, max_count, over = nb.build_neighbors(
         s.x, s.box, ctx.neigh_cfg,
         special_tags=s.special_tags, special_codes=s.special_codes,
@@ -302,7 +318,7 @@ def _rebuild(s: MDState, neigh, ctx: StepContext):
         max_count=max_count,
         shear=shear,
     )
-    return s, neigh
+    return s, neigh, fstates
 
 
 def decide_rebuild(s: MDState, neigh, ctx: StepContext):
@@ -327,9 +343,11 @@ def make_step_fn(ctx: StepContext, consts=None):
     streams), or a tuple of Nones.  consts: traced per-style constants
     (see compute_forces)."""
 
-    def step_pre(carry):
+    def step_pre(carry, xs=None):
         """First half: integrate positions, rebuild, compute forces."""
         s, neigh, fstates, istep = carry
+        if xs is None:
+            xs = tuple(None for _ in ctx.fixes)
         fstates = list(fstates)
         for i, fx in enumerate(ctx.fixes):
             if getattr(fx, "needs_step", False):
@@ -337,18 +355,23 @@ def make_step_fn(ctx: StepContext, consts=None):
                 # initial_integrate; istep counts completed steps
                 fstates[i] = fx.set_step(fstates[i], istep + 1)
         for i, fx in enumerate(ctx.fixes):
-            s, fstates[i] = fx.initial_integrate(s, fstates[i], ctx)
+            if getattr(fx, "xs_in_pre", False):
+                s, fstates[i] = fx.initial_integrate(s, fstates[i], ctx,
+                                                     xs[i])
+            else:
+                s, fstates[i] = fx.initial_integrate(s, fstates[i], ctx)
         for i, fx in enumerate(ctx.fixes):
             s, fstates[i] = fx.post_integrate(s, fstates[i], ctx)
 
         neigh = neigh.replace(ago=neigh.ago + 1)
         do_build = decide_rebuild(s, neigh, ctx)
-        s, neigh = jax.lax.cond(
+        s, neigh, fstates = jax.lax.cond(
             do_build,
-            lambda sn: _rebuild(sn[0], sn[1], ctx),
+            lambda sn: _rebuild(sn[0], sn[1], ctx, sn[2]),
             lambda sn: sn,
-            (s, neigh),
+            (s, neigh, tuple(fstates)),
         )
+        fstates = list(fstates)
 
         need_virial = any(getattr(fx, "needs_virial", False)
                           for fx in ctx.fixes)
@@ -387,7 +410,7 @@ def make_step_fn(ctx: StepContext, consts=None):
         return (s, neigh, tuple(fstates), istep + 1), None
 
     def step(carry, xs):
-        return step_post(step_pre(carry), xs)
+        return step_post(step_pre(carry, xs), xs)
 
     step.pre = step_pre
     step.post = step_post
@@ -407,20 +430,22 @@ def run_segment(carry, ctx: StepContext, nsteps: int, xs=None, consts=None):
 
 
 @partial(jax.jit, static_argnames=("ctx",))
-def step_pre_half(carry, ctx: StepContext, consts=None):
+def step_pre_half(carry, ctx: StepContext, consts=None, xs=None):
     """First half of one step (through force computation) — pauses the
     step so a host-side callback (fix external pf/callback,
     src/fix_external.cpp:141-176) can read the freshly updated positions
-    and inject forces before post_force/final_integrate run."""
+    and inject forces before post_force/final_integrate run.  Also used
+    to split the last step of a segment when an end_of_step box-changing
+    fix is active, so thermo can read energies at force-eval state."""
     if ctx.respa is not None:
-        raise NotImplementedError("fix external pf/callback under respa")
-    return make_step_fn(ctx, consts).pre(carry)
+        raise NotImplementedError("half-step split under respa")
+    return make_step_fn(ctx, consts).pre(carry, xs)
 
 
 @partial(jax.jit, static_argnames=("ctx",))
-def step_post_half(mid, ctx: StepContext, consts=None):
+def step_post_half(mid, ctx: StepContext, consts=None, xs=None):
     """Second half of one step (post_force onward)."""
-    carry, _ = make_step_fn(ctx, consts).post(mid, None)
+    carry, _ = make_step_fn(ctx, consts).post(mid, xs)
     return carry
 
 
@@ -506,9 +531,9 @@ def make_respa_step(ctx: StepContext, consts=None):
         # reneighbor decision once per outer step
         neigh = neigh.replace(ago=neigh.ago + 1)
         do_build = decide_rebuild(s, neigh, ctx)
-        s, neigh = jax.lax.cond(
-            do_build, lambda sn: _rebuild(sn[0], sn[1], ctx),
-            lambda sn: sn, (s, neigh))
+        s, neigh, fstates = jax.lax.cond(
+            do_build, lambda sn: _rebuild(sn[0], sn[1], ctx, sn[2]),
+            lambda sn: sn, (s, neigh, tuple(fstates)))
 
         m3 = ctx.mass_per_atom(s)[:, None]
 

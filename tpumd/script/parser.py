@@ -846,6 +846,50 @@ class LammpsScript:
                     raise ScriptError(
                         "fix rigid(/nve) does not take temp/tparam")
                 sim.fixes.append(FixRigid(style=bstyle, groups=groups))
+        elif style == "move":
+            sim.fixes.append(self._parse_fix_move(sim, args))
+        elif style == "press/berendsen":
+            from tpumd.md.fix_misc import FixPressBerendsen
+            flags = [False] * 3
+            start = [0.0] * 3
+            stop = [0.0] * 3
+            period = [1.0] * 3
+            modulus, couple = 10.0, False
+            i = 0
+            while i < len(args):
+                k = args[i]
+                if k in ("iso", "aniso"):
+                    for d in range(3):
+                        flags[d] = True
+                        start[d] = float(args[i + 1])
+                        stop[d] = float(args[i + 2])
+                        period[d] = float(args[i + 3])
+                    couple = couple or (k == "iso")
+                    i += 4
+                elif k in ("x", "y", "z"):
+                    d = "xyz".index(k)
+                    flags[d] = True
+                    start[d] = float(args[i + 1])
+                    stop[d] = float(args[i + 2])
+                    period[d] = float(args[i + 3])
+                    i += 4
+                elif k == "couple":
+                    couple = args[i + 1] == "xyz"
+                    i += 2
+                elif k == "modulus":
+                    modulus = float(args[i + 1])
+                    i += 2
+                elif k == "dilate":
+                    if args[i + 1] != "all":
+                        raise ScriptError(
+                            "fix press/berendsen dilate partial "
+                            "not supported")
+                    i += 2
+                else:
+                    raise ScriptError(
+                        f"fix press/berendsen keyword {k!r} not supported")
+            sim.fixes.append(FixPressBerendsen(
+                flags, start, stop, period, modulus=modulus, couple=couple))
         elif style == "setforce":
             from tpumd.md.fix_misc import FixSetForce
             vals = [None if v == "NULL" else float(v) for v in args[:3]]
@@ -1129,6 +1173,61 @@ class LammpsScript:
         sim.computes[cid] = c
         if sim.state is not None and sim._ctx is not None:
             c.prepare(sim)
+
+    def _parse_fix_move(self, sim, args):
+        """fix move linear/wiggle/rotate/transrot/variable
+        (src/fix_move.cpp:71-222; default units = lattice)."""
+        from tpumd.md.fix_move import FixMove
+        mstyle = args[0]
+        rest = list(args[1:])
+        scaleflag = True
+        if len(rest) >= 2 and rest[-2] == "units":
+            scaleflag = rest[-1] == "lattice"
+            rest = rest[:-2]
+        sp = (self.lattice.spacing if self.lattice is not None
+              else (1.0, 1.0, 1.0))
+
+        def fnull(tok):
+            return None if tok == "NULL" else float(tok)
+
+        if mstyle == "linear":
+            vel = [fnull(t) for t in rest[:3]]
+            if scaleflag:
+                vel = [None if v is None else v * sp[c]
+                       for c, v in enumerate(vel)]
+            fx = FixMove(FixMove.LINEAR, vel=vel, time_origin=sim.step)
+        elif mstyle == "wiggle":
+            amp = [fnull(t) for t in rest[:3]]
+            if scaleflag:
+                amp = [None if a is None else a * sp[c]
+                       for c, a in enumerate(amp)]
+            fx = FixMove(FixMove.WIGGLE, amp=amp, period=float(rest[3]),
+                         time_origin=sim.step)
+        elif mstyle == "rotate":
+            point = [float(t) for t in rest[:3]]
+            axis = [float(t) for t in rest[3:6]]
+            if scaleflag:
+                point = [p * sp[c] for c, p in enumerate(point)]
+            fx = FixMove(FixMove.ROTATE, point=point, axis=axis,
+                         period=float(rest[6]), time_origin=sim.step)
+        elif mstyle == "transrot":
+            vel = [float(t) for t in rest[:3]]
+            point = [float(t) for t in rest[3:6]]
+            axis = [float(t) for t in rest[6:9]]
+            if scaleflag:
+                vel = [v * sp[c] for c, v in enumerate(vel)]
+                point = [p * sp[c] for c, p in enumerate(point)]
+            fx = FixMove(FixMove.TRANSROT, vel=vel, point=point, axis=axis,
+                         period=float(rest[9]), time_origin=sim.step)
+        elif mstyle == "variable":
+            names = [None if t == "NULL" else t.removeprefix("v_")
+                     for t in rest[:6]]
+            fx = FixMove(FixMove.VARIABLE, varnames=names,
+                         time_origin=sim.step)
+            fx.script = self
+        else:
+            raise ScriptError(f"fix move style {mstyle!r} not supported")
+        return fx
 
     def _parse_nh(self, style, args):
         from tpumd.md.fix_nh import FixNH
