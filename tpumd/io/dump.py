@@ -97,16 +97,27 @@ class Dump:
             elif name == "radius" and s.radius is not None:
                 cols[name] = np.asarray(jax.device_get(s.radius),
                                         np.float64)[order]
-            elif name.startswith("c_"):
-                # per-atom compute reference; computes return tag order
+            elif name.startswith(("c_", "f_")):
+                # per-atom compute/fix reference; both return tag order
                 base = name[2:]
                 col = None
                 if "[" in base:
                     base, rest = base.split("[", 1)
                     col = int(rest.rstrip("]")) - 1
-                out = np.asarray(sim.computes[base].evaluate(sim))
+                if name.startswith("c_"):
+                    out = np.asarray(sim.computes[base].evaluate(sim))
+                else:
+                    fxs = [fx for fx in sim.fixes
+                           if getattr(fx, "id", None) == base]
+                    if not fxs:
+                        raise ValueError(f"unknown fix id {base!r}")
+                    out = np.asarray(fxs[0].output(sim))
                 if col is not None:
                     out = out[:, col]
+                cols[name] = out[tag[order] - 1]
+            elif name.startswith(("i_", "d_")):
+                # fix property/atom custom columns (tag-keyed store)
+                out = sim.custom_peratom[name]
                 cols[name] = out[tag[order] - 1]
             else:
                 raise ValueError(f"dump field {name!r} not supported")

@@ -14,6 +14,19 @@ import numpy as np
 from tpumd.md.fixes import Fix
 
 
+def _group_mask(sim, fx):
+    """(N,) tag-order bool mask of the fix's group membership."""
+    import jax as _jax
+    s = sim.state
+    tag = np.asarray(_jax.device_get(s.tag))
+    valid = tag > 0
+    order = np.nonzero(valid)[0][np.argsort(tag[valid])]
+    if getattr(fx, "groupbit", 1) == 1:
+        return np.ones(order.size, bool)
+    gm = np.asarray(_jax.device_get(s.gmask))[order]
+    return (gm & fx.groupbit) > 0
+
+
 def _resolve_input(sim, name):
     """Per-atom or scalar input: c_ID[, col], f_ID, v_name, or a direct
     thermo/per-atom keyword."""
@@ -199,3 +212,172 @@ class FixHalt(Fix):
             sim._halt = (f"fix halt condition "
                          f"{self.attr} {self.op} {self.value} met "
                          f"(value {cur:.6g}) at step {sim.step}")
+
+
+class FixAveHisto(_AveBase):
+    """fix ave/histo Nevery Nrepeat Nfreq lo hi Nbin value1 ...
+    (src/fix_ave_histo.cpp): histograms scalar/per-atom inputs over the
+    Nrepeat samples of each Nfreq window; output file rows match the
+    reference's '# Bin Coord Count Count/Total' layout.  Default
+    ave=one, beyond=ignore; mode follows the inputs' shapes."""
+
+    name = "ave/histo"
+
+    def __init__(self, nevery, nrepeat, nfreq, lo, hi, nbin, inputs,
+                 file=None, beyond="ignore"):
+        super().__init__(nevery, nrepeat, nfreq, inputs, file)
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.nbins = int(nbin)
+        self.beyond = beyond
+        if beyond == "extra":
+            self.nbins += 2
+        self._reset_window()
+
+    def _reset_window(self):
+        self._bins = np.zeros(self.nbins)
+        self._stats = np.array([0.0, 0.0, np.inf, -np.inf])
+
+    def _bin_values(self, vals):
+        v = np.asarray(vals, np.float64).ravel()
+        if v.size == 0:
+            return
+        self._stats[2] = min(self._stats[2], v.min())
+        self._stats[3] = max(self._stats[3], v.max())
+        below = v < self.lo
+        above = v > self.hi
+        inside = ~(below | above)
+        binsize = (self.hi - self.lo) / (self.nbins
+                                         - (2 if self.beyond == "extra"
+                                            else 0))
+        ib = np.minimum(((v[inside] - self.lo) / binsize).astype(int),
+                        (self.nbins - (2 if self.beyond == "extra"
+                                       else 0)) - 1)
+        if self.beyond == "ignore":
+            self._stats[1] += below.sum() + above.sum()
+            np.add.at(self._bins, ib, 1.0)
+            self._stats[0] += inside.sum()
+        elif self.beyond == "end":
+            self._bins[0] += below.sum()
+            self._bins[-1] += above.sum()
+            np.add.at(self._bins, ib, 1.0)
+            self._stats[0] += v.size
+        else:  # extra
+            self._bins[0] += below.sum()
+            self._bins[-1] += above.sum()
+            np.add.at(self._bins, ib + 1, 1.0)
+            self._stats[0] += v.size
+
+    def host_end_of_step(self, sim):
+        if not self._sample_due(sim.step):
+            return
+        gsel = _group_mask(sim, self)
+        for nm in self.inputs:
+            vals = np.asarray(_resolve_input(sim, nm), np.float64)
+            if vals.ndim and vals.shape[0] == gsel.shape[0]:
+                vals = vals[gsel]
+            self._bin_values(vals)
+        if sim.step % self.nfreq == 0:
+            binsize = (self.hi - self.lo) / (
+                self.nbins - (2 if self.beyond == "extra" else 0))
+            if self.beyond == "extra":
+                coords = np.concatenate(
+                    [[self.lo - 0.5 * binsize],
+                     self.lo + (np.arange(self.nbins - 2) + 0.5) * binsize,
+                     [self.hi + 0.5 * binsize]])
+            else:
+                coords = self.lo + (np.arange(self.nbins) + 0.5) * binsize
+            total = self._stats[0]
+            frac = self._bins / total if total else np.zeros_like(self._bins)
+            self._result = np.column_stack([coords, self._bins, frac])
+            if self.file:
+                if self._fh is None:
+                    self._fh = open(self.file, "w")
+                    self._fh.write("# Histogrammed data for fix "
+                                   f"{getattr(self, 'id', '?')}\n")
+                    self._fh.write("# TimeStep Number-of-bins "
+                                   "Total-counts Missing-counts "
+                                   "Min-value Max-value\n")
+                    self._fh.write("# Bin Coord Count Count/Total\n")
+                st = self._stats
+                mn = st[2] if np.isfinite(st[2]) else 0.0
+                mx = st[3] if np.isfinite(st[3]) else 0.0
+                self._fh.write(f"{sim.step} {self.nbins} {st[0]:g} "
+                               f"{st[1]:g} {mn:g} {mx:g}\n")
+                for i in range(self.nbins):
+                    self._fh.write(f"{i+1} {coords[i]:g} "
+                                   f"{self._bins[i]:g} {frac[i]:g}\n")
+                self._fh.flush()
+            self._reset_window()
+
+
+class FixStoreState(Fix):
+    """fix store/state N input1 ... (src/fix_store_state.cpp): snapshot
+    per-atom values every N steps (N=0: once at definition) into a
+    tag-ordered array readable as f_ID."""
+
+    name = "store/state"
+
+    _UNWRAP = {"xu": 0, "yu": 1, "zu": 2}
+
+    def __init__(self, nevery, inputs):
+        self.nevery = int(nevery)
+        self.host_every = max(self.nevery, 0)
+        self.inputs = list(inputs)
+        self._stored = None
+
+    def _grab(self, sim):
+        import jax as _jax
+        s = sim.state
+        tag = np.asarray(_jax.device_get(s.tag))
+        valid = tag > 0
+        order = np.nonzero(valid)[0][np.argsort(tag[valid])]
+        cols = []
+        for nm in self.inputs:
+            if nm in self._UNWRAP:
+                c = self._UNWRAP[nm]
+                x = np.asarray(_jax.device_get(s.x), np.float64)[order, c]
+                img = np.asarray(_jax.device_get(s.image))[order, c]
+                ell = float(np.asarray(
+                    _jax.device_get(s.box.lengths))[c])
+                cols.append(x + img * ell)
+            else:
+                cols.append(np.asarray(
+                    _resolve_input(sim, nm), np.float64))
+        out = np.stack(cols, axis=-1)
+        out = np.where(_group_mask(sim, self)[:, None], out, 0.0)
+        return out[:, 0] if out.shape[-1] == 1 else out
+
+    def host_setup(self, sim):
+        if self._stored is None:
+            self._stored = self._grab(sim)
+
+    def host_end_of_step(self, sim):
+        if self.nevery and sim.step % self.nevery == 0:
+            self._stored = self._grab(sim)
+
+    def output(self, sim):
+        if self._stored is None:
+            self.host_setup(sim)
+        return self._stored
+
+
+class FixPropertyAtom(Fix):
+    """fix property/atom i_name/d_name ... (src/fix_property_atom.cpp):
+    registers custom tag-keyed per-atom columns (default 0), set via the
+    set command and readable in dumps/variables as i_name / d_name."""
+
+    name = "property/atom"
+
+    def __init__(self, names):
+        self.names = list(names)
+
+    def host_setup(self, sim):
+        store = getattr(sim, "custom_peratom", None)
+        if store is None:
+            store = sim.custom_peratom = {}
+        n = sim.natoms
+        for nm in self.names:
+            if nm not in store:
+                dtype = np.int64 if nm.startswith("i_") else np.float64
+                store[nm] = np.zeros(n, dtype)

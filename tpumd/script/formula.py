@@ -293,6 +293,11 @@ class SimFormulaContext:
             return self.sim.mass_per_atom_np()[np.argsort(tag[valid])]
         if name == "q" and s.q is not None:
             return np.asarray(jax.device_get(s.q), np.float64)[order]
+        if name.startswith(("i_", "d_")):
+            store = getattr(self.sim, "custom_peratom", {})
+            if name in store:
+                # tag-keyed already (fix property/atom)
+                return store[name].astype(np.float64)
         return None
 
     def variable(self, name):

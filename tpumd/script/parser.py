@@ -381,12 +381,32 @@ class LammpsScript:
         elif style == "region":
             x = np.asarray(jax.device_get(sim.state.x), np.float64)
             sel = self.regions[ident].inside(x)
+        elif style == "atom":
+            tag = np.asarray(jax.device_get(sim.state.tag))
+            if ident == "*":
+                sel = tag > 0
+            elif ":" in ident:
+                lo, hi = ident.split(":")[:2]
+                sel = (tag >= int(lo)) & (tag <= int(hi))
+            else:
+                sel = tag == int(ident)
         else:
             raise ScriptError(f"set style {style} not supported")
         i = 2
         while i < len(a):
             key = a[i]
-            if key == "charge":
+            if key.startswith(("i_", "d_")):
+                # fix property/atom custom columns (tag-keyed store)
+                store = getattr(sim, "custom_peratom", None)
+                if store is None or key not in store:
+                    raise ScriptError(
+                        f"set {key}: no fix property/atom defines it")
+                tag = np.asarray(jax.device_get(sim.state.tag))
+                val = (int(a[i + 1]) if key.startswith("i_")
+                       else float(a[i + 1]))
+                store[key][tag[sel] - 1] = val
+                i += 2
+            elif key == "charge":
                 q = (np.zeros(sim.state.x.shape[0])
                      if sim.state.q is None
                      else np.array(jax.device_get(sim.state.q), np.float64))
@@ -743,6 +763,9 @@ class LammpsScript:
                     raise ScriptError(
                         f"fix {style} on a subgroup not supported yet")
                 fx.groupbit = sim.groups[group]
+        for fx in sim.fixes[n_before:]:
+            if hasattr(fx, "host_setup") and sim.state is not None:
+                fx.host_setup(sim)
         if len(sim.fixes) != n_before:
             sim.invalidate_ctx()
 
@@ -986,6 +1009,32 @@ class LammpsScript:
         elif style == "ave/atom":
             from tpumd.md.fix_ave import FixAveAtom
             sim.fixes.append(FixAveAtom(args[0], args[1], args[2], args[3:]))
+        elif style == "ave/histo":
+            from tpumd.md.fix_ave import FixAveHisto
+            kw = {}
+            vals = list(args[6:])
+            for key in ("file", "beyond"):
+                if key in vals:
+                    i = vals.index(key)
+                    kw[key] = vals[i + 1]
+                    vals = vals[:i] + vals[i + 2:]
+            vals = [v for i, v in enumerate(vals)
+                    if v not in ("mode", "scalar", "vector")
+                    and (i == 0 or vals[i - 1] != "mode")]
+            sim.fixes.append(FixAveHisto(
+                args[0], args[1], args[2], args[3], args[4], args[5],
+                vals, **kw))
+        elif style == "store/state":
+            from tpumd.md.fix_ave import FixStoreState
+            sim.fixes.append(FixStoreState(args[0], args[1:]))
+        elif style == "property/atom":
+            from tpumd.md.fix_ave import FixPropertyAtom
+            names = [a for a in args if a.startswith(("i_", "d_"))]
+            if not names:
+                raise ScriptError(
+                    "fix property/atom: only i_/d_ custom columns "
+                    "supported (mol/q/rmass live in atom styles)")
+            sim.fixes.append(FixPropertyAtom(names))
         elif style == "ave/chunk":
             from tpumd.md.fix_ave import FixAveChunk
             kw = {}
