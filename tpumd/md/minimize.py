@@ -72,9 +72,9 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
         from tpumd.md.verlet import _rebuild, decide_rebuild
         neigh2 = neigh.replace(ago=neigh.ago + 1)
         do_build = decide_rebuild(s2, neigh2, ctx)
-        s2, neigh2 = jax.lax.cond(
+        s2, neigh2, _ = jax.lax.cond(
             do_build, lambda sn: _rebuild(sn[0], sn[1], ctx),
-            lambda sn: sn, (s2, neigh2))
+            lambda sn: sn + ((),), (s2, neigh2))
         f, e = energy_and_force(s2, neigh2)
         s2 = s2.replace(f=f)
         fmax2 = jnp.sum(f.reshape(-1) ** 2)
@@ -121,7 +121,7 @@ def minimize_cg(sim, etol: float, ftol: float, maxiter: int, maxeval: int,
         neigh = neigh.replace(ago=neigh.ago + 1)
         do = decide_rebuild(s, neigh, ctx)
         return jax.lax.cond(do, lambda sn: _rebuild(sn[0], sn[1], ctx),
-                            lambda sn: sn, (s, neigh))
+                            lambda sn: sn + ((),), (s, neigh))[:2]
 
     f0, e0 = energy_and_force(s, neigh)
     s = s.replace(f=f0)

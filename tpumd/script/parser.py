@@ -73,6 +73,12 @@ class LammpsScript:
         self._data = None      # parsed data file (molecular systems)
         self._history: list[str] = []   # raw executed lines (replica replay)
         self._world_index = 0           # Universe partition index analog
+        # script control flow (Input::file/jump, src/input.cpp)
+        self._frames: list[dict] = []   # program counter stack
+        self._skip_jump = False         # set when `next` exhausts a var
+        self._var_lists: dict[str, tuple] = {}   # index/loop value lists
+        self._atomfiles: dict[str, tuple] = {}   # name -> (sections, pos)
+        self._python_funcs: dict[str, dict] = {}  # python command registry
 
     # -------------------------------------------------------------- plumbing
     def run_file(self, path: str):
@@ -81,7 +87,8 @@ class LammpsScript:
             text = fh.read()
         self.run_string(text)
 
-    def run_string(self, text: str):
+    @staticmethod
+    def _to_logical(text: str):
         logical = []
         cont = ""
         for raw in text.splitlines():
@@ -93,8 +100,23 @@ class LammpsScript:
                 continue
             logical.append(cont + line)
             cont = ""
-        for line in logical:
-            self.execute(line)
+        return logical
+
+    def run_string(self, text: str):
+        self._run_program(self._to_logical(text))
+
+    def _run_program(self, lines):
+        """Program-counter-driven execution so jump/label/next can loop
+        (Input::file, src/input.cpp)."""
+        frame = {"lines": lines, "pc": 0}
+        self._frames.append(frame)
+        try:
+            while frame["pc"] < len(frame["lines"]):
+                line = frame["lines"][frame["pc"]]
+                frame["pc"] += 1
+                self.execute(line)
+        finally:
+            self._frames.pop()
 
     def substitute(self, line: str) -> str:
         def repl(m):
@@ -114,6 +136,11 @@ class LammpsScript:
             return repr(int(v)) if v == int(v) else repr(v)
         if style == "world":
             return value[self._world_index]
+        if style in ("format", "getenv", "python"):
+            return str(self.evaluate_variable(name))
+        if style == "atomfile":
+            raise ScriptError(
+                f"cannot substitute atomfile variable {name!r} inline")
         return value
 
     @staticmethod
@@ -166,6 +193,7 @@ class LammpsScript:
         if style == "index":
             if name not in self.variables:  # index vars keep first value
                 self.variables[name] = ("index", a[2])
+                self._var_lists[name] = (list(a[2:]), 0)
         elif style in ("equal", "string", "atom", "internal"):
             self.variables[name] = (style, " ".join(a[2:]))
         elif style == "world":
@@ -174,11 +202,257 @@ class LammpsScript:
             self.variables[name] = ("world", a[2:])
         elif style == "loop":
             if name not in self.variables:
+                n = int(a[2])
                 self.variables[name] = ("index", "1")
+                self._var_lists[name] = (
+                    [str(i) for i in range(1, n + 1)], 0)
+        elif style == "format":
+            # variable x format v_src %fmt (src/variable.h FORMAT)
+            self.variables[name] = ("format", (a[2].removeprefix("v_"),
+                                               a[3]))
+        elif style == "getenv":
+            self.variables[name] = ("getenv", a[2])
+        elif style == "python":
+            self.variables[name] = ("python", a[2])
+        elif style == "atomfile":
+            path = a[2]
+            if not os.path.isabs(path):
+                path = os.path.join(self.data_dir, path)
+            self._atomfiles[name] = (self._read_atomfile(path), 0)
+            self.variables[name] = ("atomfile", a[2])
         elif style == "delete":
             self.variables.pop(name, None)
+            self._var_lists.pop(name, None)
+            self._atomfiles.pop(name, None)
         else:
             raise ScriptError(f"variable style {style} not supported")
+
+    @staticmethod
+    def _read_atomfile(path):
+        """Parse all sections of an atomfile-style variable file
+        (Variable::reader ATOMFILE, src/variable.cpp): each section is a
+        count line then 'ID value' rows; values default to 0."""
+        sections = []
+        with open(path) as fh:
+            toks = [ln.split("#", 1)[0].split() for ln in fh]
+        toks = [t for t in toks if t]
+        i = 0
+        while i < len(toks):
+            n = int(toks[i][0])
+            rows = {int(t[0]): float(t[1]) for t in toks[i + 1:i + 1 + n]}
+            sections.append(rows)
+            i += 1 + n
+        return sections
+
+    def _atomfile_values(self, name):
+        sections, pos = self._atomfiles[name]
+        rows = sections[pos]
+        self._finalize_atoms()
+        sim = self._require_sim()
+        out = np.zeros(sim.natoms)
+        for tag, val in rows.items():
+            if 1 <= tag <= sim.natoms:
+                out[tag - 1] = val
+        return out
+
+    def cmd_label(self, a):
+        pass
+
+    def cmd_next(self, a):
+        """next var1 [var2 ...]: advance index/loop/atomfile variables;
+        an exhausted variable is deleted and the next jump command is
+        skipped (src/variable.cpp Variable::next)."""
+        exhausted = False
+        for name in a:
+            if name in self._var_lists:
+                vals, pos = self._var_lists[name]
+                pos += 1
+                if pos >= len(vals):
+                    self.variables.pop(name, None)
+                    self._var_lists.pop(name, None)
+                    exhausted = True
+                else:
+                    self._var_lists[name] = (vals, pos)
+                    self.variables[name] = ("index", vals[pos])
+            elif name in self._atomfiles:
+                secs, pos = self._atomfiles[name]
+                pos += 1
+                if pos >= len(secs):
+                    self.variables.pop(name, None)
+                    self._atomfiles.pop(name, None)
+                    exhausted = True
+                else:
+                    self._atomfiles[name] = (secs, pos)
+            else:
+                raise ScriptError(f"next on non-index variable {name!r}")
+        if exhausted:
+            self._skip_jump = True
+
+    def cmd_jump(self, a):
+        if self._skip_jump:
+            self._skip_jump = False
+            return
+        if not self._frames:
+            raise ScriptError("jump outside a running script")
+        frame = self._frames[-1]
+        fname = a[0]
+        if fname != "SELF":
+            path = fname if os.path.isabs(fname) \
+                else os.path.join(self.data_dir, fname)
+            with open(path) as fh:
+                frame["lines"] = self._to_logical(fh.read())
+            frame["pc"] = 0
+        if len(a) > 1:
+            label = a[1]
+            for i, ln in enumerate(frame["lines"]):
+                t = ln.split()
+                if len(t) >= 2 and t[0] == "label" and t[1] == label:
+                    frame["pc"] = i
+                    break
+            else:
+                raise ScriptError(f"label {label!r} not found")
+
+    def cmd_if(self, a):
+        """if "cond" then "cmd"... [elif "cond" "cmd"...] [else "cmd"...]
+        (src/input.cpp Input::ifthenelse); conditions run through the
+        formula evaluator."""
+        from tpumd.script.formula import Formula, SimFormulaContext
+
+        def truthy(cond):
+            text = self.substitute(cond)
+            # string equality when a side is non-numeric
+            # (Variable::evaluate string-compare branch)
+            m = re.fullmatch(r"\s*(\S+)\s*(==|!=)\s*(\S+)\s*", text)
+            if m:
+                lhs, op, rhs = m.groups()
+                try:
+                    float(lhs), float(rhs)
+                except ValueError:
+                    return (lhs == rhs) == (op == "==")
+            ctx = SimFormulaContext(self.sim, self)
+            return float(Formula(text).evaluate(ctx)) != 0
+
+        i = 0
+        branch_taken = False
+        while i < len(a):
+            if i == 0 or a[i] == "elif":
+                cond = a[i + 1] if a[i] == "elif" else a[0]
+                j = i + (2 if a[i] == "elif" else 1)
+                if a[j] == "then":
+                    j += 1
+                cmds = []
+                while j < len(a) and a[j] not in ("elif", "else"):
+                    cmds.append(a[j])
+                    j += 1
+                if not branch_taken and truthy(cond):
+                    branch_taken = True
+                    for c in cmds:
+                        self.execute(c)
+                i = j
+            elif a[i] == "else":
+                cmds = a[i + 1:]
+                if not branch_taken:
+                    for c in cmds:
+                        self.execute(c)
+                return
+            else:
+                raise ScriptError(f"if: unexpected token {a[i]!r}")
+
+    def cmd_include(self, a):
+        path = a[0] if os.path.isabs(a[0]) \
+            else os.path.join(self.data_dir, a[0])
+        with open(path) as fh:
+            self._run_program(self._to_logical(fh.read()))
+
+    def cmd_shell(self, a):
+        """shell cd/mkdir/rm/putenv builtins + external commands
+        (src/input.cpp Input::shell)."""
+        op = a[0]
+        if op == "cd":
+            os.chdir(a[1])
+        elif op == "mkdir":
+            for d in a[1:]:
+                os.makedirs(d, exist_ok=True)
+        elif op == "rm":
+            for f in a[1:]:
+                if os.path.exists(f):
+                    os.remove(f)
+        elif op == "putenv":
+            for kv in a[1:]:
+                k, _, v = kv.partition("=")
+                os.environ[k] = v
+        else:
+            import subprocess
+            subprocess.run(a, check=False)
+
+    def cmd_python(self, a):
+        """python func input N args... return v_x format str
+        {file f.py | here "src" | exists} (src/python.cpp): registers a
+        python function callable through python-style variables."""
+        fname = a[0]
+        spec = {"inputs": [], "return": None, "format": None}
+        src = None
+        i = 1
+        while i < len(a):
+            k = a[i]
+            if k == "input":
+                n = int(a[i + 1])
+                spec["inputs"] = list(a[i + 2:i + 2 + n])
+                i += 2 + n
+            elif k == "return":
+                spec["return"] = a[i + 1].removeprefix("v_")
+                i += 2
+            elif k == "format":
+                spec["format"] = a[i + 1]
+                i += 2
+            elif k == "file":
+                path = a[i + 1] if os.path.isabs(a[i + 1]) \
+                    else os.path.join(self.data_dir, a[i + 1])
+                src = open(path).read()
+                i += 2
+            elif k == "here":
+                src = a[i + 1]
+                i += 2
+            elif k == "exists":
+                i += 1
+            else:
+                raise ScriptError(f"python keyword {k!r} not supported")
+        ns = self._python_funcs.get("_ns", {})
+        if src is not None:
+            exec(src, ns)
+        self._python_funcs["_ns"] = ns
+        if fname not in ns:
+            raise ScriptError(f"python function {fname!r} not defined")
+        spec["func"] = ns[fname]
+        self._python_funcs[fname] = spec
+
+    def _python_call(self, fname):
+        spec = self._python_funcs.get(fname)
+        if spec is None:
+            raise ScriptError(f"python function {fname!r} not registered")
+        args = []
+        for tok in spec["inputs"]:
+            if tok.startswith("v_"):
+                args.append(self.evaluate_variable(tok[2:]))
+            elif tok == "SELF":
+                args.append(self)
+            else:
+                try:
+                    args.append(float(tok) if "." in tok or "e" in tok
+                                else int(tok))
+                except ValueError:
+                    args.append(tok)
+        out = spec["func"](*args)
+        fmt = spec["format"]
+        if fmt:
+            rc = fmt[-1]
+            if rc == "i":
+                return int(out)
+            if rc == "f":
+                return float(out)
+            if rc == "s":
+                return str(out)
+        return out
 
     def evaluate_variable(self, name: str):
         """Evaluate a variable to its value (float, ndarray or str) —
@@ -188,6 +462,15 @@ class LammpsScript:
         style, value = self.variables[name]
         if style in ("index", "string"):
             return value
+        if style == "getenv":
+            return os.environ.get(value, "")
+        if style == "format":
+            src, fmt = value
+            return fmt % float(self.evaluate_variable(src))
+        if style == "python":
+            return self._python_call(value)
+        if style == "atomfile":
+            return self._atomfile_values(name)
         from tpumd.script.formula import Formula, SimFormulaContext
         f = Formula(self.substitute(value))
         return f.evaluate(SimFormulaContext(self.sim, self))
