@@ -178,6 +178,48 @@ class PairEAM(PairStyle):
             tabs[name] = t
         self._segpoly = tabs
         self.supports_cellgrid = True
+        # single Chebyshev series per table for the fused pallas kernels
+        # (Clenshaw in-kernel — a monomial refit of the same degree is
+        # f32-unusable, see segpoly.ChebPoly); fall back to the XLA
+        # sweep when a table will not collapse to one series
+        from tpumd.ops.segpoly import fit_cheb
+        self._pallas_tabs = None
+        single = {}
+        for name, fn in fns.items():
+            for deg in (16, 20, 24):
+                t1 = fit_cheb(fn, lo, hi, deg)
+                if t1.max_rel_err < 1e-4:
+                    break
+            if t1.max_rel_err > 5e-4:
+                return
+            single[name] = tuple(float(c) for c in t1.coefs)
+        self._pallas_tabs = (float(lo), float(hi),
+                             single["rho_val"], single["rho_der"],
+                             single["z2_val"], single["z2_der"])
+
+    def _forces_pallas(self, x, valid, box, cfg):
+        """Fused two-pass pallas path (force-only, f32): VMEM-resident
+        sweeps with single-polynomial radial tables; the embedding
+        derivative keeps the EXACT frho spline, its 500-row coefficient
+        fetch expressed as a one-hot MXU matmul instead of a row gather
+        (small-table gathers are the slow op on TPU)."""
+        from tpumd.ops.pallas_eam import eam_rho_pallas, eam_force_pallas
+        import jax as _jax
+        lo, hi, rho_c, rhod_c, z2_c, z2d_c = self._pallas_tabs
+        rho = eam_rho_pallas(x, valid, box, cfg, rho_c, lo, hi,
+                             float(self.cutforcesq))
+        p = rho * jnp.float32(1.0 / self.drho) + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, self.nrho - 1)
+        p = jnp.minimum(p - m.astype(jnp.float32), 1.0)
+        tab = jnp.asarray(self.frho_spline[0][:, :3], jnp.float32)
+        onehot = (m[:, None] == jnp.arange(tab.shape[0], dtype=jnp.int32)
+                  [None, :]).astype(jnp.float32)
+        cf = _jax.lax.dot(onehot, tab,
+                          precision=_jax.lax.Precision.HIGHEST)
+        fp = (cf[:, 0] * p + cf[:, 1]) * p + cf[:, 2]
+        f = eam_force_pallas(x, valid, fp, box, cfg, rhod_c, z2_c, z2d_c,
+                             lo, hi, float(self.cutforcesq))
+        return f, None, None, None
 
     def compute_cellgrid(self, x, type_, valid, box, cfg, eflag: bool,
                          vflag: bool, q=None, special=None, bond=None):
@@ -195,6 +237,13 @@ class PairEAM(PairStyle):
         cap = cfg.cap
         gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
         sp = self._segpoly
+
+        import jax as _jax
+        if (not eflag and not vflag and dtype == jnp.float32
+                and _jax.default_backend() == "tpu"
+                and getattr(self, "_pallas_tabs", None)
+                and cfg.nz >= 3 and cfg.ny >= 2 and cfg.nx >= 2):
+            return self._forces_pallas(x, valid, box, cfg)
 
         xg = [x[:, c].reshape(gshape) for c in range(3)]
         vg = valid.reshape(gshape)

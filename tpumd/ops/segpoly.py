@@ -53,6 +53,49 @@ class SegPoly:
         return acc
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class ChebPoly:
+    """Single Chebyshev series over [lo, hi], evaluated by Clenshaw.
+
+    The monomial basis is unusable here: a degree-16 least-squares fit
+    carries O(10) alternating coefficients whose f32 Horner evaluation
+    loses ~0.03 absolute on values ~1e-2 (catastrophic cancellation).
+    Chebyshev coefficients decay with degree and Clenshaw is stable, so
+    the same fit evaluates to ~1e-7 absolute in f32 — safe for pallas
+    kernels without per-segment selects."""
+
+    coefs: tuple          # c_0..c_deg (hashable for static kernel args)
+    lo: float
+    hi: float
+    max_rel_err: float
+
+    def __call__(self, r):
+        t = (r - self.lo) * (2.0 / (self.hi - self.lo)) - 1.0
+        t2 = 2.0 * t
+        b1 = jnp.zeros_like(r)
+        b2 = jnp.zeros_like(r)
+        for c in self.coefs[:0:-1]:
+            b1, b2 = t2 * b1 - b2 + c, b1
+        return t * b1 - b2 + self.coefs[0]
+
+
+def fit_cheb(fn, lo: float, hi: float, deg: int = 16,
+             samples: int = 512) -> ChebPoly:
+    """Chebyshev least-squares fit of fn over [lo, hi]."""
+    k = np.arange(samples)
+    t = -np.cos((2 * k + 1) * np.pi / (2 * samples))
+    r = lo + (t + 1.0) * 0.5 * (hi - lo)
+    y = fn(r)
+    c = np.polynomial.chebyshev.chebfit(t, y, deg)
+    tt = np.linspace(-1, 1, 2049)
+    yy = fn(lo + (tt + 1.0) * 0.5 * (hi - lo))
+    approx = np.polynomial.chebyshev.chebval(tt, c)
+    scale = max(float(np.abs(yy).max()), 1e-30)
+    err = float(np.abs(approx - yy).max() / scale)
+    return ChebPoly(coefs=tuple(float(v) for v in c), lo=float(lo),
+                    hi=float(hi), max_rel_err=err)
+
+
 def fit_segpoly(fn, lo: float, hi: float, nseg: int = 8, deg: int = 10,
                 samples: int = 256) -> SegPoly:
     """Least-squares fit of fn over [lo, hi] as nseg polynomial segments.
