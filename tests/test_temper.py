@@ -41,3 +41,38 @@ def test_temper_runs_and_swaps():
     # statistical, but each sim's thermostat target must differ
     targets = [sim.fixes[0].t_start for sim in sims]
     assert sorted(targets) == [0.7, 0.8, 0.9, 1.0]
+
+
+def test_temper_batched_matches_sequential(monkeypatch):
+    """The concurrent (stacked-lane, replica-sharded) path must produce
+    the same swap decisions and statistics as the sequential per-sim
+    loop — same Metropolis draw order, same physics."""
+    import tpumd.md.temper as tp
+
+    s_seq = LammpsScript()
+    monkeypatch.setattr(tp, "_can_batch", lambda sims: False)
+    s_seq.run_string(DECK)
+    monkeypatch.undo()
+
+    s_bat = LammpsScript()
+    calls = {"batched": 0}
+    orig = tp._temper_batched
+
+    def spy(*a, **kw):
+        calls["batched"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(tp, "_temper_batched", spy)
+    s_bat.run_string(DECK)
+    assert calls["batched"] == 1
+
+    assert s_bat.temper_accepts == s_seq.temper_accepts
+    for sa, sb in zip(s_seq.replicas, s_bat.replicas):
+        assert sa.step == sb.step == 120
+        # identical math, identical swap ops — bitwise-equal trajectories
+        # on CPU f64 (last_thermo differs by convention: the batched path
+        # re-evaluates thermo AFTER the final swap)
+        assert np.array_equal(np.asarray(sa.state.x),
+                              np.asarray(sb.state.x))
+        assert np.array_equal(np.asarray(sa.state.v),
+                              np.asarray(sb.state.v))

@@ -37,6 +37,10 @@ class NHState:
     omega_dot: jnp.ndarray  # (6,)
     virial: jnp.ndarray     # (6,) from the last force evaluation
     t_target: jnp.ndarray   # scalar — current ramped temperature target
+    ts_start: jnp.ndarray   # scalar — ramp start target (traced so a
+    ts_stop: jnp.ndarray    # replica-stacked ensemble can carry per-lane
+                            # targets through ONE compiled step; = the
+                            # fix's static t_start/t_stop otherwise)
     t0: jnp.ndarray         # scalar — initial T (used by nph omega_mass)
     step: jnp.ndarray       # int32 — global timestep (written by the loop)
     begin: jnp.ndarray      # int32 — run beginstep (set by pre_run)
@@ -143,7 +147,10 @@ class FixNH(Fix):
             etap_dotdot=jnp.zeros((mp,), dt_),
             omega=jnp.zeros((6,), dt_), omega_dot=jnp.zeros((6,), dt_),
             virial=jnp.zeros((6,), dt_),
-            t_target=t_tgt, t0=t_cur.astype(dt_),
+            t_target=t_tgt,
+            ts_start=jnp.asarray(self.t_start if self.tstat else 0.0, dt_),
+            ts_stop=jnp.asarray(self.t_stop if self.tstat else 0.0, dt_),
+            t0=t_cur.astype(dt_),
             step=jnp.zeros((), jnp.int32),
             begin=jnp.zeros((), jnp.int32), end=jnp.zeros((), jnp.int32),
         )
@@ -167,7 +174,7 @@ class FixNH(Fix):
 
     def _temp_target(self, fst, dtype):
         delta = self._delta(fst, dtype)
-        return self.t_start + delta * (self.t_stop - self.t_start)
+        return fst.ts_start + delta * (fst.ts_stop - fst.ts_start)
 
     def _press_target(self, fst, dtype):
         """(p_target (6,), p_hydro) with start->stop ramp; hydro averages
