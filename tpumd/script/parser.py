@@ -510,6 +510,17 @@ class LammpsScript:
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
+        if style == "sphere":
+            # region name sphere x y z r (src/region_sphere.cpp);
+            # lattice-units scaling like block
+            vals = [float(v) for v in a[2:6]]
+            if self.lattice is not None and "units" not in a[6:]:
+                sp = self.lattice.spacing
+                vals = [vals[0] * sp[0], vals[1] * sp[1], vals[2] * sp[2],
+                        vals[3] * sp[0]]
+            from tpumd.core.region import SphereRegion
+            self.regions[name] = SphereRegion(vals[:3], vals[3])
+            return
         if style not in ("block", "prism"):
             raise ScriptError(f"region style {style} not supported yet")
         nv = 6 if style == "block" else 9
@@ -1029,6 +1040,12 @@ class LammpsScript:
         sim = self.sim
         fid, group, style = a[0], a[1], a[2]
         args = a[3:]
+        if style == "neb":
+            # records the band spring + group for the neb command
+            # (src/REPLICA/fix_neb.cpp:57; the projection itself runs
+            # inside the batched band minimizer, tpumd/md/neb.py)
+            self._neb_fix = (group, float(args[0]))
+            return
         # same-ID redeclaration replaces the existing fix
         # (Modify::add_fix "replace" semantics, src/modify.cpp)
         existing = [fx for fx in sim.fixes if getattr(fx, "id", None) == fid]
@@ -1679,6 +1696,70 @@ class LammpsScript:
             sims, temps, nsteps, nevery, int(a[4]), int(a[5]),
             self.sim.units.boltz, log=self.sim._log)
         self.replicas = sims
+
+    def cmd_delete_atoms(self, a):
+        """delete_atoms region <name> (src/delete_atoms.cpp): remove
+        atoms inside a region.  Runs pre-setup on the staged atom
+        buffers; tags renumber sequentially at finalize (the reference's
+        `compress yes` default for atomic systems)."""
+        if a[0] != "region":
+            raise ScriptError(f"delete_atoms style {a[0]!r} not supported"
+                              " (only 'region')")
+        if self.sim is not None and self.sim.state is not None:
+            raise ScriptError("delete_atoms after setup not supported")
+        if any(self._topo_acc.values()):
+            raise ScriptError("delete_atoms with bonded topology would"
+                              " break tag references")
+        reg = self.regions[a[1]]
+        ndel = 0
+        bufs = (self._atoms_x, self._atoms_type, self._atoms_q,
+                self._atoms_mol, self._atoms_image, self._atoms_v,
+                self._atoms_tag)
+        for i, xa in enumerate(self._atoms_x):
+            keep = ~reg.inside(xa)
+            ndel += int((~keep).sum())
+            for buf in bufs:
+                if buf[i] is not None:
+                    buf[i] = buf[i][keep]
+        print(f"Deleted {ndel} atoms")
+
+    def cmd_neb(self, a):
+        """neb etol ftol N1 N2 Nevery final <file> replicas <R>
+        (src/REPLICA/neb.cpp command syntax; `replicas R` replaces the
+        reference's -partition count — the band is a lane axis here,
+        not MPI partitions).  Requires a prior `fix ID group neb K`."""
+        if not hasattr(self, "_neb_fix"):
+            raise ScriptError("neb requires a fix neb command")
+        etol, ftol = float(a[0]), float(a[1])
+        n1, n2, nevery = int(a[2]), int(a[3]), int(a[4])
+        style = a[5]
+        if style != "final":
+            raise ScriptError(f"neb file style {style!r} not supported "
+                              "(only 'final')")
+        path = a[6] if os.path.isabs(a[6]) \
+            else os.path.join(self.data_dir, a[6])
+        kw = dict(zip(a[7::2], a[8::2]))
+        if "replicas" not in kw:
+            raise ScriptError("neb needs 'replicas R' (the reference "
+                              "takes the count from -partition)")
+        nrep = int(kw["replicas"])
+        self._finalize_atoms()
+        sim = self.sim
+        if sim._ctx is None:
+            sim.setup()
+        group, kspring = self._neb_fix
+        n = sim.natoms
+        if group == "all":
+            sim.neb_gsel = np.ones((sim.state.x.shape[0],), bool)
+        else:
+            bit = sim.groups[group]
+            sim.neb_gsel = np.asarray(
+                jax.device_get((sim.state.gmask & bit) > 0))
+        from tpumd.md.neb import neb, read_neb_file
+        tags, xyz = read_neb_file(path, n)
+        self.neb_result = neb(sim, etol, ftol, n1, n2, nevery, tags, xyz,
+                              kspring=kspring, nreplica=nrep,
+                              log=sim._log)
 
     def cmd_run(self, a):
         self._finalize_atoms()
