@@ -163,6 +163,10 @@ class MDState:
     # the special lists — bond forces then cost zero gathers per step
     bond_tags: jnp.ndarray | None = None      # (N, B) int32, 0-padded
     bond_btypes: jnp.ndarray | None = None    # (N, B) int32
+    # registry-declared per-atom fields beyond the named ones above
+    # (AtomVec field registry, tpumd/core/atomvec.py): a dict pytree —
+    # values permute/pad/restart with the atoms via map_per_atom
+    extras: dict = struct.field(default_factory=dict)
 
     @property
     def capacity(self) -> int:
@@ -176,6 +180,28 @@ PER_ATOM_FIELDS = ("x", "v", "f", "type", "tag", "image", "gmask", "q",
                    "bond_tags", "bond_btypes")
 
 
+def iter_per_atom(state: MDState):
+    """(key, array) pairs over every present per-atom field, including
+    registry extras (keys prefixed "extras:")."""
+    out = []
+    for name in PER_ATOM_FIELDS:
+        a = getattr(state, name)
+        if a is not None:
+            out.append((name, a))
+    for k in sorted(state.extras):
+        out.append((f"extras:{k}", state.extras[k]))
+    return out
+
+
+def replace_per_atom(state: MDState, updates: dict) -> MDState:
+    """Inverse of iter_per_atom: apply {key: new array}."""
+    named = {k: v for k, v in updates.items() if not k.startswith("extras:")}
+    ex = {k[7:]: v for k, v in updates.items() if k.startswith("extras:")}
+    if ex:
+        named["extras"] = {**state.extras, **ex}
+    return state.replace(**named)
+
+
 def map_per_atom(state: MDState, fn) -> MDState:
     """Apply fn(array) to every non-None per-atom field."""
     updates = {}
@@ -183,13 +209,18 @@ def map_per_atom(state: MDState, fn) -> MDState:
         a = getattr(state, name)
         if a is not None:
             updates[name] = fn(a)
+    if state.extras:
+        updates["extras"] = {k: fn(v) for k, v in state.extras.items()}
     return state.replace(**updates)
 
 
 def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
                radius=None, rmass=None, omega=None, image=None,
-               dtype=jnp.float64) -> MDState:
-    """Build an MDState from host arrays (no padding)."""
+               extras=None, dtype=jnp.float64) -> MDState:
+    """Build an MDState from host arrays (no padding).
+
+    extras: {name: host array} of registry-declared per-atom fields
+    beyond the named ones (AtomVec field registry, core/atomvec.py)."""
     n = x.shape[0]
     x = jnp.asarray(x, dtype=dtype)
     v = jnp.asarray(v, dtype=dtype)
@@ -216,6 +247,10 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
         omega=(jnp.zeros_like(x) if sphere and omega is None
                else None if omega is None else jnp.asarray(omega, dtype=dtype)),
         torque=jnp.zeros_like(x) if sphere else None,
+        extras={} if not extras else {
+            k: jnp.asarray(a, jnp.int32 if np.issubdtype(
+                np.asarray(a).dtype, np.integer) else dtype)
+            for k, a in extras.items()},
     )
 
 

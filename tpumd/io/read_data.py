@@ -13,7 +13,8 @@ import dataclasses
 import numpy as np
 
 _HEADER_KEYS = [
-    ("atoms", "natoms"), ("bonds", "nbonds"), ("angles", "nangles"),
+    ("atoms", "natoms"), ("ellipsoids", "nellipsoids"),
+    ("bonds", "nbonds"), ("angles", "nangles"),
     ("dihedrals", "ndihedrals"), ("impropers", "nimpropers"),
     ("atom types", "natomtypes"), ("bond types", "nbondtypes"),
     ("angle types", "nangletypes"), ("dihedral types", "ndihedraltypes"),
@@ -33,6 +34,7 @@ _SECTIONS = {
 @dataclasses.dataclass
 class DataFile:
     natoms: int = 0
+    nellipsoids: int = 0
     nbonds: int = 0
     nangles: int = 0
     ndihedrals: int = 0
@@ -60,6 +62,8 @@ class DataFile:
     dihedrals: np.ndarray = None       # (nd, 5)
     impropers: np.ndarray = None       # (ni, 5)
     coeffs: dict = dataclasses.field(default_factory=dict)
+    # registry-declared fields beyond the named attrs (AtomVec registry)
+    fields: dict = dataclasses.field(default_factory=dict)
 
 
 def read_data(path: str, atom_style: str = "atomic") -> DataFile:
@@ -107,17 +111,11 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
     d.types = np.zeros(n, dtype=np.int32)
     d.image = np.zeros((n, 3), dtype=np.int32)
     d.masses = np.zeros(d.natomtypes + 1)
-    has_mol = atom_style in ("bond", "angle", "molecular", "full")
-    has_q = atom_style in ("charge", "full")
-    sphere = atom_style == "sphere"
-    if has_mol:
-        d.molecule = np.zeros(n, dtype=np.int32)
-    if has_q:
-        d.q = np.zeros(n)
-    if sphere:
-        d.radius = np.zeros(n)
-        d.rmass = np.zeros(n)
-        d.omega = np.zeros((n, 3))
+    # AtomVec field registry drives per-style columns and sections
+    from tpumd.core.atomvec import alloc_fields, get_style
+    style = get_style(atom_style)
+    fields = alloc_fields(style, n)
+    body_sections = set(_SECTIONS) | set(style.sections)
 
     def parse_rows(start, count, ncols_min):
         rows = []
@@ -136,9 +134,16 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
             i += 1
             continue
         section = line
-        if section not in _SECTIONS:
+        if section not in body_sections:
             raise ValueError(f"Unknown data-file section: {section!r}")
         i += 1
+        if section in style.sections:
+            count = getattr(d, f"n{section.lower()}", n)
+            rows, i = parse_rows(i, count, 2)
+            hook = style.sections[section]
+            for r in rows:
+                hook(fields, r, int(r[0]) - 1)
+            continue
         if section == "Masses":
             rows, i = parse_rows(i, d.natomtypes, 2)
             for r in rows:
@@ -148,31 +153,23 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
             for r in rows:
                 tag = int(r[0])
                 k = tag - 1
-                col = 1
-                if has_mol:
-                    d.molecule[k] = int(r[col]); col += 1
-                d.types[k] = int(r[col]); col += 1
-                if has_q:
-                    d.q[k] = float(r[col]); col += 1
-                if sphere:
-                    # id type diameter density x y z (atom_vec_sphere
-                    # data_atom): rmass = pi/6 rho d^3, or rho if d == 0
-                    diam = float(r[col]); col += 1
-                    dens = float(r[col]); col += 1
-                    d.radius[k] = 0.5 * diam
-                    d.rmass[k] = (np.pi / 6.0 * dens * diam**3
-                                  if diam > 0 else dens)
-                d.x[k] = [float(r[col]), float(r[col + 1]), float(r[col + 2])]
-                col += 3
-                if len(r) >= col + 3:
-                    d.image[k] = [int(r[col]), int(r[col + 1]), int(r[col + 2])]
+                parsed = style.data_atom(r[1:])
+                imgcol = parsed.pop("_imgcol") + 1
+                d.types[k] = parsed.pop("type")
+                d.x[k] = parsed.pop("x")
+                for name, val in parsed.items():
+                    fields[name][k] = val
+                if len(r) >= imgcol + 3:
+                    d.image[k] = [int(r[imgcol]), int(r[imgcol + 1]),
+                                  int(r[imgcol + 2])]
         elif section == "Velocities":
             rows, i = parse_rows(i, n, 4)
             for r in rows:
                 k = int(r[0]) - 1
                 d.v[k] = [float(r[1]), float(r[2]), float(r[3])]
-                if sphere and len(r) >= 7:
-                    d.omega[k] = [float(r[4]), float(r[5]), float(r[6])]
+                if style.data_vel is not None and len(r) > 4:
+                    for name, val in style.data_vel(r[4:]).items():
+                        fields[name][k] = val
         elif section in ("Bonds", "Angles", "Dihedrals", "Impropers"):
             count = {"Bonds": d.nbonds, "Angles": d.nangles,
                      "Dihedrals": d.ndihedrals, "Impropers": d.nimpropers}[section]
@@ -200,6 +197,15 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
             }
             rows, i = parse_rows(i, counts[section], 2)
             d.coeffs[section] = rows
+
+    if style.post is not None:
+        style.post(fields)
+    # named DataFile attrs keep their legacy spots; the rest (ellipsoid
+    # shape/quat/angmom, plugin fields) ride the generic dict
+    for name in ("q", "molecule", "radius", "rmass", "omega"):
+        if name in fields:
+            setattr(d, name, fields.pop(name))
+    d.fields = fields
     return d
 
 

@@ -37,6 +37,8 @@ def write_restart(sim, path: str):
         payload["q"] = np.asarray(jax.device_get(s.q))
     if s.molecule is not None:
         payload["molecule"] = np.asarray(jax.device_get(s.molecule))
+    for k, a in s.extras.items():   # AtomVec registry fields
+        payload[f"extra_{k}"] = np.asarray(jax.device_get(a))
     # fix states (NH chains etc.) flattened
     for i, fst in enumerate(fstates):
         for j, leaf in enumerate(jax.tree.leaves(fst)):
@@ -82,6 +84,8 @@ def read_restart(sim, path: str):
         tags=data["tag"][:n],
         q=data["q"][:n] if "q" in data else None,
         molecule=data["molecule"][:n] if "molecule" in data else None,
+        extras={k[6:]: data[k][:n] for k in data.files
+                if k.startswith("extra_")},
         dtype=sim.dtype)
     sim.state = sim.state.replace(
         f=jnp.asarray(data["f"][:n], dtype=sim.dtype),

@@ -198,14 +198,11 @@ def apply_permutation_compact(state: MDState, src, dst,
     TPU row ops cost ~1.7 ms per CALL at 32k rows nearly independent of
     width, so in f32 mode the int32 fields are bitcast into the float
     table and the whole state moves in ONE gather + ONE scatter."""
-    from tpumd.core.state import PER_ATOM_FIELDS
+    from tpumd.core.state import iter_per_atom, replace_per_atom
     fdt = state.x.dtype
     fuse_ints = fdt == jnp.float32
     groups: dict = {}
-    for name in PER_ATOM_FIELDS:
-        a = getattr(state, name)
-        if a is None:
-            continue
+    for name, a in iter_per_atom(state):
         key = fdt if (fuse_ints and a.dtype == jnp.int32) else a.dtype
         groups.setdefault(key, []).append((name, a))
     updates = {}
@@ -227,7 +224,7 @@ def apply_permutation_compact(state: MDState, src, dst,
                 col = jax.lax.bitcast_convert_type(col, a.dtype)
             updates[name] = col.reshape((capacity,) + a.shape[1:])
             off += w
-    return state.replace(**updates)
+    return replace_per_atom(state, updates)
 
 
 def apply_permutation(state: MDState, perm, valid_new) -> MDState:
@@ -236,13 +233,11 @@ def apply_permutation(state: MDState, perm, valid_new) -> MDState:
     Gather cost on TPU is per ROW, so all same-dtype fields are packed
     into one wide table and gathered together (two gathers total: floats
     + ints) instead of one gather per field."""
-    from tpumd.core.state import PER_ATOM_FIELDS
+    from tpumd.core.state import iter_per_atom, replace_per_atom
     idx = jnp.maximum(perm, 0)
     groups: dict = {}
-    for name in PER_ATOM_FIELDS:
-        a = getattr(state, name)
-        if a is not None:
-            groups.setdefault(a.dtype, []).append((name, a))
+    for name, a in iter_per_atom(state):
+        groups.setdefault(a.dtype, []).append((name, a))
     updates = {}
     for dt_, fields in groups.items():
         flat = [a.reshape(a.shape[0], -1) for _, a in fields]
@@ -255,7 +250,7 @@ def apply_permutation(state: MDState, perm, valid_new) -> MDState:
             updates[name] = out[:, off:off + w].reshape(
                 (idx.shape[0],) + a.shape[1:])
             off += w
-    return state.replace(**updates)
+    return replace_per_atom(state, updates)
 
 
 def pad_state(state: MDState, capacity: int) -> MDState:

@@ -484,6 +484,8 @@ class LammpsScript:
         self._require_sim().dimension = int(a[0])
 
     def cmd_atom_style(self, a):
+        from tpumd.core.atomvec import get_style
+        get_style(a[0])   # validates against the AtomVec registry
         self.atom_style = a[0]
 
     def cmd_boundary(self, a):
@@ -2055,7 +2057,7 @@ class LammpsScript:
         sim.state = make_state(d.x, d.v, d.types, box, q=d.q,
                                molecule=d.molecule, radius=d.radius,
                                rmass=d.rmass, omega=d.omega,
-                               dtype=self.dtype)
+                               extras=d.fields, dtype=self.dtype)
         sim.state = sim.state.replace(
             image=jnp.asarray(d.image, dtype=jnp.int32))
         sim.topology = {}
