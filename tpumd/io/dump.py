@@ -194,3 +194,118 @@ class Dump:
             fmt = " ".join("%d" if f in int_fields else self.float_fmt
                            for f in self.fields)
             np.savetxt(fh, mat, fmt=fmt)
+
+
+class DumpLocal(Dump):
+    """dump local: rows of local (per-bond/per-pair) compute/fix data
+    (src/dump_local.cpp).  Fields are index / c_ID[n] / f_ID[n]."""
+
+    def __init__(self, dump_id, group, style, every, path, fields=None):
+        super().__init__(dump_id, group, style, every, path, fields)
+        self.fields = fields or ["index"]
+
+    def write(self, sim):
+        cols = []
+        nrows = None
+        for name in self.fields:
+            if name == "index":
+                cols.append(None)   # filled once nrows is known
+                continue
+            if not name.startswith(("c_", "f_")):
+                raise ValueError(f"dump local field {name!r} must be a "
+                                 "compute/fix reference")
+            base = name[2:]
+            colidx = None
+            if "[" in base:
+                base, rest = base.split("[", 1)
+                colidx = int(rest.rstrip("]")) - 1
+            if name.startswith("c_"):
+                out = np.asarray(sim.computes[base].evaluate(sim))
+            else:
+                fxs = [fx for fx in sim.fixes
+                       if getattr(fx, "id", None) == base]
+                out = np.asarray(fxs[0].output(sim))
+            if out.ndim == 1:
+                out = out[:, None]
+            col = out[:, colidx if colidx is not None else 0]
+            if nrows is None:
+                nrows = len(col)
+            elif len(col) != nrows:
+                raise ValueError("dump local columns disagree on length")
+            cols.append(col)
+        nrows = nrows or 0
+        cols = [np.arange(1, nrows + 1) if c is None else c for c in cols]
+        lo = np.asarray(jax.device_get(sim.state.box.lo), np.float64)
+        hi = np.asarray(jax.device_get(sim.state.box.hi), np.float64)
+        path = self.path.replace("*", str(sim.step))
+        mode = "w" if ("*" in self.path or not self._opened) else "a"
+        self._opened = True
+        with open(path, mode) as fh:
+            fh.write("ITEM: TIMESTEP\n%d\n" % sim.step)
+            fh.write("ITEM: NUMBER OF ENTRIES\n%d\n" % nrows)
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                fh.write(f"{lo[d]:.16e} {hi[d]:.16e}\n")
+            fh.write("ITEM: ENTRIES " + " ".join(self.fields) + "\n")
+            if nrows:
+                np.savetxt(fh, np.column_stack(cols), fmt=self.float_fmt)
+
+
+class DumpCFG(Dump):
+    """dump cfg: AtomEye extended CFG snapshots (src/dump_cfg.cpp).
+    Fields MUST start with 'mass type xs ys zs' like the reference."""
+
+    def __init__(self, dump_id, group, style, every, path, fields=None):
+        required = ["mass", "type", "xs", "ys", "zs"]
+        if fields is None or fields[:5] != required:
+            raise ValueError("dump cfg arguments must start with "
+                             "'mass type xs ys zs'")
+        super().__init__(dump_id, group, "custom", every, path,
+                         fields=required[1:] + fields[5:])
+        self.style = "cfg"
+        self.elements = None
+
+    def modify(self, args):
+        if isinstance(args, (list, tuple)) and args and \
+                args[0] == "element":
+            self.elements = list(args[1:])
+            return
+        super().modify(args)
+
+    def write(self, sim):
+        cols, lo, hi, n = self._columns(sim)
+        typ = cols["type"].astype(int)
+        mass = sim.mass[typ]
+        path = self.path.replace("*", str(sim.step))
+        aux = [f for f in self.fields if f not in
+               ("type", "xs", "ys", "zs")]
+        ell = hi - lo
+        tilt = np.asarray(jax.device_get(sim.state.box.tilt), np.float64)
+        with open(path, "w") as fh:
+            # header layout per DumpCFG::write_header
+            # (src/dump_cfg.cpp:114-147): tilt in the lower triangle,
+            # default element name "C" (dump_cfg.cpp:130)
+            fh.write(f"Number of particles = {n}\n")
+            fh.write("A = 1 Angstrom (basic length-scale)\n")
+            fh.write(f"H0(1,1) = {ell[0]:g} A\n")
+            fh.write("H0(1,2) = 0 A\nH0(1,3) = 0 A\n")
+            fh.write(f"H0(2,1) = {tilt[0]:g} A\n")
+            fh.write(f"H0(2,2) = {ell[1]:g} A\n")
+            fh.write("H0(2,3) = 0 A\n")
+            fh.write(f"H0(3,1) = {tilt[1]:g} A\n")
+            fh.write(f"H0(3,2) = {tilt[2]:g} A\n")
+            fh.write(f"H0(3,3) = {ell[2]:g} A\n")
+            fh.write(".NO_VELOCITY.\n")
+            fh.write(f"entry_count = {3 + len(aux)}\n")
+            for k, name in enumerate(aux):
+                fh.write(f"auxiliary[{k}] = {name}\n")
+            # mass + element lines per atom (DumpCFG::write_lines,
+            # src/dump_cfg.cpp:243-267)
+            for i in range(n):
+                t = typ[i]
+                fh.write(f"{mass[i]:f} \n")
+                el = self.elements[t - 1] if self.elements else "C"
+                fh.write(f"{el} \n")
+                row = [cols["xs"][i], cols["ys"][i], cols["zs"][i]] + \
+                    [cols[a][i] for a in aux]
+                fh.write(" ".join(f"{v:.8g}" for v in row) + "\n")

@@ -297,10 +297,13 @@ def create_compute(cid, group, style, args=()):
     from tpumd.md import compute_pair as cp
     arg_styles = dict(_ARG_STYLES)
     from tpumd.md import compute_struct as cs
+    from tpumd.md import compute_local as cl
     arg_styles.update({c.style: c for c in (
         cp.ComputeRDF, cp.ComputeCoordAtom, cp.ComputeClusterAtom,
         cp.ComputeGroupGroup, cp.ComputeHeatFlux, cs.ComputeCNAAtom,
-        cs.ComputeCentroAtom, cs.ComputeOrientOrderAtom)})
+        cs.ComputeCentroAtom, cs.ComputeOrientOrderAtom,
+        cl.ComputePropertyLocal, cl.ComputeBondLocal,
+        cl.ComputeAngleLocal)})
     if style in arg_styles:
         return arg_styles[style](cid, group, args)
     styles = dict(_STYLES)

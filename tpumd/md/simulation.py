@@ -196,10 +196,18 @@ class Simulation:
         mass_np = np.asarray(self.mass, dtype=np.float64).copy()
         mass_np[0] = 1.0  # padded slots: finite mass, zero force
         mass_table = jnp.asarray(mass_np, dtype=self.dtype)
-        sl = None if self.special_lj is None else jnp.asarray(
-            self.special_lj, dtype=self.dtype)
-        sc = None if self.special_coul is None else jnp.asarray(
-            self.special_coul, dtype=self.dtype)
+        # special_bonds default is 0 0 0 (Force::Force, src/force.cpp:61)
+        # — bonded neighbors are EXCLUDED from pair interactions unless
+        # the script overrides the weights
+        slj = self.special_lj
+        scl = self.special_coul
+        if self.special_tags is not None:
+            if slj is None:
+                slj = np.array([1.0, 0.0, 0.0, 0.0])
+            if scl is None:
+                scl = np.array([1.0, 0.0, 0.0, 0.0])
+        sl = None if slj is None else jnp.asarray(slj, dtype=self.dtype)
+        sc = None if scl is None else jnp.asarray(scl, dtype=self.dtype)
         return StepContext(
             units=self.units, dt=self.dt, neigh_cfg=cfg,
             pair=self.pair,

@@ -1791,6 +1791,16 @@ class LammpsScript:
             sim.dumps.append(DumpImage(did, group, style, every, path,
                                        args=a[5:]))
             return
+        if style == "local":
+            from tpumd.io.dump import DumpLocal
+            sim.dumps.append(DumpLocal(did, group, style, every, path,
+                                       list(a[5:])))
+            return
+        if style == "cfg":
+            from tpumd.io.dump import DumpCFG
+            sim.dumps.append(DumpCFG(did, group, style, every, path,
+                                     list(a[5:])))
+            return
         fields = a[5:] if style == "custom" else None
         sim.dumps.append(Dump(did, group, style, every, path, fields))
 
