@@ -38,6 +38,8 @@ def write_restart(sim, path: str):
     if s.molecule is not None:
         payload["molecule"] = np.asarray(jax.device_get(s.molecule))
     for k, a in s.extras.items():   # AtomVec registry fields
+        if k.startswith("_"):       # derived tables (rebuilt at setup)
+            continue
         payload[f"extra_{k}"] = np.asarray(jax.device_get(a))
     # fix states (NH chains etc.) flattened
     for i, fst in enumerate(fstates):

@@ -8,6 +8,7 @@ each segment as one compiled scan on device.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -221,10 +222,56 @@ class Simulation:
             respa=self.respa,
             kernel_bond=self._kernel_bond,
             kernel_bond_excl=self._kernel_bond_excl,
+            bonded_grid=self._bonded_grid_on,
         )
 
     _kernel_bond = None
     _kernel_bond_excl = False
+    # opt-in gather-free bonded path for sharded molecular runs
+    # (ops/cellgrid_tuples.py); default off — the row2slot gather view is
+    # faster single-chip
+    bonded_grid = os.environ.get("TPUMD_BONDED_GRID", "") == "1"
+    _bonded_grid_on = False
+
+    def _setup_grid_tuples(self, mode, shake_excl):
+        """Install per-atom member-tag tables for the tag-matched bonded
+        path (state.extras '_bt_*'; they permute with the atoms)."""
+        self._bonded_grid_on = False
+        stale = {k: v for k, v in self.state.extras.items()
+                 if not k.startswith("_bt_")}
+        if len(stale) != len(self.state.extras):
+            self.state = self.state.replace(extras=stale)
+        if (mode != "cellgrid" or not self.bonded_grid
+                or not self.topology):
+            return
+        from tpumd.ops import cellgrid_tuples as ct
+        styles = [b for b in self.bonded if b is not self._kernel_bond]
+        arities = {}
+        for b in styles:
+            if b.kind in arities:
+                raise ValueError("bonded_grid supports one style per "
+                                 "tuple kind (no hybrid)")
+            arities[b.kind] = b.arity
+        topo = {k: v for k, v in self.topology.items() if k in arities}
+        if not topo:
+            return
+        excl = {k: set(v) for k, v in (shake_excl or {}).items()}
+        x_now = np.asarray(jax.device_get(self.state.x), np.float64)
+        tags = np.asarray(jax.device_get(self.state.tag))
+        x_tag = np.zeros_like(x_now)
+        x_tag[tags - 1] = x_now
+        # the stencil reaches one cell edge and cells are at least
+        # cutneigh across (auto cell-size factor >= 1), so a span under
+        # cutneigh is always matchable
+        reach = self.max_cutoff() + self.skin
+        ct.validate_tuple_span(x_tag, topo, arities, self.state.box,
+                               reach, excl)
+        tables = ct.build_tuple_tables(self.natoms, topo, arities, excl)
+        row_tables = {k: jnp.asarray(v[tags - 1])
+                      for k, v in tables.items()}
+        self.state = self.state.replace(
+            extras={**self.state.extras, **row_tables})
+        self._bonded_grid_on = True
 
     def _setup_kernel_bond(self, mode, shake_excl):
         """Route an eligible 2-body bond style into the grid kernel:
@@ -424,6 +471,7 @@ class Simulation:
                 tip_rows[tags] = np.arange(self.natoms)
             self.pair.setup_tip4p(self, tip_rows)
         self._setup_kernel_bond(mode, excl)
+        self._setup_grid_tuples(mode, excl)
         self._consts = (tuple(b.device_incidence()
                               for b in self.bonded
                               if b is not self._kernel_bond)

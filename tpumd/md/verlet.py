@@ -52,6 +52,10 @@ class StepContext:
     # the kernel drops the special pass and uses the bond hit directly
     kernel_bond: Any = None
     kernel_bond_excl: bool = False
+    # gather-free bonded tuples on the sharded grid: member positions
+    # found by tag matching over the 27-stencil (ops/cellgrid_tuples.py)
+    # instead of global incidence gathers — O(halo) comm under z-slabs
+    bonded_grid: bool = False
 
     def mass_per_atom(self, s: MDState):
         if s.rmass is not None:
@@ -168,6 +172,26 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             virial = virial + vir
 
     bconsts = consts if consts is not None else (None,) * len(ctx.bonded)
+    if ctx.bonded and ctx.is_cellgrid and ctx.bonded_grid \
+            and eflag != "atom":
+        # gather-free tag-matched bonded path (O(halo) under sharding);
+        # the occasional per-atom-tally eval keeps the row2slot view
+        from tpumd.ops.cellgrid_tuples import compute_bonded_grid
+        fb, ed, vir, _ = compute_bonded_grid(s, ctx, consts, eflag, vflag)
+        f = f + fb
+        if eflag and ed:
+            for key, val in ed.items():
+                energies[key] = energies[key] + val
+        if vflag and vir is not None:
+            virial = virial + vir
+        if ctx.kspace is not None:
+            fk, ek, vir = ctx.kspace.compute(s, eflag, vflag)
+            f = f + fk
+            if eflag:
+                energies["elong"] = ek
+            if vflag:
+                virial = virial + vir
+        return f, energies, virial, neigh, torque
     if ctx.bonded and ctx.is_cellgrid:
         # bonded terms evaluate on a canonical tag-order view of the
         # grid-permuted atoms (incidence lists are built in tag space).

@@ -145,6 +145,34 @@ class BondStyle(BondedStyle):
             ])
         return f, e, virial
 
+    def reduce_from_xs(self, xs, typ_j, role_j, mask_j, box, ctx,
+                       eflag, vflag, s=None, idx=None,
+                       member_type=None, member_q=None):
+        """Grid tag-matched path: tally from member positions (the
+        incidence-free twin of compute(); same 1/2 shares)."""
+        d = minimum_image(xs[0] - xs[1], box)
+        r2 = jnp.sum(d * d, axis=-1)
+        r2 = jnp.where(mask_j, r2, jnp.ones_like(r2))
+        fbond, ebond = self.bond_fn(r2, typ_j)
+        fbond = jnp.where(mask_j, fbond, 0)
+        sign = jnp.where(role_j == 0, 1.0, -1.0).astype(d.dtype)
+        f = jnp.sum(d * (sign * fbond)[:, :, None], axis=1)
+        e = None
+        virial = None
+        if eflag:
+            e = {self.energy_key:
+                 0.5 * jnp.sum(jnp.where(mask_j, ebond, 0))}
+        if vflag:
+            virial = 0.5 * jnp.stack([
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 0]),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 1]),
+                jnp.sum(fbond * d[:, :, 2] * d[:, :, 2]),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 1]),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 2]),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 2]),
+            ])
+        return f, e, virial
+
 
 @register_bonded("bond", "harmonic")
 class BondHarmonic(BondStyle):
@@ -292,9 +320,18 @@ class TupleStyle(BondedStyle):
         inc = consts if consts is not None else self.device_incidence()
         idx_j, typ_j, role_j, mask_j = inc
         xs = [s.x[idx_j[:, :, r]] for r in range(self.arity)]
+        return self.reduce_from_xs(xs, typ_j, role_j, mask_j, s.box, ctx,
+                                   eflag, vflag, s=s, idx=idx_j)
+
+    def reduce_from_xs(self, xs, typ_j, role_j, mask_j, box, ctx,
+                       eflag, vflag, s=None, idx=None,
+                       member_type=None, member_q=None):
+        """Tally from member positions directly — shared by the
+        incidence-gather path and the grid tag-matched path (which has
+        no global indices: member_type/member_q replace s.type[idx])."""
         flist, ed, vpairs, extra = self.tuple_terms(
-            xs, typ_j, s.box, ctx, eflag, vflag, s=s, idx=idx_j, mask=mask_j,
-            role=role_j)
+            xs, typ_j, box, ctx, eflag, vflag, s=s, idx=idx, mask=mask_j,
+            role=role_j, member_type=member_type, member_q=member_q)
         # select this atom's own force by role
         f_own = jnp.zeros_like(xs[0])
         for r in range(self.arity):
@@ -366,7 +403,7 @@ class AngleHarmonic(AngleStyle):
     k_ub = None
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         x1, x2, x3 = xs
         d1 = _mi(x1 - x2, box)
@@ -492,7 +529,7 @@ class DihedralHarmonic(DihedralStyle):
         return cos_shift, sin_shift
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         (vb1, vb2, vb2m, vb3, a, b, rg, rginv,
          ra2inv, rb2inv, c, sv) = _dihedral_geometry(xs, box)
@@ -553,7 +590,7 @@ class DihedralCharmm(DihedralHarmonic):
         return np.cos(rad), np.sin(rad)
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         flist, ed, vp, _ = super().tuple_terms(
             xs, ttype, box, ctx, eflag, vflag, s=s, idx=idx, mask=mask)
         # ---- 1-4 nonbonded term between atoms 1 and 4 -------------------
@@ -564,10 +601,18 @@ class DihedralCharmm(DihedralHarmonic):
         lj14_2 = jnp.asarray(pair.lj14_2, dt_)
         lj14_3 = jnp.asarray(pair.lj14_3, dt_)
         lj14_4 = jnp.asarray(pair.lj14_4, dt_)
-        it = s.type[idx[:, :, 0]]
-        jt = s.type[idx[:, :, 3]]
-        q1 = s.q[idx[:, :, 0]]
-        q4 = s.q[idx[:, :, 3]]
+        mt = kw.get("member_type")
+        mq = kw.get("member_q")
+        if mt is not None:
+            # grid tag-matched path: member type/charge matched alongside
+            # positions (no global indices exist)
+            it, jt = mt[:, :, 0], mt[:, :, 3]
+            q1, q4 = mq[:, :, 0], mq[:, :, 3]
+        else:
+            it = s.type[idx[:, :, 0]]
+            jt = s.type[idx[:, :, 3]]
+            q1 = s.q[idx[:, :, 0]]
+            q4 = s.q[idx[:, :, 3]]
         d14 = _mi(xs[0] - xs[3], box)
         rsq = jnp.sum(d14 * d14, -1)
         r2inv = 1.0 / jnp.maximum(rsq, 1e-30)
@@ -622,7 +667,7 @@ class ImproperHarmonic(ImproperStyle):
         self.chi[itype] = chi_deg * np.pi / 180.0
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         x1, x2, x3, x4 = xs
         vb1 = _mi(x1 - x2, box)
@@ -738,7 +783,7 @@ class AngleCosine(AngleStyle):
         self.k[atype] = k
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         x1, x2, x3 = xs
         d1 = _mi(x1 - x2, box)
@@ -777,7 +822,7 @@ class AngleCosineSquared(AngleStyle):
         self.theta0[atype] = theta0_deg * np.pi / 180.0
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         x1, x2, x3 = xs
         d1 = _mi(x1 - x2, box)
@@ -884,7 +929,7 @@ class AngleZero(AngleStyle):
             self.theta0[atype] = float(vals[0]) * np.pi / 180.0
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         z3 = [jnp.zeros_like(xs[0])] * 3
         e = jnp.zeros(xs[0].shape[:-1], xs[0].dtype)
         ed = {self.energy_key: e} if eflag else None
@@ -969,7 +1014,7 @@ class DihedralOPLS(DihedralStyle):
         self.k[:, dtype_] = 0.5 * np.array([k1, k2, k3, k4])
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         geo = _sbs_geometry(xs, box)
         c = geo[-1]
@@ -1007,7 +1052,7 @@ class DihedralMultiHarmonic(DihedralStyle):
         self.a[:, dtype_] = (a1, a2, a3, a4, a5)
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         geo = _sbs_geometry(xs, box)
         c = geo[-1]
@@ -1033,7 +1078,7 @@ class DihedralZero(DihedralStyle):
         pass
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         z = [jnp.zeros_like(xs[0])] * 4
         e = jnp.zeros(xs[0].shape[:-1], xs[0].dtype)
         ed = {self.energy_key: e} if eflag else None
@@ -1058,7 +1103,7 @@ class ImproperCVFF(ImproperStyle):
         self.mult[itype] = int(n)
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         geo = _sbs_geometry(xs, box)
         c = geo[-1]
@@ -1119,7 +1164,7 @@ class ImproperUmbrella(ImproperStyle):
         self.C[itype] = k / (np.sin(w) ** 2) if w != 0.0 else k
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         dt_ = xs[0].dtype
         x1, x2, x3, x4 = xs
         vb1 = _mi(x2 - x1, box)
@@ -1180,7 +1225,7 @@ class ImproperZero(ImproperStyle):
         pass
 
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         z = [jnp.zeros_like(xs[0])] * 4
         e = jnp.zeros(xs[0].shape[:-1], xs[0].dtype)
         ed = {self.energy_key: e} if eflag else None
@@ -1250,7 +1295,7 @@ class BondHybrid(_BondedHybridMixin, BondStyle):
 
 class _TupleHybrid(_BondedHybridMixin):
     def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None):
+                    idx=None, mask=None, role=None, **kw):
         tm = jnp.asarray(self.type_map)[ttype]
         fl = None
         ed_acc = None
