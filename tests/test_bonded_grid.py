@@ -157,3 +157,37 @@ def test_molecular_force_eval_is_halo_only(tmp_path):
     txt = fn.lower(st, neigh).compile().as_text()
     assert len(re.findall(r"\ball-gather", txt)) == 0
     assert len(re.findall(r"\bcollective-permute", txt)) > 0
+
+
+def test_sharded_water_pppm_cellgrid():
+    """The full molecular+kspace stack (harmonic bonds, charmm angles,
+    lj/charmm/coul/long pairs, PPPM) on the SHARDED cellgrid with the
+    tag-matched bonded path: decomposition invariance at 1e-10 (VERDICT
+    r2 weak #9: the rhodo-class stack's multi-chip path)."""
+    from tpumd.md.verlet import run_segment
+    from tpumd.parallel.mesh import make_mesh, shard_carry
+    golden = os.path.join(os.path.dirname(__file__), "golden", "water_nve")
+    s = LammpsScript()
+    s.data_dir = golden
+    with open(os.path.join(golden, "in.test")) as fh:
+        deck = fh.read()
+    deck = "\n".join(l for l in deck.splitlines()
+                     if not l.startswith(("dump", "run")))
+    deck = deck.replace("read_data       data.water",
+                        "read_data       data.water\nreplicate 2 2 2")
+    s.run_string(deck)
+    sim = s.sim
+    sim.verbose = False
+    sim.neighbor_mode = "cellgrid"
+    sim.bonded_grid = True
+    sim._ctx = None
+    sim.setup()
+    assert sim._ctx.bonded_grid and sim._ctx.is_cellgrid
+    ref = run_segment(sim._carry, sim._ctx, 3, consts=sim._consts)
+    mesh = make_mesh(8)
+    out = run_segment(shard_carry(sim._carry, mesh), sim._ctx, 3,
+                      consts=sim._consts)
+    np.testing.assert_allclose(np.asarray(out[0].x), np.asarray(ref[0].x),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out[0].v), np.asarray(ref[0].v),
+                               rtol=1e-10, atol=1e-10)
