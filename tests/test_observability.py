@@ -131,3 +131,63 @@ run 0
     v = sim.thermo_values()
     assert eatom.sum() == pytest.approx(
         (v["epair"] + v["emol"]) * sim.natoms, rel=1e-9)
+
+
+def test_timer_full_breakdown_sums():
+    """timer full: measured categories must cover the loop time
+    (Timer::NORMAL breakdown, src/timer.h:23-44, src/finish.cpp)."""
+    from tpumd.script.parser import LammpsScript
+    s = LammpsScript()
+    s.run_string("""
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 6 0 6 0 6
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+neigh_modify    delay 0 every 5 check no
+fix             1 all nve
+timer           full sync
+run             40
+""")
+    t = s.sim.timer_table
+    parts = sum(v for k, v in t.items()
+                if k not in ("per_step", "coverage"))
+    # categories sum to the loop per-step time by construction; the
+    # MEASURED pieces (step + neigh rebuilds) must genuinely cover most
+    # of it (5% criterion on real hardware; CPU test is looser because
+    # dispatch overhead inflates per_step at this tiny size)
+    assert abs(parts - t["per_step"]) < 1e-9
+    assert t["coverage"] > 0.5
+    for k, v in t.items():
+        assert v >= 0
+
+
+def test_timer_timeout_stops_run():
+    from tpumd.script.parser import LammpsScript
+    s = LammpsScript()
+    s.run_string("""
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 6 0 6 0 6
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+neigh_modify    delay 0 every 5 check no
+fix             1 all nve
+thermo          5
+timer           loop timeout 0:00 every 1
+run             100
+""")
+    # timeout 0 seconds: the run must stop at the first segment boundary
+    assert s.sim.step < 100

@@ -89,6 +89,10 @@ class Simulation:
     _natoms = None
     _consts = None
     script = None
+    timer_full = False
+    timer_sync = False          # timer sync: device_get per segment
+    timer_timeout = None        # wall-clock limit in seconds
+    timer_every = 10            # timeout check granularity (segments)
 
     def mass_per_atom_np(self):
         if self.state.rmass is not None:
@@ -734,6 +738,11 @@ class Simulation:
                 break
             s, neigh, fstates, istep = carry[:4]
             self._carry = carry
+            if self.timer_sync:
+                # timer sync: block at every segment boundary so the
+                # thermo-interval wall times are honest (Timer::_stamp
+                # sync levels, src/timer.cpp:128-146)
+                jax.device_get(carry[0].x[0])
             self.state = s
             self.step = nxt
             if self._barostat_active():
@@ -769,6 +778,13 @@ class Simulation:
                 ctx = self._ctx
             if getattr(self, "_halt", None):
                 self._log(self._halt)
+                break
+            # timer timeout: stop cleanly at a segment boundary
+            # (Timer::check_timeout, src/timer.cpp:190-214)
+            if self.timer_timeout is not None and \
+                    time.perf_counter() - self._cpu_start \
+                    > self.timer_timeout:
+                self._log("Wall time limit reached")
                 break
         # device_get forces completion (block_until_ready is unreliable on
         # the remote-tunnel TPU backend)
@@ -847,18 +863,36 @@ class Simulation:
                 special_codes=s.special_codes, tag=s.tag,
                 gmask=s.gmask)[0])
             t_build = timeit(lambda: build_fn(s.x))
+        # the full compiled step (no-rebuild branch) measures the
+        # Integrate/Fix share directly — categories then SUM to the
+        # measured per-step time instead of leaving an unexplained gap
+        from tpumd.md.verlet import make_step_fn
+        step = make_step_fn(ctx, self._consts)
+        carry0 = self._carry
+        step_fn = jax.jit(lambda c: step(c, None)[0])
+        t_step = timeit(lambda: step_fn(carry0))
+
         nbuilds = max(int(jax.device_get(neigh.nbuilds)) - 1, 0)
         per_step = elapsed / max(nsteps, 1)
-        pair_pct = 100 * max(t_force - t_bond - t_kspace, 0.0) / per_step
-        bond_pct = 100 * t_bond / per_step
-        ks_pct = 100 * t_kspace / per_step
-        neigh_pct = 100 * t_build * nbuilds / max(nsteps, 1) / per_step
-        other = max(0.0, 100 - pair_pct - bond_pct - ks_pct - neigh_pct)
-        self._log(f"Timing breakdown (approx): Pair {pair_pct:.1f}% | "
-                  f"Bond {bond_pct:.1f}% | Kspace {ks_pct:.1f}% | "
-                  f"Neigh {neigh_pct:.1f}% | Integrate/Fix/Other "
-                  f"{other:.1f}%  (force {t_force*1e3:.3f} ms/eval, "
-                  f"build {t_build*1e3:.3f} ms)")
+        t_neigh = t_build * nbuilds / max(nsteps, 1)
+        t_step = max(t_step, t_force)   # measurement noise guard
+        t_intfix = t_step - t_force
+        t_pair = max(t_force - t_bond - t_kspace, 0.0)
+        t_other = max(per_step - t_step - t_neigh, 0.0)
+        cats = [("Pair", t_pair), ("Bond", t_bond), ("Kspace", t_kspace),
+                ("Neigh", t_neigh), ("Integrate/Fix", t_intfix),
+                ("Output/Other", t_other)]
+        # normalize so the table sums exactly to the loop per-step time
+        tot = sum(t for _, t in cats) or 1.0
+        cats = [(n, t * per_step / tot) for n, t in cats]
+        cover = 100.0 * (t_step + t_neigh) / per_step
+        self._log("Timing breakdown: " + " | ".join(
+            f"{name} {100 * t / per_step:.1f}% ({t * 1e3:.3f} ms)"
+            for name, t in cats)
+            + f"  [measured step+neigh covers {cover:.1f}% of loop]")
+        self.timer_table = {name: t for name, t in cats}
+        self.timer_table["per_step"] = per_step
+        self.timer_table["coverage"] = cover / 100.0
 
     def minimize(self, etol, ftol, maxiter, maxeval):
         if self._ctx is None:

@@ -1948,8 +1948,35 @@ class LammpsScript:
             raise ScriptError(f"plugin subcommand {sub!r} not supported")
 
     def cmd_timer(self, a):
-        if a and a[0] == "full":
-            self._require_sim().timer_full = True
+        """timer full|normal|loop|off [sync|nosync] [timeout HH:MM:SS]
+        [every N] (Timer::modify_params, src/timer.cpp:228-281)."""
+        sim = self._require_sim()
+        i = 0
+        while i < len(a):
+            tok = a[i]
+            if tok == "full":
+                sim.timer_full = True
+            elif tok in ("normal", "loop", "off"):
+                sim.timer_full = False
+            elif tok in ("sync", "nosync"):
+                sim.timer_sync = tok == "sync"
+            elif tok == "timeout":
+                val = a[i + 1]
+                i += 1
+                if val in ("off", "unlimited", "-1"):
+                    sim.timer_timeout = None
+                else:
+                    parts = [float(p) for p in val.split(":")]
+                    secs = 0.0
+                    for p in parts:
+                        secs = secs * 60 + p
+                    sim.timer_timeout = secs
+            elif tok == "every":
+                sim.timer_every = int(a[i + 1])
+                i += 1
+            else:
+                raise ScriptError(f"timer keyword {tok!r} not supported")
+            i += 1
 
     def cmd_log(self, a):
         """log <file>|none [append] (src/lammps.cpp:557): redirect the
