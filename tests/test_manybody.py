@@ -73,3 +73,40 @@ run 10
     assert v["epair"] == pytest.approx(-863.41544, rel=1e-6)
     assert v["etotal"] == pytest.approx(-853.33484, rel=1e-6)
     assert v["press"] == pytest.approx(16753.993, rel=1e-5)
+
+
+MB2 = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "golden", "manybody2")
+
+VARIANT_CASES = {
+    # step-10 rows from tests/golden/manybody2/log.* (reference binary)
+    "tmod": dict(temp=612.94474, epair=-983.72417, etotal=-966.68986,
+                 press=14595.026),
+    "zbl": dict(temp=1068.7817, epair=-1364.6513, etotal=-1334.9488,
+                press=-35184.255),
+    "vash": dict(temp=1160.0759, epair=-3203.8137, etotal=-3127.1885,
+                 press=54735.436),
+}
+
+
+@pytest.mark.parametrize("case", ["tmod", "zbl", "vash"])
+def test_manybody_variants(case, tmp_path):
+    """tersoff/mod, tersoff/zbl, vashishta on Si diamond / SiC zincblende
+    vs the reference binary (src/MANYBODY/pair_tersoff_mod.cpp,
+    pair_tersoff_zbl.cpp, pair_vashishta.cpp)."""
+    import os
+    import shutil
+    want = VARIANT_CASES[case]
+    for f in ("data.sic", f"in.{case}"):
+        p = os.path.join(MB2, f)
+        if os.path.exists(p):
+            shutil.copy(p, tmp_path)
+    with open(os.path.join(MB2, f"in.{case}")) as fh:
+        deck = fh.read()
+    script = LammpsScript(data_dir=str(tmp_path))
+    script.run_string(deck)
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(want["temp"], rel=1e-6)
+    assert v["epair"] == pytest.approx(want["epair"], rel=1e-6)
+    assert v["etotal"] == pytest.approx(want["etotal"], rel=1e-6)
+    assert v["press"] == pytest.approx(want["press"], rel=1e-5)

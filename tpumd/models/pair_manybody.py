@@ -273,10 +273,358 @@ class PairTersoff(EnergyPairStyle):
         beta = P["beta"][it, jt, jt]
         nn = P["n"][it, jt, jt]
         bz = beta * zeta
-        # ters_bij branches (pair_tersoff.cpp ters_bij): use the smooth
-        # central branch; the asymptotic branches only matter at extreme
-        # zeta and are C1-matched
-        b_ij = (1.0 + bz ** nn) ** (-1.0 / (2.0 * nn))
+        b_ij = _ters_bij_exact(bz, nn)
         e = 0.5 * jnp.sum(
             jnp.where(in2, fc_ij * (f_rep + b_ij * f_att), 0.0))
         return e
+
+
+def _read_entries(path: str, nvals: int):
+    """3-element keyed parameter entries (Tersoff-family file layout)."""
+    entries = {}
+    toks = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                toks.extend(line.split())
+    i = 0
+    while i + 3 + nvals <= len(toks):
+        e1, e2, e3 = toks[i:i + 3]
+        entries[(e1, e2, e3)] = [float(v) for v in toks[i + 3:i + 3 + nvals]]
+        i += 3 + nvals
+    return entries
+
+
+def _ters_bij_exact(bz, nn):
+    """The reference's 5-branch bond-order function (PairTersoff::
+    ters_bij, src/MANYBODY/pair_tersoff.cpp:300-310) with
+    c1..c4 = ((2n 1e-16)^-1/n, (2n 1e-8)^-1/n, 1/c2, 1/c1)."""
+    c1 = (2.0 * nn * 1.0e-16) ** (-1.0 / nn)
+    c2 = (2.0 * nn * 1.0e-8) ** (-1.0 / nn)
+    c3 = 1.0 / c2
+    c4 = 1.0 / c1
+    bz_s = jnp.maximum(bz, 1e-30)
+    central = (1.0 + bz_s ** nn) ** (-1.0 / (2.0 * nn))
+    hi2 = (1.0 - bz_s ** (-nn) / (2.0 * nn)) / jnp.sqrt(bz_s)
+    lo2 = 1.0 - bz_s ** nn / (2.0 * nn)
+    return jnp.where(
+        bz > c1, 1.0 / jnp.sqrt(bz_s),
+        jnp.where(bz > c2, hi2,
+                  jnp.where(bz < c4, 1.0,
+                            jnp.where(bz < c3, lo2, central))))
+
+
+@register_pair("tersoff/mod")
+class PairTersoffMod(EnergyPairStyle):
+    """Tersoff/MOD (Kumagai) bond order (src/MANYBODY/pair_tersoff_mod.cpp).
+
+    File rows: e1 e2 e3 beta(m) alpha(lam3) h eta(n) beta lam2 B R D
+    lam1 A n(delta) c1 c2 c3 c4 c5; fc uses the 1.125/0.125 double-sine
+    window (:233-242), g(theta) the c1..c5 form (pair_tersoff_mod.h:50),
+    bij = (1+(beta zeta)^n)^(-1/(2 delta)) (:259-264, central branch).
+    """
+
+    name = "tersoff/mod"
+    _NVALS = 17
+    _NAMES = ["m", "lam3", "h", "n", "beta", "lam2", "B", "R", "D",
+              "lam1", "A", "ndel", "c1", "c2", "c3", "c4", "c5"]
+
+    def settings(self):
+        pass
+
+    def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
+        self.elements = [str(e) for e in elems]
+        entries = _read_entries(str(filename), self._NVALS)
+        nt = self.ntypes
+        self.p = {nme: np.zeros((nt + 1,) * 3) for nme in self._NAMES}
+        for i in range(1, nt + 1):
+            for j in range(1, nt + 1):
+                for k in range(1, nt + 1):
+                    key = (self.elements[i - 1], self.elements[j - 1],
+                           self.elements[k - 1])
+                    vals = entries[key]
+                    for c, nme in enumerate(self._NAMES):
+                        self.p[nme][i, j, k] = vals[c]
+
+    def init(self):
+        self.cut_tbl = self.p["R"] + self.p["D"]
+
+    @property
+    def max_cutoff(self):
+        return float(self.cut_tbl[1:, 1:, 1:].max())
+
+    @staticmethod
+    def _fc(rr, R_, D_):
+        t = 0.5 * np.pi * (rr - R_) / D_
+        return jnp.where(
+            rr < R_ - D_, 1.0,
+            jnp.where(rr > R_ + D_, 0.0,
+                      0.5 * (1.0 - 1.125 * jnp.sin(t)
+                             - 0.125 * jnp.sin(3.0 * t))))
+
+    def energy(self, x, type_, ell, idx):
+        dt_ = x.dtype
+        n = idx.shape[0]
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        nmask = idx != self_idx
+        d = x[:, None, :] - x[idx]
+        d = d - ell * jnp.round(d / ell)
+        r2 = jnp.sum(d * d, -1)
+        it = type_[:, None]
+        jt = type_[idx]
+
+        P = {nme: jnp.asarray(v, dt_) for nme, v in self.p.items()}
+        R = P["R"][it, jt, jt]
+        D = P["D"][it, jt, jt]
+        in2 = nmask & (r2 < (R + D) ** 2)
+        rs = jnp.where(in2, jnp.sqrt(jnp.where(in2, r2, 1.0)),
+                       R + D + 1.0)
+        fc_ij = jnp.where(in2, self._fc(rs, R, D), 0.0)
+        f_rep = P["A"][it, jt, jt] * jnp.exp(-P["lam1"][it, jt, jt] * rs)
+        f_att = -P["B"][it, jt, jt] * jnp.exp(-P["lam2"][it, jt, jt] * rs)
+
+        i3 = type_[:, None, None]
+        j3 = jt[:, :, None]
+        k3 = jt[:, None, :]
+        Rik = P["R"][i3, k3, k3]
+        Dik = P["D"][i3, k3, k3]
+        r_ik = rs[:, None, :]
+        in_ik = in2[:, None, :]
+        fc_ik = jnp.where(in_ik, self._fc(r_ik, Rik, Dik), 0.0)
+        dot = jnp.einsum("nkc,nlc->nkl", d, d)
+        rinv = jnp.where(in2, 1.0 / rs, 0.0)
+        cs = dot * rinv[:, :, None] * rinv[:, None, :]
+        th = (P["h"][i3, j3, k3] - cs) ** 2
+        c1, c2, c3 = (P["c1"][i3, j3, k3], P["c2"][i3, j3, k3],
+                      P["c3"][i3, j3, k3])
+        c4, c5 = P["c4"][i3, j3, k3], P["c5"][i3, j3, k3]
+        gtheta = c1 + (c2 * th / (c3 + th)) * (1.0 + c4 * jnp.exp(-c5 * th))
+        lam3 = P["lam3"][i3, j3, k3]
+        m_ = P["m"][i3, j3, k3]
+        arg = lam3 * (rs[:, :, None] - r_ik)
+        ex_delr = jnp.where(m_ == 3, jnp.exp(arg ** 3), jnp.exp(arg))
+        ex_delr = jnp.minimum(ex_delr, 1.0e30)
+        samej = idx[:, :, None] == idx[:, None, :]
+        zmask = in2[:, :, None] & in_ik & ~samej
+        zeta = jnp.sum(jnp.where(zmask, fc_ik * gtheta * ex_delr, 0.0),
+                       axis=2)
+
+        beta = P["beta"][it, jt, jt]
+        nn = P["n"][it, jt, jt]
+        ndel = P["ndel"][it, jt, jt]
+        bz = beta * zeta
+        b_ij = (1.0 + bz ** nn) ** (-1.0 / (2.0 * ndel))
+        return 0.5 * jnp.sum(
+            jnp.where(in2, fc_ij * (f_rep + b_ij * f_att), 0.0))
+
+
+@register_pair("tersoff/zbl")
+class PairTersoffZBL(PairTersoff):
+    """Tersoff with ZBL universal repulsion blended by a Fermi switch
+    (src/MANYBODY/pair_tersoff_zbl.cpp:185-224): the repulsive pair term
+    becomes (1-F) E_ZBL + F fc A e^{-lam1 r} with
+    F = 1/(1+e^{-A_f (r - r_C)}); the ZBL part is NOT cutoff-windowed
+    (it is negligible past ZBLcut by construction)."""
+
+    name = "tersoff/zbl"
+    # e1 e2 e3 then tersoff's 14 + Z_i Z_j ZBLcut ZBLexpscale
+    _ZNAMES = ["m", "gamma", "lam3", "c", "d", "h", "n", "beta",
+               "lam2", "B", "R", "D", "lam1", "A",
+               "Zi", "Zj", "zblcut", "zblexp"]
+
+    def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
+        self.elements = [str(e) for e in elems]
+        entries = _read_entries(str(filename), 18)
+        nt = self.ntypes
+        self.p = {nme: np.zeros((nt + 1,) * 3) for nme in self._ZNAMES}
+        for i in range(1, nt + 1):
+            for j in range(1, nt + 1):
+                for k in range(1, nt + 1):
+                    key = (self.elements[i - 1], self.elements[j - 1],
+                           self.elements[k - 1])
+                    vals = entries[key]
+                    for c, nme in enumerate(self._ZNAMES):
+                        self.p[nme][i, j, k] = vals[c]
+
+    # metal-units ZBL constants (pair_tersoff_zbl.cpp:50-52)
+    _a0 = 0.529
+    _eps0 = 0.00552635
+
+    def energy(self, x, type_, ell, idx):
+        dt_ = x.dtype
+        n = idx.shape[0]
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        nmask = idx != self_idx
+        d = x[:, None, :] - x[idx]
+        d = d - ell * jnp.round(d / ell)
+        r2 = jnp.sum(d * d, -1)
+        it = type_[:, None]
+        jt = type_[idx]
+
+        P = {nme: jnp.asarray(v, dt_) for nme, v in self.p.items()}
+        R = P["R"][it, jt, jt]
+        D = P["D"][it, jt, jt]
+        in2 = nmask & (r2 < (R + D) ** 2)
+        rs = jnp.where(in2, jnp.sqrt(jnp.where(in2, r2, 1.0)),
+                       R + D + 1.0)
+
+        def fc(rr, R_, D_):
+            return jnp.where(
+                rr < R_ - D_, 1.0,
+                jnp.where(rr > R_ + D_, 0.0,
+                          0.5 * (1.0 - jnp.sin(
+                              0.5 * np.pi * (rr - R_) / D_))))
+
+        fc_ij = jnp.where(in2, fc(rs, R, D), 0.0)
+        e_ters = fc_ij * P["A"][it, jt, jt] * jnp.exp(
+            -P["lam1"][it, jt, jt] * rs)
+        # ZBL universal screening (:199-213)
+        Zi = P["Zi"][it, jt, jt]
+        Zj = P["Zj"][it, jt, jt]
+        a_ij = (0.8854 * self._a0) / (Zi ** 0.23 + Zj ** 0.23)
+        premult = Zi * Zj / (4.0 * np.pi * self._eps0)
+        roa = rs / a_ij
+        phi = (0.1818 * jnp.exp(-3.2 * roa)
+               + 0.5099 * jnp.exp(-0.9423 * roa)
+               + 0.2802 * jnp.exp(-0.4029 * roa)
+               + 0.02817 * jnp.exp(-0.2016 * roa))
+        e_zbl = premult * phi / rs
+        F = 1.0 / (1.0 + jnp.exp(-P["zblexp"][it, jt, jt]
+                                 * (rs - P["zblcut"][it, jt, jt])))
+        e_rep = (1.0 - F) * e_zbl + F * e_ters
+        # the attractive term carries the Fermi factor too
+        # (PairTersoffZBL::ters_fa, pair_tersoff_zbl.cpp:228-233)
+        f_att = -P["B"][it, jt, jt] * jnp.exp(
+            -P["lam2"][it, jt, jt] * rs) * F
+
+        i3 = type_[:, None, None]
+        j3 = jt[:, :, None]
+        k3 = jt[:, None, :]
+        Rik = P["R"][i3, k3, k3]
+        Dik = P["D"][i3, k3, k3]
+        r_ik = rs[:, None, :]
+        in_ik = in2[:, None, :]
+        fc_ik = jnp.where(in_ik, fc(r_ik, Rik, Dik), 0.0)
+        dot = jnp.einsum("nkc,nlc->nkl", d, d)
+        rinv = jnp.where(in2, 1.0 / rs, 0.0)
+        cs = dot * rinv[:, :, None] * rinv[:, None, :]
+        c_ = P["c"][i3, j3, k3]
+        d_ = P["d"][i3, j3, k3]
+        h_ = P["h"][i3, j3, k3]
+        gam = P["gamma"][i3, j3, k3]
+        gtheta = gam * (1.0 + c_ * c_ / (d_ * d_)
+                        - c_ * c_ / (d_ * d_ + (cs - h_) ** 2))
+        lam3 = P["lam3"][i3, j3, k3]
+        m_ = P["m"][i3, j3, k3]
+        arg = lam3 * (rs[:, :, None] - r_ik)
+        ex_delr = jnp.minimum(
+            jnp.where(m_ == 3, jnp.exp(arg ** 3), jnp.exp(arg)), 1.0e30)
+        samej = idx[:, :, None] == idx[:, None, :]
+        zmask = in2[:, :, None] & in_ik & ~samej
+        zeta = jnp.sum(jnp.where(zmask, fc_ik * gtheta * ex_delr, 0.0),
+                       axis=2)
+        beta = P["beta"][it, jt, jt]
+        nn = P["n"][it, jt, jt]
+        bz = beta * zeta
+        b_ij = _ters_bij_exact(bz, nn)
+        return 0.5 * jnp.sum(
+            jnp.where(in2, e_rep + b_ij * fc_ij * f_att, 0.0))
+
+
+@register_pair("vashishta")
+class PairVashishta(EnergyPairStyle):
+    """Vashishta 2+3 body potential (src/MANYBODY/pair_vashishta.cpp).
+
+    Two-body (:twobody, shifted so V and V' vanish at rc):
+      H/r^eta + ZiZj qqr2e e^{-r/l1}/r - D e^{-r/l4}/r^4 - W/r^6
+      - vrc - (r - rc) dvrc
+    Three-body (:threebody, active for r < r0 on both legs):
+      B exp(g/(r1-r0) + g/(r2-r0)) dcos^2/(1 + C dcos^2).
+    File rows: e1 e2 e3 H eta Zi Zj lambda1 D lambda4 W rc B gamma r0 C
+    costheta (setup_params:395-466 for the derived shifts)."""
+
+    name = "vashishta"
+    _NAMES = ["H", "eta", "Zi", "Zj", "lam1", "Dd", "lam4", "W",
+              "rc", "B", "gamma", "r0", "C", "costh"]
+    qqr2e = 14.399645  # set per units at init via script (metal default)
+
+    def settings(self):
+        pass
+
+    def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
+        self.elements = [str(e) for e in elems]
+        entries = _read_entries(str(filename), 14)
+        nt = self.ntypes
+        self.p = {nme: np.zeros((nt + 1,) * 3) for nme in self._NAMES}
+        for i in range(1, nt + 1):
+            for j in range(1, nt + 1):
+                for k in range(1, nt + 1):
+                    key = (self.elements[i - 1], self.elements[j - 1],
+                           self.elements[k - 1])
+                    vals = entries[key]
+                    for c, nme in enumerate(self._NAMES):
+                        self.p[nme][i, j, k] = vals[c]
+
+    def init(self):
+        pass
+
+    @property
+    def max_cutoff(self):
+        return float(self.p["rc"][1:, 1:, 1:].max())
+
+    def energy(self, x, type_, ell, idx):
+        dt_ = x.dtype
+        n = idx.shape[0]
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        nmask = idx != self_idx
+        d = x[:, None, :] - x[idx]
+        d = d - ell * jnp.round(d / ell)
+        r2 = jnp.sum(d * d, -1)
+        it = type_[:, None]
+        jt = type_[idx]
+        P = {nme: jnp.asarray(v, dt_) for nme, v in self.p.items()}
+
+        def pij(nme):
+            return P[nme][it, jt, jt]
+
+        rc = pij("rc")
+        in2 = nmask & (r2 < rc * rc)
+        r = jnp.sqrt(jnp.where(in2, r2, 1.0))
+        rs = jnp.where(in2, r, rc + 1.0)
+        H, eta, W, Dd = pij("H"), pij("eta"), pij("W"), pij("Dd")
+        lam1, lam4 = pij("lam1"), pij("lam4")
+        zizj = pij("Zi") * pij("Zj") * self.qqr2e
+        l1inv = jnp.where(lam1 != 0, 1.0 / jnp.where(lam1 != 0, lam1, 1.0),
+                          0.0)
+        l4inv = jnp.where(lam4 != 0, 1.0 / jnp.where(lam4 != 0, lam4, 1.0),
+                          0.0)
+
+        def v2(rr):
+            return (H * rr ** (-eta) + zizj * jnp.exp(-rr * l1inv) / rr
+                    - Dd * jnp.exp(-rr * l4inv) / rr ** 4 - W / rr ** 6)
+
+        vrc = v2(rc)
+        dvrc = jax.grad(lambda rr: jnp.sum(v2(rr)))(rc)
+        e2 = v2(rs) - vrc - (rs - rc) * dvrc
+        e = 0.5 * jnp.sum(jnp.where(in2, e2, 0.0))
+
+        # 3-body: legs under r0 (cutsq2), params (i,j,j)/(i,k,k)/(i,j,k)
+        r0ij = pij("r0")
+        in3 = nmask & (r2 < r0ij * r0ij)
+        gs = P["gamma"][it, jt, jt] / jnp.where(in3, rs - r0ij, -1.0)
+        expg = jnp.where(in3, jnp.exp(gs), 0.0)
+        i3 = type_[:, None, None]
+        j3 = jt[:, :, None]
+        k3 = jt[:, None, :]
+        dot = jnp.einsum("nkc,nlc->nkl", d, d)
+        rinv = jnp.where(in3, 1.0 / rs, 0.0)
+        cs = dot * rinv[:, :, None] * rinv[:, None, :]
+        dcs = cs - P["costh"][i3, j3, k3]
+        dcs2 = dcs * dcs
+        pcs = dcs2 / (1.0 + P["C"][i3, j3, k3] * dcs2)
+        samej = idx[:, :, None] == idx[:, None, :]
+        zmask = in3[:, :, None] & in3[:, None, :] & ~samej
+        e3 = P["B"][i3, j3, k3] * expg[:, :, None] * expg[:, None, :] * pcs
+        # each (j,k) pair counted twice in the ordered double sum
+        return e + 0.5 * jnp.sum(jnp.where(zmask, e3, 0.0))
