@@ -79,6 +79,7 @@ def read_data(path: str, atom_style: str = "atomic") -> DataFile:
     i = 1  # skip title line
     while i < len(lines):
         line = lines[i].split("#", 1)[0].strip()
+        line = " ".join(line.split())   # tabs/multi-space -> single space
         if not line:
             i += 1
             continue
