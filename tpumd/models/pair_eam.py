@@ -320,6 +320,9 @@ class PairEAM(PairStyle):
             fval = ((cf[:, 3] * p + cf[:, 4]) * p + cf[:, 5]) * p + cf[:, 6]
             fval = fval + jnp.where(rho_flat > self.rhomax,
                                     fp * (rho_flat - self.rhomax), 0.0)
+            if self.he_flag:
+                fval = fval + jnp.where(rho_flat < self.rhomin,
+                                        fp * (rho_flat - self.rhomin), 0.0)
             e_embed = jnp.sum(jnp.where(valid, fval, 0.0))
 
         fp_g = fp.reshape(gshape)
@@ -423,8 +426,11 @@ class PairEAM(PairStyle):
         p = jnp.minimum(p - m, 1.0).astype(dtype)
         return m, p
 
+    rhomin = 0.0        # eam/he: tables start at rhomin, not 0
+    he_flag = False
+
     def _rho_index(self, rho, dtype):
-        p = rho * (1.0 / self.drho) + 1.0
+        p = (rho - self.rhomin) * (1.0 / self.drho) + 1.0
         m = jnp.clip(p.astype(jnp.int32), 1, self.nrho - 1)
         p = jnp.minimum(p - m, 1.0).astype(dtype)
         return m, p
@@ -475,6 +481,10 @@ class PairEAM(PairStyle):
             phi_e = self._val(cf, prho)
             phi_e = phi_e + jnp.where(rho > self.rhomax,
                                       fp * (rho - self.rhomax), 0.0)
+            if self.he_flag:
+                # below-table linear extrapolation (pair_eam_he.cpp:147)
+                phi_e = phi_e + jnp.where(rho < self.rhomin,
+                                          fp * (rho - self.rhomin), 0.0)
             e_embed = jnp.sum(jnp.where(type_ > 0, phi_e, 0.0))
 
         # pass 2: pair forces
@@ -600,8 +610,10 @@ class PairEAMFS(PairEAMAlloy):
 
     name = "eam/fs"
 
+    _READER = None   # set below (class defined later in the file)
+
     def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
-        f = _SetflFS(str(filename))
+        f = self._READER(str(filename))
         self._setfl = f
         elems = [str(e) for e in elems]
         self._typemap = np.zeros(self.ntypes + 1, dtype=np.int32)
@@ -623,9 +635,12 @@ class PairEAMFS(PairEAMAlloy):
         ridx = np.arange(ne * ne).reshape(ne, ne)
         for i in range(1, self.ntypes + 1):
             for j in range(1, self.ntypes + 1):
-                # density of atom j evaluated for neighbor i
-                self.type2rhor[i, j] = ridx[self._typemap[j],
-                                            self._typemap[i]]
+                # type2rhor[i][j] = rhor[elem_i][elem_j]
+                # (PairEAMFS::file2array_fs, pair_eam_fs.cpp:307; the
+                # density accumulation then reads [jtype][itype] =
+                # neighbor j's density function in an i environment)
+                self.type2rhor[i, j] = ridx[self._typemap[i],
+                                            self._typemap[j]]
 
 
 class _SetflFS(_Setfl):
@@ -657,3 +672,65 @@ class _SetflFS(_Setfl):
                 self.z2r[i, j, 1:] = [float(v) for v in toks[p:p + self.nr]]
                 self.z2r[j, i] = self.z2r[i, j]
                 p += self.nr
+
+
+PairEAMFS._READER = _SetflFS
+
+
+class _SetflHE(_SetflFS):
+    """eam/he setfl: nrho-line carries a trailing rhomax
+    (PairEAMFS::read_file with he_flag, pair_eam_fs.cpp:139-148)."""
+
+    def __init__(self, path: str):
+        with open(path) as fh:
+            lines = fh.read().split("\n")
+        toks = " ".join(lines[3:]).split()
+        ne = int(toks[0])
+        # temporarily splice out the extra rhomax token so the FS parser
+        # sees its usual grammar
+        p = 1 + ne
+        self.rhomax_file = float(toks[p + 5])
+        del toks[p + 5]
+        import io
+        # re-run the FS field walk on the patched token stream
+        self.elements = toks[1:1 + ne]
+        self.nrho = int(toks[p]); self.drho = float(toks[p + 1])
+        self.nr = int(toks[p + 2]); self.dr = float(toks[p + 3])
+        self.cut = float(toks[p + 4])
+        p += 5
+        self.mass = np.zeros(ne)
+        self.frho = np.zeros((ne, self.nrho + 1))
+        self.rhor = np.zeros((ne, ne, self.nr + 1))
+        self.z2r = np.zeros((ne, ne, self.nr + 1))
+        for i in range(ne):
+            self.mass[i] = float(toks[p + 1])
+            p += 4
+            self.frho[i, 1:] = [float(v) for v in toks[p:p + self.nrho]]
+            p += self.nrho
+            for j in range(ne):
+                self.rhor[i, j, 1:] = [float(v) for v in toks[p:p + self.nr]]
+                p += self.nr
+        for i in range(ne):
+            for j in range(i + 1):
+                self.z2r[i, j, 1:] = [float(v) for v in toks[p:p + self.nr]]
+                self.z2r[j, i] = self.z2r[i, j]
+                p += self.nr
+
+
+@register_pair("eam/he")
+class PairEAMHE(PairEAMFS):
+    """eam/he: eam/fs tables over [rhomin, rhomax] with linear embedding
+    extrapolation outside (src/MANYBODY/pair_eam_he.cpp)."""
+
+    name = "eam/he"
+    he_flag = True
+    _READER = _SetflHE
+
+    def init(self):
+        super().init()
+        f = self._setfl
+        self.rhomax = f.rhomax_file
+        self.rhomin = self.rhomax - (f.nrho - 1) * f.drho
+        # the Chebyshev pallas path assumes rho-from-0 tables
+        self.supports_cellgrid = False
+        self._pallas_tabs = None

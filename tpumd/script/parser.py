@@ -582,7 +582,8 @@ class LammpsScript:
     def cmd_create_atoms(self, a):
         type_id = int(a[0])
         style = a[1]
-        rest = list(a[3:] if style == "region" else a[2:])
+        rest = list(a[3:] if style == "region" else
+                    a[5:] if style == "single" else a[2:])
         mol = molseed = None
         i = 0
         while i < len(rest):
@@ -599,6 +600,14 @@ class LammpsScript:
         elif style == "region":
             x, t = create_atoms_lattice(self.lattice, self.regions[a[2]],
                                         lo, hi, type_id, fill_box=False)
+        elif style == "single":
+            # coordinates in lattice units when a lattice exists
+            # (CreateAtoms single, src/create_atoms.cpp scaleflag)
+            pt = np.array([float(a[2]), float(a[3]), float(a[4])])
+            if self.lattice is not None:
+                pt = pt * np.asarray(self.lattice.spacing)
+            x = pt[None, :]
+            t = np.full(1, type_id, np.int32)
         else:
             raise ScriptError(f"create_atoms style {style} not supported")
         if mol is None:
