@@ -1090,11 +1090,22 @@ class Simulation:
         dt_ = s.x.dtype
         packed = jnp.stack(
             [t_dev.astype(dt_), s.box.volume.astype(dt_),
-             jnp.sum(self._last_virial[:3]).astype(dt_)]
+             jnp.sum(self._last_virial[:3]).astype(dt_),
+             jnp.sum(s.tag > 0).astype(dt_)]
             + [self._last_energies[k].astype(dt_) for k in ekeys])
         vals_h = np.asarray(jax.device_get(packed), dtype=np.float64)
-        # lost-atom accounting (Thermo::lost_check, src/thermo.cpp:382):
-        # with fixed non-periodic bounds atoms can leave the domain
+        # unconditional atom-count check every thermo step
+        # (Thermo::lost_check counts regardless of boundary style,
+        # src/thermo.cpp:382) — rides the packed transfer for free
+        ncur = int(vals_h[3])
+        vals_h = np.delete(vals_h, 3)
+        if ncur != self.natoms and self.lost_policy != "ignore":
+            msg = (f"Lost atoms: original {self.natoms} current {ncur} "
+                   f"at step {self.step}")
+            if self.lost_policy == "error":
+                raise RuntimeError(msg)
+            self._log("WARNING: " + msg)
+        # per-dimension fixed-boundary escape check
         if not all(s.box.periodic) and self.lost_policy != "ignore":
             fixed_dims = [d for d, tok in enumerate(self.boundary)
                           if tok[0] == "f" or (len(tok) > 1
