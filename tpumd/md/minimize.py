@@ -197,3 +197,76 @@ def minimize_cg(sim, etol: float, ftol: float, maxiter: int, maxeval: int,
     sim._last_virial = virial
     return (bool(jax.device_get(done)), int(jax.device_get(it)),
             float(jax.device_get(e0)), float(jax.device_get(e_final)))
+
+
+def minimize_quickmin(sim, etol: float, ftol: float, maxiter: int,
+                      maxeval: int):
+    """QuickMin damped dynamics (src/min_quickmin.cpp MinQuickMin::
+    iterate): project v onto the force direction globally (zero if
+    anti-parallel), Euler step with the per-iteration dt clamped so no
+    atom moves beyond dmax."""
+    ctx = sim._ctx
+    s, neigh, fstates, istep = sim._carry
+    dt0 = ctx.dt
+    dmax = 0.1
+    ftm2v = ctx.units.ftm2v
+
+    m = ctx.mass_table[s.type]
+    invm3 = (1.0 / m)[:, None]
+
+    def energy_and_force(s, neigh):
+        f, energies, _, _, _ = compute_forces(
+            s, neigh, ctx, eflag=True, vflag=False, consts=sim._consts)
+        return f, sum(energies.values())
+
+    f0, e0 = energy_and_force(s, neigh)
+    s = s.replace(f=f0, v=jnp.zeros_like(s.v))
+
+    def cond(carry):
+        s, neigh, it, e_prev, e_cur, done = carry
+        return (~done) & (it < maxiter)
+
+    def body(carry):
+        s, neigh, it, e_prev, e_cur, done = carry
+        v, f = s.v, s.f
+        vdotf = jnp.sum(v * f)
+        fdotf = jnp.sum(f * f)
+        scale = jnp.where(fdotf == 0.0, 0.0,
+                          vdotf / jnp.maximum(fdotf, 1e-300))
+        v = jnp.where(vdotf < 0.0, jnp.zeros_like(v), scale * f)
+        # dt clamp: no atom further than dmax (:163-170)
+        vmax = jnp.max(jnp.abs(v))
+        dtv = jnp.minimum(dt0, dmax / jnp.maximum(vmax, 1e-300))
+        dtf = dtv * ftm2v
+        x = s.x + dtv * v
+        v = v + (dtf * invm3) * f
+        s2 = s.replace(x=x, v=v)
+        from tpumd.md.verlet import _rebuild, decide_rebuild
+        neigh2 = neigh.replace(ago=neigh.ago + 1)
+        do_build = decide_rebuild(s2, neigh2, ctx)
+        s2, neigh2, _ = jax.lax.cond(
+            do_build, lambda sn: _rebuild(sn[0], sn[1], ctx),
+            lambda sn: sn + ((),), (s2, neigh2))
+        fnew, e = energy_and_force(s2, neigh2)
+        s2 = s2.replace(f=fnew)
+        fmax2 = jnp.sum(fnew.reshape(-1) ** 2)
+        e_ok = jnp.abs(e - e_cur) <= etol * 0.5 * (
+            jnp.abs(e) + jnp.abs(e_cur) + 1e-30)
+        f_ok = fmax2 <= ftol * ftol
+        done = (etol > 0) & e_ok | ((ftol > 0) & f_ok)
+        return (s2, neigh2, it + 1, e_cur, e, done)
+
+    carry = (s, neigh, jnp.zeros((), jnp.int32), e0 + 1.0, e0,
+             jnp.zeros((), bool))
+    carry = jax.jit(lambda c: jax.lax.while_loop(cond, body, c))(carry)
+    s, neigh, it, _, e_final, done = carry
+    s = s.replace(v=jnp.zeros_like(s.v))
+    sim._carry = (s, neigh, fstates, istep)
+    sim.state = s
+    from tpumd.md.verlet import eval_energies
+    f, energies, virial, _ = eval_energies(s, neigh, ctx,
+                                           consts=sim._consts)
+    sim._last_energies = energies
+    sim._last_virial = virial
+    return (bool(jax.device_get(done)), int(jax.device_get(it)),
+            float(jax.device_get(e0)), float(jax.device_get(e_final)))
