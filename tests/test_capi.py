@@ -247,3 +247,87 @@ def test_capi_fix_external_callback(lib):
     rows[0][0] = 0.1
     assert np.isfinite(rows[0][0])
     lib.lammps_close(h)
+
+
+def test_capi_wave3_introspection(lib):
+    """has_style/style_count/style_name, has_id/id_count/id_name,
+    config_*, subset gather/scatter, image codecs
+    (src/library.h wave-3 symbols)."""
+    import ctypes
+    P, C, I = ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+    lib.lammps_open_no_mpi.restype = P
+    lib.lammps_command.argtypes = [P, C]
+    lib.lammps_has_style.argtypes = [P, C, C]
+    lib.lammps_style_count.argtypes = [P, C]
+    lib.lammps_style_name.argtypes = [P, C, I, C, I]
+    lib.lammps_has_id.argtypes = [P, C, C]
+    lib.lammps_id_count.argtypes = [P, C]
+    lib.lammps_id_name.argtypes = [P, C, I, C, I]
+    lib.lammps_variable_info.argtypes = [P, I, C, I]
+    lib.lammps_memory_usage.argtypes = [P, ctypes.POINTER(ctypes.c_double)]
+    lib.lammps_gather_atoms_subset.argtypes = [
+        P, C, I, I, I, ctypes.POINTER(I), ctypes.c_void_p]
+    lib.lammps_scatter_atoms_subset.argtypes = [
+        P, C, I, I, I, ctypes.POINTER(I), ctypes.c_void_p]
+    lmp = lib.lammps_open_no_mpi(0, None, None)
+    cmds = f"""
+units lj
+atom_style bond
+""".strip()
+    lib.lammps_commands_string(lmp, cmds.encode())
+
+    assert lib.lammps_has_style(lmp, b"pair", b"lj/cut") == 1
+    assert lib.lammps_has_style(lmp, b"pair", b"meam") == 1
+    assert lib.lammps_has_style(lmp, b"pair", b"nope") == 0
+    n = lib.lammps_style_count(lmp, b"pair")
+    assert n >= 40
+    buf = ctypes.create_string_buffer(64)
+    assert lib.lammps_style_name(lmp, b"pair", 0, buf, 64) == 1
+    assert len(buf.value) > 0
+
+    assert lib.lammps_config_has_package(b"KSPACE") == 1
+    assert lib.lammps_config_package_count() >= 8
+    assert lib.lammps_config_has_gzip_support() == 1
+
+    # image codecs roundtrip
+    img = lib.lammps_encode_image_flags(1, -2, 3)
+    flags = (ctypes.c_int * 3)()
+    lib.lammps_decode_image_flags(img, flags)
+    assert list(flags) == [1, -2, 3]
+
+    # ids after building a system with a fix and a compute
+    deck = """
+lattice fcc 0.8442
+region box block 0 4 0 4 0 4
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+fix f1 all nve
+compute c1 all ke
+variable alpha equal 1.5
+"""
+    for line in deck.strip().splitlines():
+        lib.lammps_command(lmp, line.encode())
+    assert lib.lammps_has_id(lmp, b"fix", b"f1") == 1
+    assert lib.lammps_id_count(lmp, b"compute") == 1
+    assert lib.lammps_id_name(lmp, b"compute", 0, buf, 64) == 1
+    assert buf.value == b"c1"
+    assert lib.lammps_variable_info(lmp, 0, buf, 64) == 1
+    assert buf.value == b"alpha"
+
+    # subset gather/scatter on x
+    ids = (ctypes.c_int * 2)(1, 3)
+    sub = (ctypes.c_double * 6)()
+    lib.lammps_gather_atoms_subset(lmp, b"x", 1, 3, 2, ids, sub)
+    assert sub[0] == 0.0   # atom 1 at origin
+    sub2 = (ctypes.c_double * 6)(*[v + 0.01 for v in sub])
+    lib.lammps_scatter_atoms_subset(lmp, b"x", 1, 3, 2, ids, sub2)
+    lib.lammps_gather_atoms_subset(lmp, b"x", 1, 3, 2, ids, sub)
+    assert abs(sub[0] - 0.01) < 1e-12
+
+    mem = (ctypes.c_double * 3)()
+    lib.lammps_memory_usage(lmp, mem)
+    assert mem[0] > 0
+    lib.lammps_close(lmp)

@@ -220,3 +220,155 @@ def set_fix_external_callback_addr(h: int, fid: str, fnaddr: int,
         cfn(caller, step, nlocal, idp, xrows, frows)
 
     _instances[h].set_fix_external_callback(fid, pyfn, caller=None)
+
+
+# --------------------------------------------------------------- wave 3
+def commands_list(h: int, cmds):
+    for c in cmds:
+        _instances[h].command(c)
+
+
+def is_running(h: int) -> int:
+    return 0   # library calls are only possible between runs here
+
+
+def force_timeout(h: int):
+    # Timer::force_timeout analog: next run stops at its first segment
+    _instances[h].sim.timer_timeout = 0.0
+
+
+def memory_usage(h: int):
+    import resource
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024.0
+    return [rss, rss, rss]
+
+
+def get_os_info() -> str:
+    import platform
+    return f"{platform.system()} {platform.release()} {platform.machine()}"
+
+
+_PACKAGES = ("KSPACE", "MOLECULE", "RIGID", "GRANULAR", "MANYBODY",
+             "MEAM", "REPLICA", "CLASS2", "EXTRA-PAIR", "EXTRA-COMPUTE",
+             "EXTRA-FIX", "COMPRESS")
+
+
+def config_has_package(name: str) -> int:
+    return int(name in _PACKAGES)
+
+
+def config_package_count() -> int:
+    return len(_PACKAGES)
+
+
+def config_package_name(idx: int) -> str:
+    return _PACKAGES[idx] if 0 <= idx < len(_PACKAGES) else ""
+
+
+def _style_table(category: str):
+    from tpumd.models import registry
+    registry._ensure_imports()
+    tables = {"pair": registry._PAIR_STYLES,
+              "bond": registry._BOND_STYLES,
+              "angle": registry._ANGLE_STYLES,
+              "dihedral": registry._DIHEDRAL_STYLES,
+              "improper": registry._IMPROPER_STYLES}
+    if category in tables:
+        return tables[category]
+    if category == "atom":
+        from tpumd.core.atomvec import STYLES
+        return STYLES
+    return {}
+
+
+def has_style(h: int, category: str, name: str) -> int:
+    return int(name in _style_table(category))
+
+
+def style_count(h: int, category: str) -> int:
+    return len(_style_table(category))
+
+
+def style_name(h: int, category: str, idx: int) -> str:
+    names = sorted(_style_table(category))
+    return names[idx] if 0 <= idx < len(names) else ""
+
+
+def _ids(h: int, category: str):
+    lmp = _instances[h]
+    sim = lmp.sim
+    script = sim.script
+    if category == "fix":
+        return [getattr(fx, "id", "") for fx in sim.fixes]
+    if category == "compute":
+        return list(sim.computes)
+    if category == "group":
+        return list(sim.groups)
+    if category == "region":
+        return list(script.regions) if script else []
+    if category == "variable":
+        return list(script.variables) if script else []
+    if category == "dump":
+        return [d.id for d in sim.dumps]
+    if category == "molecule":
+        return list(sim.molecules)
+    return []
+
+
+def has_id(h: int, category: str, name: str) -> int:
+    return int(name in _ids(h, category))
+
+
+def id_count(h: int, category: str) -> int:
+    return len(_ids(h, category))
+
+
+def id_name(h: int, category: str, idx: int) -> str:
+    ids = _ids(h, category)
+    return ids[idx] if 0 <= idx < len(ids) else ""
+
+
+def variable_info(h: int, idx: int):
+    """(name, style-string) of the idx-th defined variable."""
+    script = _instances[h].sim.script
+    names = list(script.variables)
+    if not 0 <= idx < len(names):
+        return ("", "")
+    name = names[idx]
+    return (name, script.variables[name][0])
+
+
+def gather_tuples(h: int, kind: str):
+    """Flat int32 [type a1 a2 ...] rows (lammps_gather_bonds/angles/
+    dihedrals/impropers, src/library.cpp)."""
+    sim = _instances[h].sim
+    arr = sim.topology.get(kind)
+    if arr is None:
+        out = np.zeros((0,), np.int32)
+    else:
+        out = np.ascontiguousarray(np.asarray(arr), np.int32).reshape(-1)
+    return _pin(h, out), int(0 if arr is None else len(arr))
+
+
+def _ready(h: int):
+    lmp = _instances[h]
+    sc = getattr(lmp.sim, "script", None)
+    if lmp.sim.state is None and sc is not None:
+        sc._finalize_atoms()
+    return lmp
+
+
+def gather_atoms_subset(h: int, name: str, ids):
+    _ready(h)
+    a = np.asarray(gather_atoms(h, name))   # tag order; (n,3) or (n,)
+    idx = np.asarray(ids, np.int64) - 1
+    return _pin(h, np.ascontiguousarray(a[idx]).reshape(-1))
+
+
+def scatter_atoms_subset(h: int, name: str, ids, arr):
+    lmp = _ready(h)
+    cur = np.asarray(gather_atoms(h, name)).copy()
+    idx = np.asarray(ids, np.int64) - 1
+    vals = np.asarray(arr)
+    cur[idx] = vals.reshape((len(idx),) + cur.shape[1:])
+    scatter_atoms(h, name, cur)

@@ -519,3 +519,307 @@ void lammps_scatter_atoms(void *handle, const char *name, int type,
     Py_XDECREF(out);
     LEAVE;
 }
+
+/* ------------------------------------------------------------- wave 3 */
+
+void lammps_commands_list(void *handle, int ncmd, const char **cmds) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    for (int i = 0; i < ncmd; i++) {
+        PyObject *out = callb("command_noraise", "(ls)", h->handle,
+                              cmds[i]);
+        Py_XDECREF(out);
+    }
+    LEAVE;
+}
+
+void *lammps_open(int argc, char **argv, int comm, void **ptr) {
+    (void)comm;
+    return lammps_open_no_mpi(argc, argv, ptr);
+}
+
+void *lammps_open_fortran(int argc, char **argv, int comm) {
+    (void)comm;
+    return lammps_open_no_mpi(argc, argv, NULL);
+}
+
+void lammps_mpi_init(void) {}
+void lammps_mpi_finalize(void) {}
+void lammps_kokkos_finalize(void) {}
+void lammps_python_finalize(void) {}
+void lammps_flush_buffers(void *handle) { (void)handle; }
+
+int lammps_is_running(void *handle) { (void)handle; return 0; }
+
+void lammps_force_timeout(void *handle) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("force_timeout", "(l)", h->handle);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+void lammps_memory_usage(void *handle, double *meminfo) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("memory_usage", "(l)", h->handle);
+    if (out) {
+        for (int i = 0; i < 3; i++)
+            meminfo[i] = PyFloat_AsDouble(PyList_GetItem(out, i));
+        Py_DECREF(out);
+    }
+    LEAVE;
+}
+
+int lammps_get_os_info(char *buffer, int buf_size) {
+    ENTER;
+    PyObject *out = callb("get_os_info", "()");
+    int n = 0;
+    if (out) {
+        const char *s = PyUnicode_AsUTF8(out);
+        if (s) { strncpy(buffer, s, buf_size - 1);
+                 buffer[buf_size - 1] = 0; n = (int)strlen(buffer); }
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return n;
+}
+
+/* --- config introspection (static answers for this build) ----------- */
+int lammps_config_has_mpi_support(void) { return 0; }
+int lammps_config_has_gzip_support(void) { return 1; }
+int lammps_config_has_png_support(void) { return 0; }
+int lammps_config_has_jpeg_support(void) { return 0; }
+int lammps_config_has_ffmpeg_support(void) { return 0; }
+int lammps_config_has_exceptions(void) { return 1; }
+int lammps_config_accelerator(const char *pkg, const char *cat,
+                              const char *setting) {
+    (void)cat; (void)setting;
+    return strcmp(pkg, "TPU") == 0;   /* the whole engine IS the
+                                         accelerator package */
+}
+
+int lammps_config_has_package(const char *name) {
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("config_has_package", "(s)", name);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_config_package_count(void) {
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("config_package_count", "()");
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_config_package_name(int idx, char *buffer, int buf_size) {
+    int n = 0;
+    ENTER;
+    PyObject *out = callb("config_package_name", "(i)", idx);
+    if (out) {
+        const char *s = PyUnicode_AsUTF8(out);
+        if (s && s[0]) { strncpy(buffer, s, buf_size - 1);
+                         buffer[buf_size - 1] = 0; n = 1; }
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return n;
+}
+
+/* --- style / id introspection --------------------------------------- */
+static int str_out(PyObject *out, char *buffer, int buf_size) {
+    int n = 0;
+    if (out) {
+        const char *s = PyUnicode_AsUTF8(out);
+        if (s && s[0]) { strncpy(buffer, s, buf_size - 1);
+                         buffer[buf_size - 1] = 0; n = 1; }
+        Py_DECREF(out);
+    }
+    return n;
+}
+
+int lammps_has_style(void *handle, const char *category, const char *name) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("has_style", "(lss)", h->handle, category, name);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_style_count(void *handle, const char *category) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("style_count", "(ls)", h->handle, category);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_style_name(void *handle, const char *category, int idx,
+                      char *buffer, int buf_size) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int n;
+    ENTER;
+    n = str_out(callb("style_name", "(lsi)", h->handle, category, idx),
+                buffer, buf_size);
+    LEAVE;
+    return n;
+}
+
+int lammps_has_id(void *handle, const char *category, const char *name) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("has_id", "(lss)", h->handle, category, name);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_id_count(void *handle, const char *category) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int v = 0;
+    ENTER;
+    PyObject *out = callb("id_count", "(ls)", h->handle, category);
+    if (out) { v = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return v;
+}
+
+int lammps_id_name(void *handle, const char *category, int idx,
+                   char *buffer, int buf_size) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int n;
+    ENTER;
+    n = str_out(callb("id_name", "(lsi)", h->handle, category, idx),
+                buffer, buf_size);
+    LEAVE;
+    return n;
+}
+
+int lammps_variable_info(void *handle, int idx, char *buffer,
+                         int buf_size) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int n = 0;
+    ENTER;
+    PyObject *out = callb("variable_info", "(li)", h->handle, idx);
+    if (out) {
+        PyObject *nm = PyTuple_GetItem(out, 0);
+        const char *s = PyUnicode_AsUTF8(nm);
+        if (s && s[0]) { strncpy(buffer, s, buf_size - 1);
+                         buffer[buf_size - 1] = 0; n = 1; }
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return n;
+}
+
+/* --- topology gathers ------------------------------------------------ */
+static int gather_tuples_c(void *handle, const char *kind, void *data) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int count = 0;
+    ENTER;
+    PyObject *out = callb("gather_tuples", "(ls)", h->handle, kind);
+    if (out) {
+        PyObject *arr = PyTuple_GetItem(out, 0);
+        count = (int)PyLong_AsLong(PyTuple_GetItem(out, 1));
+        Py_ssize_t n0 = 0;
+        void *src = array_data(arr, &n0, NULL);
+        if (src && data) memcpy(data, src, n0 * sizeof(int));
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return count;
+}
+
+void lammps_gather_bonds(void *handle, void *data) {
+    gather_tuples_c(handle, "bond", data);
+}
+void lammps_gather_angles(void *handle, void *data) {
+    gather_tuples_c(handle, "angle", data);
+}
+void lammps_gather_dihedrals(void *handle, void *data) {
+    gather_tuples_c(handle, "dihedral", data);
+}
+void lammps_gather_impropers(void *handle, void *data) {
+    gather_tuples_c(handle, "improper", data);
+}
+
+/* concat == ordered gather on a single partition */
+void lammps_gather_atoms_concat(void *handle, const char *name, int type,
+                                int count, void *data) {
+    lammps_gather_atoms(handle, name, type, count, data);
+}
+
+void lammps_gather_atoms_subset(void *handle, const char *name, int type,
+                                int count, int ndata, int *ids,
+                                void *data) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    (void)type;
+    ENTER;
+    PyObject *idlist = PyList_New(ndata);
+    for (int i = 0; i < ndata; i++)
+        PyList_SET_ITEM(idlist, i, PyLong_FromLong(ids[i]));
+    PyObject *out = callb("gather_atoms_subset", "(lsO)", h->handle, name,
+                          idlist);
+    Py_DECREF(idlist);
+    if (out) {
+        Py_ssize_t n0 = 0;
+        void *src = array_data(out, &n0, NULL);
+        if (src) memcpy(data, src, (size_t)ndata * count * sizeof(double));
+        Py_DECREF(out);
+    }
+    LEAVE;
+}
+
+void lammps_scatter_atoms_subset(void *handle, const char *name, int type,
+                                 int count, int ndata, int *ids,
+                                 void *data) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    (void)type;
+    ENTER;
+    PyObject *idlist = PyList_New(ndata);
+    for (int i = 0; i < ndata; i++)
+        PyList_SET_ITEM(idlist, i, PyLong_FromLong(ids[i]));
+    PyObject *vals = PyList_New((Py_ssize_t)ndata * count);
+    double *dd = (double *)data;
+    for (Py_ssize_t i = 0; i < (Py_ssize_t)ndata * count; i++)
+        PyList_SET_ITEM(vals, i, PyFloat_FromDouble(dd[i]));
+    PyObject *out = callb("scatter_atoms_subset", "(lsOO)", h->handle,
+                          name, idlist, vals);
+    Py_DECREF(idlist);
+    Py_DECREF(vals);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+/* --- image flag codecs (pure C, src/library.cpp:5432-5480) ---------- */
+#define IMGMASK 1023
+#define IMGMAX 512
+#define IMGBITS 10
+#define IMG2BITS 20
+
+int lammps_encode_image_flags(int ix, int iy, int iz) {
+    return (((int)(iz + IMGMAX) & IMGMASK) << IMG2BITS) |
+           (((int)(iy + IMGMAX) & IMGMASK) << IMGBITS) |
+           ((int)(ix + IMGMAX) & IMGMASK);
+}
+
+void lammps_decode_image_flags(int image, int *flags) {
+    flags[0] = (image & IMGMASK) - IMGMAX;
+    flags[1] = ((image >> IMGBITS) & IMGMASK) - IMGMAX;
+    flags[2] = ((image >> IMG2BITS) & IMGMASK) - IMGMAX;
+}
+
+void lammps_error(void *handle, int error_type, const char *error_text) {
+    (void)handle; (void)error_type;
+    fprintf(stderr, "tpumd error: %s\n", error_text);
+}
