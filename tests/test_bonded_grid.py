@@ -191,3 +191,55 @@ def test_sharded_water_pppm_cellgrid():
                                rtol=1e-10, atol=1e-10)
     np.testing.assert_allclose(np.asarray(out[0].v), np.asarray(ref[0].v),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_shake_water():
+    """SHAKE on the sharded cellgrid: per-atom cluster tables +
+    tag-matched member data, every member solving its own cluster
+    (scatter-free).  (a) grid path == slotmap path on one device,
+    (b) 3 sharded steps == unsharded at 1e-10 (the full rhodo-class fix
+    stack's multi-chip story; ref src/RIGID/fix_shake.cpp)."""
+    from tpumd.md.verlet import run_segment
+    from tpumd.parallel.mesh import make_mesh, shard_carry
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "water_shake")
+
+    def build(bonded_grid):
+        s = LammpsScript()
+        s.data_dir = golden
+        with open(os.path.join(golden, "in.test")) as fh:
+            deck = fh.read()
+        deck = "\n".join(l for l in deck.splitlines()
+                         if not l.startswith(("dump", "run")))
+        deck = deck.replace("read_data       data.water",
+                            "read_data       data.water\nreplicate 2 2 2")
+        s.run_string(deck)
+        sim = s.sim
+        sim.verbose = False
+        sim.neighbor_mode = "cellgrid"
+        sim.bonded_grid = bonded_grid
+        sim._ctx = None
+        sim.setup()
+        return sim
+
+    sim_g = build(True)
+    sim_s = build(False)
+    assert sim_g._ctx.bonded_grid
+    assert "_shk_mtags" in sim_g._carry[0].extras
+    ref_slot = run_segment(sim_s._carry, sim_s._ctx, 3,
+                           consts=sim_s._consts)
+    ref_grid = run_segment(sim_g._carry, sim_g._ctx, 3,
+                           consts=sim_g._consts)
+    np.testing.assert_allclose(np.asarray(ref_grid[0].x),
+                               np.asarray(ref_slot[0].x),
+                               rtol=1e-10, atol=1e-10)
+
+    mesh = make_mesh(8)
+    out = run_segment(shard_carry(sim_g._carry, mesh), sim_g._ctx, 3,
+                      consts=sim_g._consts)
+    np.testing.assert_allclose(np.asarray(out[0].x),
+                               np.asarray(ref_grid[0].x),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out[0].v),
+                               np.asarray(ref_grid[0].v),
+                               rtol=1e-10, atol=1e-10)

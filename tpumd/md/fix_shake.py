@@ -170,6 +170,52 @@ class FixShake(Fix):
         else:
             self._angle_dist = np.zeros(0)
         self._built = True
+        if self._tagspace and getattr(sim, "bonded_grid", False):
+            self._install_grid_tables(sim, tags_np)
+
+    def _install_grid_tables(self, sim, tags_np):
+        """Per-atom cluster tables for the tag-matched SHAKE path
+        (state.extras '_shk_*': they permute with the atoms; each member
+        redundantly solves its whole cluster and applies only its own
+        force — scatter-free and O(halo) under the z-slab sharding)."""
+        import jax.numpy as _jnp
+        n = sim.natoms
+        mtags = np.zeros((n, 4), np.int32)
+        kind = np.zeros((n,), np.int32)
+        role = np.zeros((n,), np.int32)
+        dist = np.zeros((n, 4), np.float64)
+
+        def fill(rows, nat, code, dists_of):
+            for rr in rows:
+                tags = [int(t) + 1 for t in rr[:nat]]   # stored tag-1
+                dd = dists_of(rr)
+                for ro, t in enumerate(tags):
+                    a = t - 1
+                    mtags[a, :nat] = tags
+                    kind[a] = code
+                    role[a] = ro
+                    dist[a, :len(dd)] = dd
+
+        bd = self._bond_dist
+        fill(self._c2, 2, 2, lambda r: [bd[r[2]]])
+        fill(self._c3, 3, 3, lambda r: [bd[r[3]], bd[r[4]]])
+        fill(self._c4, 4, 4,
+             lambda r: [bd[r[4]], bd[r[5]], bd[r[6]]])
+        if len(self._c3a):
+            ad = {tuple(r[:3]): self._angle_dist[i]
+                  for i, r in enumerate(self._c3a)}
+            fill(self._c3a, 3, 5,
+                 lambda r: [bd[r[3]], bd[r[4]], 0.0,
+                            ad[tuple(r[:3])]])
+        # reorder tag-order rows into the state's current row order
+        order = tags_np - 1
+        sim.state = sim.state.replace(extras={
+            **sim.state.extras,
+            "_shk_mtags": _jnp.asarray(mtags[order]),
+            "_shk_kind": _jnp.asarray(kind[order]),
+            "_shk_role": _jnp.asarray(role[order]),
+            "_shk_dist": _jnp.asarray(dist[order]),
+        })
 
     # ------------------------------------------------------------- solve
     def init_state(self, s, ctx):
@@ -192,6 +238,9 @@ class FixShake(Fix):
         dtv = ctx.dt
         m = ctx.mass_per_atom(s)
         invm = 1.0 / m
+        if getattr(self, "_tagspace", False) and ctx.bonded_grid \
+                and "_shk_mtags" in s.extras:
+            return self._apply_grid(s, ctx, dtfsq)
         if getattr(self, "_tagspace", False):
             # tag-1 cluster indices -> current grid slots (one small
             # scatter, same per-step map as the bonded incidence path)
@@ -245,33 +294,155 @@ class FixShake(Fix):
             f = f.at[i1].add(-lam[:, None] * r01)
             virial = vtally(virial, lam, r01)
 
+        def members(idxarr, nat):
+            idx = [remap(idxarr[:, k]) for k in range(nat)]
+            X = [s.x[i] for i in idx]
+            XS = [xshake[i] for i in idx]
+            IM = [invm[i] for i in idx]
+            return idx, X, XS, IM
+
         # ---- 3-atom, two bonds (iterative 2x2) -------------------------
         if len(self._c3):
-            f, virial = self._solve3(s, xshake, f, virial, invm, dtfsq,
-                                     remap(self._c3[:, :3]),
-                                     self._bond_dist[self._c3[:, 3]],
-                                     self._bond_dist[self._c3[:, 4]],
-                                     dvec, vtally)
+            idx, X, XS, IM = members(self._c3, 3)
+            lamrs, deltas = self._solve3(
+                X, XS, IM, dtfsq, self._bond_dist[self._c3[:, 3]],
+                self._bond_dist[self._c3[:, 4]], dvec)
+            for i, dlt in zip(idx, deltas):
+                f = f.at[i].add(dlt)
+            for lam, r in lamrs:
+                virial = vtally(virial, lam, r)
 
         # ---- 3-atom + angle constraint (iterative 3x3) -----------------
         if len(self._c3a):
-            f, virial = self._solve3angle(
-                s, xshake, f, virial, invm, dtfsq,
-                remap(self._c3a[:, :3]),
-                self._bond_dist[self._c3a[:, 3]],
-                self._bond_dist[self._c3a[:, 4]],
-                self._angle_dist, dvec, vtally)
+            idx, X, XS, IM = members(self._c3a, 3)
+            lamrs, deltas = self._solve3angle(
+                X, XS, IM, dtfsq, self._bond_dist[self._c3a[:, 3]],
+                self._bond_dist[self._c3a[:, 4]], self._angle_dist, dvec)
+            for i, dlt in zip(idx, deltas):
+                f = f.at[i].add(dlt)
+            for lam, r in lamrs:
+                virial = vtally(virial, lam, r)
 
         # ---- 4-atom, three bonds (iterative 3x3) -----------------------
         if len(self._c4):
-            f, virial = self._solve4(s, xshake, f, virial, invm, dtfsq,
-                                     remap(self._c4[:, :4]),
-                                     self._bond_dist[self._c4[:, 4]],
-                                     self._bond_dist[self._c4[:, 5]],
-                                     self._bond_dist[self._c4[:, 6]],
-                                     dvec, vtally)
+            idx, X, XS, IM = members(self._c4, 4)
+            lamrs, deltas = self._solve4(
+                X, XS, IM, dtfsq, self._bond_dist[self._c4[:, 4]],
+                self._bond_dist[self._c4[:, 5]],
+                self._bond_dist[self._c4[:, 6]], dvec)
+            for i, dlt in zip(idx, deltas):
+                f = f.at[i].add(dlt)
+            for lam, r in lamrs:
+                virial = vtally(virial, lam, r)
 
         return s.replace(f=f), virial
+
+    def _apply_grid(self, s, ctx, dtfsq):
+        """Tag-matched SHAKE (sharded cellgrid): member data found via
+        the 27-stencil sweep, every member solves its cluster, only its
+        own force delta lands in its row."""
+        from tpumd.ops.cellgrid_tuples import match_members
+        dt_ = s.x.dtype
+        dtv = ctx.dt
+        ex = s.extras
+        mtags = ex["_shk_mtags"]
+        kind = ex["_shk_kind"]
+        role = ex["_shk_role"]
+        dist = ex["_shk_dist"].astype(dt_)
+        valid = s.tag > 0
+        cols = {f"{nm}{c}": arr[:, c]
+                for nm, arr in (("v", s.v), ("f", s.f)) for c in range(3)}
+        mpos, mtype, _, found, mcols = match_members(
+            s.x, s.tag, s.type, None, valid, s.box, ctx.neigh_cfg,
+            mtags, cols=cols)
+        mv = jnp.stack([jnp.stack([mcols[f"v{c}"][:, k]
+                                   for c in range(3)], -1)
+                        for k in range(4)], 1)        # (Np,4,3)
+        mf = jnp.stack([jnp.stack([mcols[f"f{c}"][:, k]
+                                   for c in range(3)], -1)
+                        for k in range(4)], 1)
+        invm_m = 1.0 / ctx.mass_table[mtype]          # (Np,4)
+        xs_m = mpos + dtv * mv + (dtfsq * invm_m)[..., None] * mf
+        box = s.box
+
+        def dvec(xa, xb):
+            return minimum_image(xa - xb, box)
+
+        # well-conditioned stand-in members for rows of other kinds (a
+        # degenerate solve would inf/NaN even though its result is
+        # masked out)
+        safe = jnp.stack([jnp.zeros_like(s.x),
+                          jnp.zeros_like(s.x).at[:, 0].add(1.0),
+                          jnp.zeros_like(s.x).at[:, 1].add(1.0),
+                          jnp.zeros_like(s.x).at[:, 2].add(1.0)], 1)
+
+        fdelta = jnp.zeros_like(s.x)
+        virial = jnp.zeros((6,), dt_)
+
+        def vmask6(lam, r, sel, w):
+            lam = jnp.where(sel, lam, 0.0) * w
+            return jnp.stack([
+                jnp.sum(lam * r[:, 0] * r[:, 0]),
+                jnp.sum(lam * r[:, 1] * r[:, 1]),
+                jnp.sum(lam * r[:, 2] * r[:, 2]),
+                jnp.sum(lam * r[:, 0] * r[:, 1]),
+                jnp.sum(lam * r[:, 0] * r[:, 2]),
+                jnp.sum(lam * r[:, 1] * r[:, 2]),
+            ])
+
+        def run_kind(code, nat, solver, dists, fdelta, virial):
+            sel = kind == code
+            sel3 = sel[:, None]
+            X = [jnp.where(sel3, mpos[:, k], safe[:, k])
+                 for k in range(nat)]
+            XS = [jnp.where(sel3, xs_m[:, k], safe[:, k])
+                  for k in range(nat)]
+            IM = [jnp.where(sel, invm_m[:, k], 1.0) for k in range(nat)]
+            dd = [jnp.where(sel, d, 1.0) for d in dists]
+            lamrs, deltas = solver(X, XS, IM, dtfsq, *dd, dvec)
+            own = jnp.zeros_like(s.x)
+            for k in range(nat):
+                own = jnp.where((role == k)[:, None], deltas[k], own)
+            fdelta = fdelta + jnp.where(sel3, own, 0.0)
+            for lam, r in lamrs:
+                virial = virial + vmask6(lam, r, sel, 1.0 / nat)
+            return fdelta, virial
+
+        def solve2(X, XS, IM, dtfsq, bond, dvec):
+            r01 = dvec(X[0], X[1])
+            s01 = dvec(XS[0], XS[1])
+            r01sq = jnp.sum(r01 * r01, -1)
+            s01sq = jnp.sum(s01 * s01, -1)
+            im0, im1 = IM[0], IM[1]
+            a = (im0 + im1) ** 2 * r01sq
+            b = 2.0 * (im0 + im1) * jnp.sum(s01 * r01, -1)
+            c = s01sq - bond * bond
+            determ = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+            sq = jnp.sqrt(determ)
+            l1 = (-b + sq) / (2.0 * a)
+            l2 = (-b - sq) / (2.0 * a)
+            lam = jnp.where(jnp.abs(l1) <= jnp.abs(l2), l1, l2) / dtfsq
+            return [(lam, r01)], [lam[:, None] * r01, -lam[:, None] * r01]
+
+        fdelta, virial = run_kind(2, 2, solve2, [dist[:, 0]],
+                                  fdelta, virial)
+        fdelta, virial = run_kind(
+            3, 3,
+            lambda X, XS, IM, dq, d1, d2, dv: self._solve3(
+                X, XS, IM, dq, d1, d2, dv),
+            [dist[:, 0], dist[:, 1]], fdelta, virial)
+        fdelta, virial = run_kind(
+            5, 3,
+            lambda X, XS, IM, dq, d1, d2, d12, dv: self._solve3angle(
+                X, XS, IM, dq, d1, d2, d12, dv),
+            [dist[:, 0], dist[:, 1], dist[:, 3]], fdelta, virial)
+        fdelta, virial = run_kind(
+            4, 4,
+            lambda X, XS, IM, dq, d1, d2, d3, dv: self._solve4(
+                X, XS, IM, dq, d1, d2, d3, dv),
+            [dist[:, 0], dist[:, 1], dist[:, 2]], fdelta, virial)
+
+        return s.replace(f=s.f + fdelta), virial
 
     def _iterate(self, quads, binit, ainv, nlam, dtype):
         """Shared fixed-point iteration with per-cluster freezing."""
@@ -294,18 +465,18 @@ class FixShake(Fix):
         lams, _ = jax.lax.fori_loop(0, self.max_iter, body, (lams, done))
         return lams
 
-    def _solve3(self, s, xshake, f, virial, invm, dtfsq, idx, d1, d2,
-                dvec, vtally):
-        dt_ = s.x.dtype
-        i0 = jnp.asarray(idx[:, 0]); i1 = jnp.asarray(idx[:, 1])
-        i2 = jnp.asarray(idx[:, 2])
+    def _solve3(self, X, XS, IM, dtfsq, d1, d2, dvec):
+        """Member-array 2-bond solve: X/XS/IM = per-member positions /
+        unconstrained positions / inverse masses.  Returns
+        ([(lam, r)...], [per-member force deltas])."""
+        dt_ = X[0].dtype
         bond1 = jnp.asarray(d1, dt_); bond2 = jnp.asarray(d2, dt_)
-        r01 = dvec(s.x[i0], s.x[i1]); r02 = dvec(s.x[i0], s.x[i2])
-        s01 = dvec(xshake[i0], xshake[i1]); s02 = dvec(xshake[i0], xshake[i2])
+        r01 = dvec(X[0], X[1]); r02 = dvec(X[0], X[2])
+        s01 = dvec(XS[0], XS[1]); s02 = dvec(XS[0], XS[2])
         dot = lambda a, b: jnp.sum(a * b, -1)
         r01sq, r02sq = dot(r01, r01), dot(r02, r02)
         s01sq, s02sq = dot(s01, s01), dot(s02, s02)
-        im0, im1, im2 = invm[i0], invm[i1], invm[i2]
+        im0, im1, im2 = IM[0], IM[1], IM[2]
         a11 = 2.0 * (im0 + im1) * dot(s01, r01)
         a12 = 2.0 * im0 * dot(s01, r02)
         a21 = 2.0 * im0 * dot(s02, r01)
@@ -331,28 +502,23 @@ class FixShake(Fix):
         l01, l02 = self._iterate(quads, binit, ainv, 2, dt_)
         l01 = l01 / dtfsq
         l02 = l02 / dtfsq
-        f = f.at[i0].add(l01[:, None] * r01 + l02[:, None] * r02)
-        f = f.at[i1].add(-l01[:, None] * r01)
-        f = f.at[i2].add(-l02[:, None] * r02)
-        virial = vtally(virial, l01, r01)
-        virial = vtally(virial, l02, r02)
-        return f, virial
+        deltas = [l01[:, None] * r01 + l02[:, None] * r02,
+                  -l01[:, None] * r01,
+                  -l02[:, None] * r02]
+        return [(l01, r01), (l02, r02)], deltas
 
-    def _solve3angle(self, s, xshake, f, virial, invm, dtfsq, idx,
-                     d1, d2, d12, dvec, vtally):
-        dt_ = s.x.dtype
-        i0 = jnp.asarray(idx[:, 0]); i1 = jnp.asarray(idx[:, 1])
-        i2 = jnp.asarray(idx[:, 2])
+    def _solve3angle(self, X, XS, IM, dtfsq, d1, d2, d12, dvec):
+        dt_ = X[0].dtype
         bond1 = jnp.asarray(d1, dt_); bond2 = jnp.asarray(d2, dt_)
         bond12 = jnp.asarray(d12, dt_)
-        r01 = dvec(s.x[i0], s.x[i1]); r02 = dvec(s.x[i0], s.x[i2])
-        r12 = dvec(s.x[i1], s.x[i2])
-        s01 = dvec(xshake[i0], xshake[i1]); s02 = dvec(xshake[i0], xshake[i2])
-        s12 = dvec(xshake[i1], xshake[i2])
+        r01 = dvec(X[0], X[1]); r02 = dvec(X[0], X[2])
+        r12 = dvec(X[1], X[2])
+        s01 = dvec(XS[0], XS[1]); s02 = dvec(XS[0], XS[2])
+        s12 = dvec(XS[1], XS[2])
         dot = lambda a, b: jnp.sum(a * b, -1)
         r01sq, r02sq, r12sq = dot(r01, r01), dot(r02, r02), dot(r12, r12)
         s01sq, s02sq, s12sq = dot(s01, s01), dot(s02, s02), dot(s12, s12)
-        im0, im1, im2 = invm[i0], invm[i1], invm[i2]
+        im0, im1, im2 = IM[0], IM[1], IM[2]
         a11 = 2.0 * (im0 + im1) * dot(s01, r01)
         a12 = 2.0 * im0 * dot(s01, r02)
         a13 = -2.0 * im1 * dot(s01, r12)
@@ -399,26 +565,21 @@ class FixShake(Fix):
                  bond12 * bond12 - s12sq]
         l01, l02, l12 = self._iterate([q1, q2, q3], binit, ainv, 3, dt_)
         l01 = l01 / dtfsq; l02 = l02 / dtfsq; l12 = l12 / dtfsq
-        f = f.at[i0].add(l01[:, None] * r01 + l02[:, None] * r02)
-        f = f.at[i1].add(-l01[:, None] * r01 + l12[:, None] * r12)
-        f = f.at[i2].add(-l02[:, None] * r02 - l12[:, None] * r12)
-        for lam, r in ((l01, r01), (l02, r02), (l12, r12)):
-            virial = vtally(virial, lam, r)
-        return f, virial
+        deltas = [l01[:, None] * r01 + l02[:, None] * r02,
+                  -l01[:, None] * r01 + l12[:, None] * r12,
+                  -l02[:, None] * r02 - l12[:, None] * r12]
+        return [(l01, r01), (l02, r02), (l12, r12)], deltas
 
-    def _solve4(self, s, xshake, f, virial, invm, dtfsq, idx,
-                d1, d2, d3, dvec, vtally):
-        dt_ = s.x.dtype
-        i0 = jnp.asarray(idx[:, 0]); i1 = jnp.asarray(idx[:, 1])
-        i2 = jnp.asarray(idx[:, 2]); i3 = jnp.asarray(idx[:, 3])
+    def _solve4(self, X, XS, IM, dtfsq, d1, d2, d3, dvec):
+        dt_ = X[0].dtype
         b1 = jnp.asarray(d1, dt_); b2 = jnp.asarray(d2, dt_)
         b3 = jnp.asarray(d3, dt_)
-        r01 = dvec(s.x[i0], s.x[i1]); r02 = dvec(s.x[i0], s.x[i2])
-        r03 = dvec(s.x[i0], s.x[i3])
-        s01 = dvec(xshake[i0], xshake[i1]); s02 = dvec(xshake[i0], xshake[i2])
-        s03 = dvec(xshake[i0], xshake[i3])
+        r01 = dvec(X[0], X[1]); r02 = dvec(X[0], X[2])
+        r03 = dvec(X[0], X[3])
+        s01 = dvec(XS[0], XS[1]); s02 = dvec(XS[0], XS[2])
+        s03 = dvec(XS[0], XS[3])
         dot = lambda a, b: jnp.sum(a * b, -1)
-        im0, im1, im2, im3 = invm[i0], invm[i1], invm[i2], invm[i3]
+        im0, im1, im2, im3 = IM[0], IM[1], IM[2], IM[3]
         a11 = 2.0 * (im0 + im1) * dot(s01, r01)
         a12 = 2.0 * im0 * dot(s01, r02)
         a13 = 2.0 * im0 * dot(s01, r03)
@@ -467,14 +628,12 @@ class FixShake(Fix):
         binit = [b1 * b1 - s01sq, b2 * b2 - s02sq, b3 * b3 - s03sq]
         l01, l02, l03 = self._iterate([q1, q2, q3], binit, ainv, 3, dt_)
         l01 = l01 / dtfsq; l02 = l02 / dtfsq; l03 = l03 / dtfsq
-        f = f.at[i0].add(l01[:, None] * r01 + l02[:, None] * r02
-                         + l03[:, None] * r03)
-        f = f.at[i1].add(-l01[:, None] * r01)
-        f = f.at[i2].add(-l02[:, None] * r02)
-        f = f.at[i3].add(-l03[:, None] * r03)
-        for lam, r in ((l01, r01), (l02, r02), (l03, r03)):
-            virial = vtally(virial, lam, r)
-        return f, virial
+        deltas = [l01[:, None] * r01 + l02[:, None] * r02
+                  + l03[:, None] * r03,
+                  -l01[:, None] * r01,
+                  -l02[:, None] * r02,
+                  -l03[:, None] * r03]
+        return [(l01, r01), (l02, r02), (l03, r03)], deltas
 
 
 class FixRattle(FixShake):

@@ -113,10 +113,13 @@ def validate_tuple_span(x, topo, arities, box, max_span: float,
     return worst
 
 
-def match_members(x, tag, type_, q, valid, box, cfg, utags):
+def match_members(x, tag, type_, q, valid, box, cfg, utags, cols=None):
     """Find positions/type/charge of the wanted tags among the 27-cell
     stencil candidates.  Returns (mpos (Np,P,3) wrap-corrected to the
-    owner's image, mtype (Np,P), mq (Np,P) or None, found (Np,P))."""
+    owner's image, mtype (Np,P), mq (Np,P) or None, found (Np,P)).
+    cols: optional {name: (Np,) array} extra per-atom payloads matched
+    alongside; appended as a dict of (Np,P) arrays in the return tuple
+    when given (SHAKE needs member velocities/forces)."""
     cap = cfg.cap
     gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
     dtype = x.dtype
@@ -146,11 +149,14 @@ def match_members(x, tag, type_, q, valid, box, cfg, utags):
     tagrow = xyrow(tagg, None, None)
     trow = xyrow(tg, None, None)
     qrow = None if qg is None else xyrow(qg, None, None)
+    colrows = {} if cols is None else {
+        k: xyrow(v.reshape(gshape), None, None) for k, v in cols.items()}
 
     zero = jnp.zeros(gshape, dtype)
     mposL = [[zero, zero, zero] for _ in range(P)]
     mtypeL = [zero for _ in range(P)]
     mqL = None if qg is None else [zero for _ in range(P)]
+    mcolL = {k: [zero for _ in range(P)] for k in colrows}
     foundL = [jnp.zeros(gshape, bool) for _ in range(P)]
 
     shifts = ([(dz, 0) for dz in _offs(cfg.nz)] if foldy else
@@ -164,6 +170,7 @@ def match_members(x, tag, type_, q, valid, box, cfg, utags):
         tagj = roll2(tagrow, None, None)
         tj = roll2(trow, None, None).astype(dtype)
         qj = None if qrow is None else roll2(qrow, None, None)
+        cj = {k: roll2(v, None, None) for k, v in colrows.items()}
         for p in range(P):
             want = ug[..., p]                        # (nz,ny,nx,cap)
             hit = (want[..., :, None] > 0) \
@@ -179,6 +186,9 @@ def match_members(x, tag, type_, q, valid, box, cfg, utags):
             if mqL is not None:
                 mqL[p] = mqL[p] + jnp.sum(
                     hitf * qj[..., None, :], axis=-1)
+            for k in mcolL:
+                mcolL[k][p] = mcolL[k][p] + jnp.sum(
+                    hitf * cj[k][..., None, :], axis=-1)
             foundL[p] = foundL[p] | jnp.any(hit, axis=-1)
 
     npax = int(np.prod(gshape))
@@ -192,6 +202,9 @@ def match_members(x, tag, type_, q, valid, box, cfg, utags):
     mtype = pack(mtypeL).astype(jnp.int32)
     mq = None if mqL is None else pack(mqL)
     found = pack(foundL)
+    if cols is not None:
+        return out_pos, mtype, mq, found, {
+            k: pack(v) for k, v in mcolL.items()}
     return out_pos, mtype, mq, found
 
 
