@@ -65,3 +65,40 @@ def test_bonded_hybrids():
     assert v["emol"] == pytest.approx(1076.9249, rel=1e-6)
     assert v["etotal"] == pytest.approx(1190.3624, rel=1e-6)
     assert v["press"] == pytest.approx(220.39869, rel=1e-5)
+
+
+M2 = os.path.join(os.path.dirname(__file__), "golden", "bonded_misc2")
+
+
+def _run_misc2(name):
+    script = LammpsScript()
+    script.data_dir = M2
+    with open(os.path.join(M2, name)) as fh:
+        script.run_string(fh.read())
+    return script.sim.last_thermo
+
+
+def test_nonlinear_cosine_periodic():
+    """bond nonlinear + angle cosine/periodic (DREIDING Chebyshev
+    recurrence, src/EXTRA-MOLECULE/angle_cosine_periodic.cpp)."""
+    v = _run_misc2("in.bnd")
+    assert v["temp"] == pytest.approx(1.2144657, rel=1e-6)
+    assert v["emol"] == pytest.approx(0.075492146, rel=1e-6)
+    assert v["etotal"] == pytest.approx(1.8592387, rel=1e-6)
+    assert v["press"] == pytest.approx(0.011462214, rel=1e-5)
+
+
+def test_angle_cosine():
+    """angle cosine (src/MOLECULE/angle_cosine.cpp)."""
+    v = _run_misc2("in.bnd2")
+    assert v["temp"] == pytest.approx(1.322236, rel=1e-6)
+    assert v["emol"] == pytest.approx(0.63134128, rel=1e-6)
+    assert v["etotal"] == pytest.approx(2.5733754, rel=1e-6)
+
+
+def test_angle_quartic():
+    """angle quartic (src/EXTRA-MOLECULE/angle_quartic.cpp)."""
+    v = _run_misc2("in.bnd3")
+    assert v["temp"] == pytest.approx(1.1580812, rel=1e-6)
+    assert v["emol"] == pytest.approx(0.52789457, rel=1e-6)
+    assert v["etotal"] == pytest.approx(2.2288264, rel=1e-6)

@@ -1358,3 +1358,210 @@ class ImproperHybrid(_TupleHybrid, ImproperStyle):
     def __init__(self, ntypes, sub_names=()):
         ImproperStyle.__init__(self, ntypes)
         self._init_hybrid(ntypes, sub_names)
+
+
+@register_bonded("bond", "nonlinear")
+class BondNonlinear(BondStyle):
+    """E = eps dr^2 / (lambda^2 - dr^2)
+    (src/EXTRA-MOLECULE/bond_nonlinear.cpp)."""
+
+    name = "nonlinear"
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.epsilon = np.zeros(ntypes + 1)
+        self.r0 = np.zeros(ntypes + 1)
+        self.lamda = np.zeros(ntypes + 1)
+
+    def coeff(self, btype, epsilon, r0, lamda):
+        self.epsilon[btype] = epsilon
+        self.r0[btype] = r0
+        self.lamda[btype] = lamda
+
+    def equilibrium_distance(self, btype):
+        return float(self.r0[btype])
+
+    def bond_fn(self, r2, btype):
+        dt = r2.dtype
+        eps = jnp.asarray(self.epsilon, dt)[btype]
+        r0 = jnp.asarray(self.r0, dt)[btype]
+        lam = jnp.asarray(self.lamda, dt)[btype]
+        r = jnp.sqrt(r2)
+        dr = r - r0
+        drsq = dr * dr
+        lamsq = lam * lam
+        denom = jnp.maximum(lamsq - drsq, 1e-30)
+        fbond = -eps / jnp.maximum(r, 1e-30) * 2.0 * dr * lamsq \
+            / (denom * denom)
+        return fbond, eps * drsq / denom
+
+
+@register_bonded("angle", "cosine")
+class AngleCosine(AngleStyle):
+    """E = K (1 + cos theta) (src/MOLECULE/angle_cosine.cpp)."""
+
+    name = "cosine"
+    k_ub = None
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+
+    def coeff(self, atype, k):
+        self.k[atype] = k
+
+    def equilibrium_angle(self, atype):
+        return np.pi
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None, **kw):
+        dt_ = xs[0].dtype
+        x1, x2, x3 = xs
+        d1 = _mi(x1 - x2, box)
+        d2 = _mi(x3 - x2, box)
+        rsq1 = jnp.sum(d1 * d1, -1)
+        rsq2 = jnp.sum(d2 * d2, -1)
+        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-30))
+        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-30))
+        k = jnp.asarray(self.k, dt_)[ttype]
+        c = jnp.clip(jnp.sum(d1 * d2, -1) / (r1 * r2), -1.0, 1.0)
+        e = k * (1.0 + c)
+        a = k
+        a11 = a * c / rsq1
+        a12 = -a / (r1 * r2)
+        a22 = a * c / rsq2
+        f1 = a11[..., None] * d1 + a12[..., None] * d2
+        f3 = a22[..., None] * d2 + a12[..., None] * d1
+        f2 = -(f1 + f3)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(d1, f1), (d2, f3)] if vflag else None
+        return [f1, f2, f3], ed, vp, None
+
+
+@register_bonded("angle", "cosine/periodic")
+class AngleCosinePeriodic(AngleStyle):
+    """DREIDING periodic cosine: E = C [1 - B (-1)^n cos(n theta)]
+    via Chebyshev recurrences (src/EXTRA-MOLECULE/
+    angle_cosine_periodic.cpp:106-140; k = C / n^2)."""
+
+    name = "cosine/periodic"
+    k_ub = None
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+        self.b = np.zeros(ntypes + 1)
+        self.mult = np.zeros(ntypes + 1, np.int64)
+
+    def coeff(self, atype, c, b, n):
+        n = int(n)
+        self.k[atype] = c / (n * n)
+        self.b[atype] = b
+        self.mult[atype] = n
+
+    def equilibrium_angle(self, atype):
+        b = self.b[atype]
+        return np.pi * (1.0 - (0.0 if b > 0 else 1.0 / self.mult[atype]))
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None, **kw):
+        dt_ = xs[0].dtype
+        x1, x2, x3 = xs
+        d1 = _mi(x1 - x2, box)
+        d2 = _mi(x3 - x2, box)
+        rsq1 = jnp.sum(d1 * d1, -1)
+        rsq2 = jnp.sum(d2 * d2, -1)
+        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-30))
+        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-30))
+        k = jnp.asarray(self.k, dt_)[ttype]
+        b = jnp.asarray(self.b, dt_)[ttype]
+        mm = jnp.asarray(self.mult)[ttype]
+        c = jnp.clip(jnp.sum(d1 * d2, -1) / (r1 * r2), -1.0, 1.0)
+        # T_m(c) and the reference's scaled-U recurrence, selected per
+        # type by multiplicity — VERBATIM semantics incl. the m=1
+        # special case (angle_cosine_periodic.cpp:117-140)
+        mmax = int(self.mult.max()) if self.mult.max() > 0 else 1
+        tn_1, tn_2 = c, jnp.ones_like(c)       # T_1, T_0
+        un_1 = jnp.full_like(c, 2.0)
+        un_2 = jnp.zeros_like(c)
+        tsel = jnp.where(mm == 1, tn_1, 0.0)
+        usel = jnp.where(mm == 1, 1.0, 0.0)
+        for m in range(2, mmax + 1):
+            tn = 2.0 * c * tn_1 - tn_2
+            tn_2, tn_1 = tn_1, tn
+            un = 2.0 * c * un_1 - un_2
+            un_2, un_1 = un_1, un
+            tsel = tsel + jnp.where(mm == m, tn, 0.0)
+            usel = usel + jnp.where(mm == m, un, 0.0)
+        sign = jnp.where(mm % 2 == 0, 1.0, -1.0)
+        tn = b * sign * tsel
+        un = b * sign * mm.astype(dt_) * usel
+        e = 2.0 * k * (1.0 - tn)
+        a = -k * un
+        a11 = a * c / rsq1
+        a12 = -a / (r1 * r2)
+        a22 = a * c / rsq2
+        f1 = a11[..., None] * d1 + a12[..., None] * d2
+        f3 = a22[..., None] * d2 + a12[..., None] * d1
+        f2 = -(f1 + f3)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(d1, f1), (d2, f3)] if vflag else None
+        return [f1, f2, f3], ed, vp, None
+
+
+@register_bonded("angle", "quartic")
+class AngleQuartic(AngleStyle):
+    """E = K2 dt^2 + K3 dt^3 + K4 dt^4
+    (src/EXTRA-MOLECULE/angle_quartic.cpp)."""
+
+    name = "quartic"
+    k_ub = None
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.theta0 = np.zeros(ntypes + 1)
+        self.k2 = np.zeros(ntypes + 1)
+        self.k3 = np.zeros(ntypes + 1)
+        self.k4 = np.zeros(ntypes + 1)
+
+    def coeff(self, atype, theta0_deg, k2, k3, k4):
+        self.theta0[atype] = theta0_deg * np.pi / 180.0
+        self.k2[atype] = k2
+        self.k3[atype] = k3
+        self.k4[atype] = k4
+
+    def equilibrium_angle(self, atype):
+        return float(self.theta0[atype])
+
+    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
+                    idx=None, mask=None, role=None, **kw):
+        dt_ = xs[0].dtype
+        x1, x2, x3 = xs
+        d1 = _mi(x1 - x2, box)
+        d2 = _mi(x3 - x2, box)
+        rsq1 = jnp.sum(d1 * d1, -1)
+        rsq2 = jnp.sum(d2 * d2, -1)
+        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-30))
+        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-30))
+        th0 = jnp.asarray(self.theta0, dt_)[ttype]
+        k2 = jnp.asarray(self.k2, dt_)[ttype]
+        k3 = jnp.asarray(self.k3, dt_)[ttype]
+        k4 = jnp.asarray(self.k4, dt_)[ttype]
+        c = jnp.clip(jnp.sum(d1 * d2, -1) / (r1 * r2), -1.0, 1.0)
+        SMALL = 0.001
+        sinv = 1.0 / jnp.maximum(jnp.sqrt(1.0 - c * c), SMALL)
+        dth = jnp.arccos(c) - th0
+        dth2 = dth * dth
+        dth3 = dth2 * dth
+        tk = 2.0 * k2 * dth + 3.0 * k3 * dth2 + 4.0 * k4 * dth3
+        e = k2 * dth2 + k3 * dth3 + k4 * dth3 * dth
+        a = -tk * sinv
+        a11 = a * c / rsq1
+        a12 = -a / (r1 * r2)
+        a22 = a * c / rsq2
+        f1 = a11[..., None] * d1 + a12[..., None] * d2
+        f3 = a22[..., None] * d2 + a12[..., None] * d1
+        f2 = -(f1 + f3)
+        ed = {self.energy_key: e} if eflag else None
+        vp = [(d1, f1), (d2, f3)] if vflag else None
+        return [f1, f2, f3], ed, vp, None
