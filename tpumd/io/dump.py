@@ -309,3 +309,49 @@ class DumpCFG(Dump):
                 row = [cols["xs"][i], cols["ys"][i], cols["zs"][i]] + \
                     [cols[a][i] for a in aux]
                 fh.write(" ".join(f"{v:.8g}" for v in row) + "\n")
+
+
+class DumpGrid(Dump):
+    """dump grid: per-grid-cell data from fix ave/grid (src/dump_grid.cpp).
+    Fields are f_ID:gname:dname[col] references; rows are emitted in
+    iz-outer / ix-inner order like the reference's pack loops."""
+
+    def __init__(self, dump_id, group, style, every, path, fields=None):
+        super().__init__(dump_id, group, style, every, path, fields)
+        self.fields = fields or []
+
+    def write(self, sim):
+        cols = []
+        shape = None
+        for name in self.fields:
+            if not name.startswith(("f_", "c_")) or ":" not in name:
+                raise ValueError(f"dump grid field {name!r} must be a "
+                                 "f_ID:grid:data reference")
+            base, gname, dname = name[2:].split(":", 2)
+            col = None
+            if "[" in dname:
+                dname, rest = dname.split("[", 1)
+                col = int(rest.rstrip("]"))
+            fxs = [fx for fx in sim.fixes
+                   if getattr(fx, "id", None) == base]
+            if not fxs or not hasattr(fxs[0], "grid_data"):
+                raise ValueError(f"unknown grid source {base!r}")
+            g = fxs[0].grid_data(dname, col)
+            if shape is None:
+                shape = g.shape
+            cols.append(np.asarray(g).reshape(-1))
+        nz, ny, nx = shape
+        lo = np.asarray(jax.device_get(sim.state.box.lo), np.float64)
+        hi = np.asarray(jax.device_get(sim.state.box.hi), np.float64)
+        path = self.path.replace("*", str(sim.step))
+        mode = "w" if ("*" in self.path or not self._opened) else "a"
+        self._opened = True
+        with open(path, mode) as fh:
+            fh.write("ITEM: TIMESTEP\n%d\n" % sim.step)
+            fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                fh.write(f"{lo[d]:.16e} {hi[d]:.16e}\n")
+            fh.write("ITEM: DIMENSION\n%d\n" % sim.dimension)
+            fh.write(f"ITEM: GRID SIZE nx ny nz\n{nx} {ny} {nz}\n")
+            fh.write("ITEM: GRID CELLS " + " ".join(self.fields) + "\n")
+            np.savetxt(fh, np.column_stack(cols), fmt=self.float_fmt)

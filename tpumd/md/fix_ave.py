@@ -381,3 +381,100 @@ class FixPropertyAtom(Fix):
             if nm not in store:
                 dtype = np.int64 if nm.startswith("i_") else np.float64
                 store[nm] = np.zeros(n, dtype)
+
+
+class FixAveGrid(_AveBase):
+    """fix ave/grid Nevery Nrepeat Nfreq Nx Ny Nz value1 ... [norm all]
+    (src/fix_ave_grid.cpp, ATOM mode): bins atoms onto a regular grid
+    each sample step and time-averages per-cell values; dump grid reads
+    the result via grid_data("data"/"count")."""
+
+    name = "ave/grid"
+
+    def __init__(self, nevery, nrepeat, nfreq, nx, ny, nz, inputs,
+                 norm="all"):
+        super().__init__(nevery, nrepeat, nfreq, inputs)
+        self.nx, self.ny, self.nz = int(nx), int(ny), int(nz)
+        if norm != "all":
+            raise ValueError("fix ave/grid: only norm all supported")
+        nv = len(self.inputs)
+        self._sum = np.zeros((self.nz, self.ny, self.nx, nv))
+        self._count = np.zeros((self.nz, self.ny, self.nx))
+        self._grid = None
+        self._gridcount = None
+
+    def host_end_of_step(self, sim):
+        if not self._sample_due(sim.step):
+            return
+        import jax
+        s = sim.state
+        tag = np.asarray(jax.device_get(s.tag))
+        valid = tag > 0
+        x = np.asarray(jax.device_get(s.x), np.float64)[valid]
+        v = np.asarray(jax.device_get(s.v), np.float64)[valid]
+        typ = np.asarray(jax.device_get(s.type))[valid]
+        order = np.argsort(tag[valid])     # tag order for c_/f_ refs
+        x, v, typ = x[order], v[order], typ[order]
+        m = sim.mass[typ]
+        lo = np.asarray(jax.device_get(s.box.lo), np.float64)
+        prd = np.asarray(jax.device_get(s.box.lengths), np.float64)
+        dims = np.array([self.nx, self.ny, self.nz])
+        rel = (x - lo) / prd
+        rel = rel - np.floor(rel)          # wrap into [0,1)
+        cell = np.minimum((rel * dims).astype(np.int64), dims - 1)
+        flat = (cell[:, 2] * self.ny + cell[:, 1]) * self.nx + cell[:, 0]
+
+        np.add.at(self._count.reshape(-1), flat, 1.0)
+        for k, name in enumerate(self.inputs):
+            if name == "density/number":
+                val = np.ones(len(x))
+            elif name in ("density/mass", "mass"):
+                val = m
+            elif name == "temp":
+                val = m * np.sum(v * v, axis=1)
+            elif name in ("vx", "vy", "vz"):
+                val = v[:, "xyz".index(name[1])]
+            else:
+                val = np.asarray(_input(sim, name))
+            np.add.at(self._sum.reshape(-1, len(self.inputs))[:, k],
+                      flat, val)
+
+        if sim.step % self.nfreq == 0:
+            u = sim.units
+            rep = float(self.nrepeat)
+            binvol = np.prod(prd / dims)
+            cnt = self._count
+            out = np.zeros_like(self._sum)
+            adof = sim.dimension
+            for k, name in enumerate(self.inputs):
+                sk = self._sum[..., k]
+                if name == "density/number":
+                    out[..., k] = sk / (binvol * rep)
+                elif name == "density/mass":
+                    out[..., k] = sk * u.mv2d / (binvol * rep)
+                elif name == "temp":
+                    dof = adof * cnt * u.boltz
+                    out[..., k] = np.where(
+                        cnt > 0, u.mvv2e * sk / np.maximum(dof, 1e-300),
+                        0.0)
+                else:
+                    out[..., k] = np.where(cnt > 0,
+                                           sk / np.maximum(cnt, 1), 0.0)
+            self._grid = out
+            self._gridcount = cnt / rep
+            self._sum[:] = 0.0
+            self._count[:] = 0.0
+
+    def grid_data(self, which, index=None):
+        if self._grid is None:
+            # before the first Nfreq output the reference dumps zeros
+            z = np.zeros((self.nz, self.ny, self.nx))
+            return z
+        if which == "count":
+            return self._gridcount
+        if index is None:
+            return self._grid[..., 0]
+        return self._grid[..., index - 1]
+
+    def output(self, sim):
+        return self.grid_data("data")

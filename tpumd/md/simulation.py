@@ -765,13 +765,15 @@ class Simulation:
             if self.step == target or (self.thermo_every > 0
                                        and self.step % self.thermo_every == 0):
                 self._thermo_line()
-            for d in self.dumps:
-                if d.every and self.step % d.every == 0:
-                    d.write(self)
+            # end_of_step fixes run BEFORE output writes
+            # (Verlet::run: modify->end_of_step then output->write)
             for fx in self.fixes:
                 ev = getattr(fx, "host_every", 0)
                 if ev and self.step % ev == 0:
                     fx.host_end_of_step(self)
+            for d in self.dumps:
+                if d.every and self.step % d.every == 0:
+                    d.write(self)
             if self._ctx is None:
                 # a host fix changed the atom count/styles: re-setup
                 self.setup()

@@ -1335,6 +1335,17 @@ class LammpsScript:
             sim.fixes.append(FixAveHisto(
                 args[0], args[1], args[2], args[3], args[4], args[5],
                 vals, **kw))
+        elif style == "ave/grid":
+            from tpumd.md.fix_ave import FixAveGrid
+            vals = list(args[6:])
+            kw = {}
+            if "norm" in vals:
+                i = vals.index("norm")
+                kw["norm"] = vals[i + 1]
+                vals = vals[:i] + vals[i + 2:]
+            sim.fixes.append(FixAveGrid(
+                args[0], args[1], args[2], args[3], args[4], args[5],
+                vals, **kw))
         elif style == "store/state":
             from tpumd.md.fix_ave import FixStoreState
             sim.fixes.append(FixStoreState(args[0], args[1:]))
@@ -1809,6 +1820,11 @@ class LammpsScript:
             from tpumd.io.dump import DumpCFG
             sim.dumps.append(DumpCFG(did, group, style, every, path,
                                      list(a[5:])))
+            return
+        if style == "grid":
+            from tpumd.io.dump import DumpGrid
+            sim.dumps.append(DumpGrid(did, group, style, every, path,
+                                      list(a[5:])))
             return
         fields = a[5:] if style == "custom" else None
         sim.dumps.append(Dump(did, group, style, every, path, fields))
