@@ -374,3 +374,88 @@ class ComputeHeatFlux(Compute):
             ss[:, 4] * vv[:, 0] + ss[:, 5] * vv[:, 1] + ss[:, 2] * vv[:, 2],
         ], axis=1).sum(0) / sim.units.nktv2p
         return np.concatenate([jc + jv, jc])
+
+
+class ComputeDipole(Compute):
+    """compute dipole [geometry|mass]: group dipole moment, charged
+    groups referenced to the (mass/geometric) center
+    (src/compute_dipole.cpp)."""
+
+    style = "dipole"
+    scalar = False
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+        self.usecenter = "mass" if not args else str(args[0])
+
+    def _unwrapped(self, sim):
+        import jax as _jax
+        s = sim.state
+        tag = np.asarray(_jax.device_get(s.tag))
+        valid = tag > 0
+        order = np.nonzero(valid)[0][np.argsort(tag[valid])]
+        x = np.asarray(_jax.device_get(s.x), np.float64)[order]
+        img = np.asarray(_jax.device_get(s.image))[order]
+        ell = np.asarray(_jax.device_get(s.box.lengths), np.float64)
+        typ = np.asarray(_jax.device_get(s.type))[order]
+        q = (np.zeros(len(order)) if s.q is None
+             else np.asarray(_jax.device_get(s.q), np.float64)[order])
+        gm = np.asarray(_jax.device_get(s.gmask))[order]
+        sel = (gm & sim.groups.get(self.group, 1)) > 0
+        return x + img * ell, typ, q, sel
+
+    def evaluate(self, sim):
+        xu, typ, q, sel = self._unwrapped(sim)
+        m = (sim.mass[typ] if self.usecenter == "mass"
+             else np.ones(len(typ)))
+        m = np.where(sel, m, 0.0)
+        qs = np.where(sel, q, 0.0)
+        mt = m.sum()
+        com = (xu * m[:, None]).sum(0) / max(mt, 1e-300)
+        mu = (xu * qs[:, None]).sum(0) - qs.sum() * com
+        return np.array([mu[0], mu[1], mu[2],
+                         float(np.sqrt((mu * mu).sum()))])
+
+
+class ComputeDipoleChunk(ComputeDipole):
+    """compute dipole/chunk chunkID [geometry|mass]
+    (src/compute_dipole_chunk.cpp): per-chunk dipole vector + norm."""
+
+    style = "dipole/chunk"
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group, args[1:])
+        self.chunkid = str(args[0])
+
+    def evaluate(self, sim):
+        xu, typ, q, sel = self._unwrapped(sim)
+        cchunk = sim.computes[self.chunkid]
+        ids = np.asarray(cchunk.evaluate(sim)).astype(np.int64)
+        n = cchunk.nchunk
+        m = (sim.mass[typ] if self.usecenter == "mass"
+             else np.ones(len(typ)))
+        m = np.where(sel, m, 0.0)
+        qs = np.where(sel, q, 0.0)
+        out = np.zeros((n, 4))
+        idx = np.clip(ids - 1, 0, n - 1)
+        mt = np.zeros(n)
+        np.add.at(mt, idx, m)
+        com = np.zeros((n, 3))
+        np.add.at(com, idx, xu * m[:, None])
+        com /= np.maximum(mt, 1e-300)[:, None]
+        qtot = np.zeros(n)
+        np.add.at(qtot, idx, qs)
+        mu = np.zeros((n, 3))
+        np.add.at(mu, idx, xu * qs[:, None])
+        mu -= qtot[:, None] * com
+        out[:, :3] = mu
+        out[:, 3] = np.sqrt((mu * mu).sum(1))
+        return out
+
+
+def _dipole_scalar(self, out):
+    # c_ID without an index = |mu| (ComputeDipole::compute_scalar)
+    return np.asarray(out)[3]
+
+
+ComputeDipole.evaluate_scalar = _dipole_scalar

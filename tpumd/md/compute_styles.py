@@ -269,6 +269,10 @@ class ComputeChunkAtom(Compute):
             typ = np.asarray(_jax.device_get(sim.state.type))[order]
             self.nchunk = int(sim.ntypes)
             return typ.astype(np.float64)
+        if style == "molecule":
+            mol = np.asarray(_jax.device_get(sim.state.molecule))[order]
+            self.nchunk = int(mol.max())
+            return mol.astype(np.float64)
         if style == "bin/1d":
             dim = "xyz".index(self.args[1])
             x = np.asarray(_jax.device_get(sim.state.x),
@@ -303,7 +307,7 @@ def create_compute(cid, group, style, args=()):
         cp.ComputeGroupGroup, cp.ComputeHeatFlux, cs.ComputeCNAAtom,
         cs.ComputeCentroAtom, cs.ComputeOrientOrderAtom,
         cl.ComputePropertyLocal, cl.ComputeBondLocal,
-        cl.ComputeAngleLocal)})
+        cl.ComputeAngleLocal, cp.ComputeDipole, cp.ComputeDipoleChunk)})
     if style in arg_styles:
         return arg_styles[style](cid, group, args)
     styles = dict(_STYLES)

@@ -36,7 +36,8 @@ def _resolve_input(sim, name):
         col = None
         if "[" in base:
             base, rest = base.split("[", 1)
-            col = int(rest.rstrip("]")) - 1
+            rest = rest.rstrip("]")
+            col = None if rest == "*" else int(rest) - 1
         out = np.asarray(sim.computes[base].evaluate(sim))
         if col is not None:
             out = out[..., col] if out.ndim > 1 else out[col]

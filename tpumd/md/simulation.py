@@ -1237,6 +1237,8 @@ class Simulation:
                     if getattr(c, "extensive", False) and self.thermo_norm
                     else 1)
             if idx is None:
+                if hasattr(c, "evaluate_scalar"):
+                    return float(c.evaluate_scalar(sim_out := out)) / norm
                 return float(out) / norm
             if np.ndim(out) == 0:
                 # scalar compute with a side vector (e.g. group/group:
