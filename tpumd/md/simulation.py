@@ -1238,7 +1238,7 @@ class Simulation:
                     else 1)
             if idx is None:
                 if hasattr(c, "evaluate_scalar"):
-                    return float(c.evaluate_scalar(sim_out := out)) / norm
+                    return float(c.evaluate_scalar(out)) / norm
                 return float(out) / norm
             if np.ndim(out) == 0:
                 # scalar compute with a side vector (e.g. group/group:
