@@ -69,3 +69,21 @@ def test_peratom_computes(sim_and_ref):
     np.testing.assert_allclose(crd, ref[:, 1], atol=1e-9)
     np.testing.assert_allclose(cls, ref[:, 2], atol=1e-9)
     np.testing.assert_allclose(dsp[:, 3], ref[:, 3], rtol=1e-5, atol=1e-9)
+
+
+def test_temp_variants_golden():
+    """compute temp/com, temp/partial, temp/region vs the reference
+    binary (src/compute_temp_com.cpp, compute_temp_partial.cpp,
+    compute_temp_region.cpp)."""
+    import os
+    from tpumd.script.parser import LammpsScript
+    gold = os.path.join(os.path.dirname(__file__), "golden",
+                        "temp_variants")
+    s = LammpsScript()
+    with open(os.path.join(gold, "in.tv")) as fh:
+        s.run_string(fh.read())
+    v = s.sim.last_thermo
+    # step-10 row of tests/golden/temp_variants/log.tv
+    assert v["c_tc"] == pytest.approx(1.1347688, rel=1e-6)
+    assert v["c_tp"] == pytest.approx(1.1439988, rel=1e-6)
+    assert v["c_tr"] == pytest.approx(1.1682217, rel=1e-6)

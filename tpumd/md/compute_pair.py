@@ -459,3 +459,85 @@ def _dipole_scalar(self, out):
 
 
 ComputeDipole.evaluate_scalar = _dipole_scalar
+
+
+def _group_arrays(sim, group):
+    import jax as _jax
+    s = sim.state
+    tag = np.asarray(_jax.device_get(s.tag))
+    valid = tag > 0
+    order = np.nonzero(valid)[0][np.argsort(tag[valid])]
+    x = np.asarray(_jax.device_get(s.x), np.float64)[order]
+    v = np.asarray(_jax.device_get(s.v), np.float64)[order]
+    typ = np.asarray(_jax.device_get(s.type))[order]
+    gm = np.asarray(_jax.device_get(s.gmask))[order]
+    sel = (gm & sim.groups.get(group, 1)) > 0
+    m = sim.mass[typ]
+    return x, v, m, sel
+
+
+class ComputeTempCOM(Compute):
+    """compute temp/com: temperature with the group's center-of-mass
+    velocity removed (src/compute_temp_com.cpp)."""
+
+    style = "temp/com"
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+
+    def evaluate(self, sim):
+        x, v, m, sel = _group_arrays(sim, self.group)
+        u = sim.units
+        ms = np.where(sel, m, 0.0)
+        vcm = (v * ms[:, None]).sum(0) / max(ms.sum(), 1e-300)
+        vt = v - vcm
+        n = int(sel.sum())
+        dof = sim.dimension * n - sim.dimension \
+            - sum(fx.dof_removed for fx in sim.fixes)
+        ke = (ms * (vt * vt).sum(1)).sum()
+        return u.mvv2e * ke / max(dof, 1) / u.boltz
+
+
+class ComputeTempPartial(Compute):
+    """compute temp/partial xflag yflag zflag
+    (src/compute_temp_partial.cpp)."""
+
+    style = "temp/partial"
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+        self.flags = np.array([int(a) for a in args[:3]], np.float64)
+
+    def evaluate(self, sim):
+        x, v, m, sel = _group_arrays(sim, self.group)
+        u = sim.units
+        ms = np.where(sel, m, 0.0)
+        n = int(sel.sum())
+        nper = int(self.flags.sum())
+        fix_dof = sum(fx.dof_removed for fx in sim.fixes)
+        dof = nper * n - (nper / sim.dimension) * (fix_dof
+                                                   + sim.dimension)
+        ke = (ms * ((v * self.flags) * v).sum(1)).sum()
+        return u.mvv2e * ke / max(dof, 1e-300) / u.boltz
+
+
+class ComputeTempRegion(Compute):
+    """compute temp/region regionID (src/compute_temp_region.cpp):
+    temperature of group atoms currently inside the region; dof =
+    dim*count - extra_dof."""
+
+    style = "temp/region"
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+        self.region = str(args[0])
+
+    def evaluate(self, sim):
+        x, v, m, sel = _group_arrays(sim, self.group)
+        u = sim.units
+        reg = sim.script.regions[self.region]
+        inside = reg.inside(x) & sel
+        n = int(inside.sum())
+        dof = sim.dimension * n - sim.dimension
+        ke = (np.where(inside, m, 0.0) * (v * v).sum(1)).sum()
+        return u.mvv2e * ke / max(dof, 1) / u.boltz

@@ -307,7 +307,9 @@ def create_compute(cid, group, style, args=()):
         cp.ComputeGroupGroup, cp.ComputeHeatFlux, cs.ComputeCNAAtom,
         cs.ComputeCentroAtom, cs.ComputeOrientOrderAtom,
         cl.ComputePropertyLocal, cl.ComputeBondLocal,
-        cl.ComputeAngleLocal, cp.ComputeDipole, cp.ComputeDipoleChunk)})
+        cl.ComputeAngleLocal, cp.ComputeDipole, cp.ComputeDipoleChunk,
+        cp.ComputeTempCOM, cp.ComputeTempPartial,
+        cp.ComputeTempRegion)})
     if style in arg_styles:
         return arg_styles[style](cid, group, args)
     styles = dict(_STYLES)
