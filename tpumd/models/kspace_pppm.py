@@ -79,9 +79,45 @@ def _rho_coeff(order: int):
     return rho, drho
 
 
+# gf_b2[order][l]: rational coefficients of the staggered-grid Green's
+# function denominator polynomial (src/KSPACE/pppm_stagger.cpp:59-87);
+# gf_denom2(c) = (sum_l b2[l] * c^(2l+1))^2 per dimension.
+_GF_B2 = {
+    1: [1.0],
+    2: [5.0 / 6.0, 1.0 / 6.0],
+    3: [61.0 / 120.0, 29.0 / 60.0, 1.0 / 120.0],
+    4: [277.0 / 1008.0, 1037.0 / 1680.0, 181.0 / 1680.0, 1.0 / 5040.0],
+    5: [50521.0 / 362880.0, 7367.0 / 12960.0, 16861.0 / 60480.0,
+        1229.0 / 90720.0, 1.0 / 362880.0],
+    6: [540553.0 / 7983360.0, 17460701.0 / 39916800.0,
+        8444893.0 / 19958400.0, 1409633.0 / 19958400.0,
+        44281.0 / 39916800.0, 1.0 / 39916800.0],
+    7: [199360981.0 / 6227020800.0, 103867703.0 / 345945600.0,
+        66714163.0 / 138378240.0, 54085121.0 / 311351040.0,
+        1640063.0 / 138378240.0, 671.0 / 10483200.0, 1.0 / 6227020800.0],
+}
+
+
+def _compute_gf_b(order):
+    """gf_b denominator coefficients (PPPM::compute_gf_denom,
+    src/KSPACE/pppm.cpp)."""
+    gf_b = np.zeros(order)
+    gf_b[0] = 1.0
+    for m in range(1, order):
+        for l in range(m, 0, -1):
+            gf_b[l] = 4.0 * (gf_b[l] * (l - m) * (l - m - 0.5)
+                             - gf_b[l - 1] * (l - m - 1) * (l - m - 1))
+        gf_b[0] = 4.0 * (gf_b[0] * (0 - m) * (0 - m - 0.5))
+    ifact = 1
+    for k in range(1, 2 * order):
+        ifact *= k
+    return gf_b / ifact
+
+
 class PPPM:
     style = "pppm"
     mode = "ik"   # differentiation: "ik" (3 inverse FFTs) or "ad"
+    stagger_flag = False  # pppm/stagger: 2 interlaced assignment passes
 
     def __init__(self, accuracy_relative: float, order: int = 5):
         self.accuracy_relative = float(accuracy_relative)
@@ -200,7 +236,106 @@ class PPPM:
                             / np.where(nonzero, sum3 * sum4, 1.0), 0.0)
         return float(qopt.sum())
 
+    def _compute_qopt_stagger(self):
+        """PPPMStagger::compute_qopt (src/KSPACE/pppm_stagger.cpp:
+        273-372): the staggered-mesh error functional with the averaged
+        gf_denom/gf_denom2 denominator, vectorized over the grid."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        xprd, yprd, zprd = self.prd
+        g = self.g_ewald
+        order = self.order
+        order2 = 2 * order
+
+        def pers(n):
+            k = np.arange(n)
+            return k - n * (2 * k // n)
+
+        kper = pers(nx)[None, None, :]
+        lper = pers(ny)[None, :, None]
+        mper = pers(nz)[:, None, None]
+        unitk = 2 * np.pi / np.array([xprd, yprd, zprd])
+        fkx, fky, fkz = unitk[0] * kper, unitk[1] * lper, unitk[2] * mper
+        sqk = fkx**2 + fky**2 + fkz**2
+
+        def powsinxx(arg, n_):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(arg == 0.0, 1.0,
+                             np.sin(arg) / np.where(arg == 0, 1, arg))
+            return s ** n_
+
+        gf_b = _compute_gf_b(order)
+        snx = np.sin(0.5 * unitk[0] * kper * xprd / nx) ** 2
+        sny = np.sin(0.5 * unitk[1] * lper * yprd / ny) ** 2
+        snz = np.sin(0.5 * unitk[2] * mper * zprd / nz) ** 2
+        px = py = pz = 0.0
+        for l in range(order - 1, -1, -1):
+            px = gf_b[l] + px * snx
+            py = gf_b[l] + py * sny
+            pz = gf_b[l] + pz * snz
+        denom1 = (px * py * pz) ** 2
+
+        b2 = _GF_B2[order]
+        cnx = np.cos(0.5 * unitk[0] * kper * xprd / nx)
+        cny = np.cos(0.5 * unitk[1] * lper * yprd / ny)
+        cnz = np.cos(0.5 * unitk[2] * mper * zprd / nz)
+        qx_ = qy_ = qz_ = 0.0
+        xl, yl, zl = cnx, cny, cnz
+        for l in range(order):
+            qx_ = qx_ + b2[l] * xl
+            qy_ = qy_ + b2[l] * yl
+            qz_ = qz_ + b2[l] * zl
+            xl = xl * cnx * cnx
+            yl = yl * cny * cny
+            zl = zl * cnz * cnz
+        denom2 = (qx_ * qy_ * qz_) ** 2
+        denom = 0.5 * (denom1 + denom2)
+
+        nonzero = sqk != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            numerator = np.where(nonzero, 4.0 * np.pi
+                                 / np.where(nonzero, sqk, 1.0), 0.0)
+        sum1 = np.zeros((nz, ny, nx))
+        sum2 = np.zeros((nz, ny, nx))
+        four_pi = 4.0 * np.pi
+        for ox in range(-2, 3):
+            qx = unitk[0] * (kper + nx * ox)
+            sx = np.exp(-0.25 * (qx / g) ** 2)
+            wx = powsinxx(0.5 * qx * xprd / nx, order2)
+            for oy in range(-2, 3):
+                qy = unitk[1] * (lper + ny * oy)
+                sy = np.exp(-0.25 * (qy / g) ** 2)
+                wy = powsinxx(0.5 * qy * yprd / ny, order2)
+                for oz in range(-2, 3):
+                    qz = unitk[2] * (mper + nz * oz)
+                    sz = np.exp(-0.25 * (qz / g) ** 2)
+                    wz = powsinxx(0.5 * qz * zprd / nz, order2)
+                    dot1 = fkx * qx + fky * qy + fkz * qz
+                    dot2 = qx * qx + qy * qy + qz * qz
+                    u1 = sx * sy * sz
+                    u2 = wx * wy * wz
+                    u3 = numerator * u1 * u2 * dot1
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        safe = np.where(dot2 == 0, 1.0, dot2)
+                        sum1 += np.where(dot2 > 0,
+                                         u1 * u1 * four_pi * four_pi
+                                         / safe, 0.0)
+                        sum2 += np.where(dot2 > 0, u3 * u3 / safe, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qopt = np.where(nonzero,
+                            sum1 - sum2 / np.where(nonzero, denom, 1.0),
+                            0.0)
+        return float(qopt.sum())
+
     def _df_kspace(self):
+        if self.stagger_flag:
+            # stagger uses the qopt functional for both grid selection
+            # and the final error estimate (pppm.cpp:1015,1150 gate on
+            # differentiation_flag == 1 || stagger_flag)
+            xprd, yprd, zprd = self.prd
+            qopt = self._compute_qopt_stagger()
+            return (np.sqrt(qopt / self.natoms) * self.q2
+                    / (xprd * yprd * zprd))
         if self.mode == "ad":
             xprd, yprd, zprd = self.prd
             qopt = self._compute_qopt()
@@ -235,9 +370,10 @@ class PPPM:
             return
 
         n = [0, 0, 0]
-        if self.mode == "ad":
-            # set_grid_global ad branch (pppm.cpp:1015-1044): shrink a
-            # uniform h until the qopt error meets the target
+        if self.mode == "ad" or self.stagger_flag:
+            # set_grid_global qopt branch (pppm.cpp:1015-1044, taken for
+            # ad AND stagger): shrink a uniform h until the qopt error
+            # meets the target
             hh = 4.0 / g
             for _ in range(500):
                 n = [max(int(p / hh), 2) for p in self.prd]
@@ -295,18 +431,7 @@ class PPPM:
         nx, ny, nz = self.nx, self.ny, self.nz
         xprd, yprd, zprd = self.prd
 
-        # gf_b (compute_gf_denom)
-        gf_b = np.zeros(order)
-        gf_b[0] = 1.0
-        for m in range(1, order):
-            for l in range(m, 0, -1):
-                gf_b[l] = 4.0 * (gf_b[l] * (l - m) * (l - m - 0.5)
-                                 - gf_b[l - 1] * (l - m - 1) * (l - m - 1))
-            gf_b[0] = 4.0 * (gf_b[0] * (0 - m) * (0 - m - 0.5))
-        ifact = 1
-        for k in range(1, 2 * order):
-            ifact *= k
-        gf_b /= ifact
+        gf_b = _compute_gf_b(order)
         self.gf_b = gf_b
 
         # wavevectors with aliasing wrap (kper)
@@ -352,6 +477,29 @@ class PPPM:
         sqk = fkx**2 + fky**2 + fkz**2  # (nz, ny, nx)
 
         denom = gf_denom(snx, sny, snz)
+        if self.stagger_flag:
+            # staggered denominator: average the standard gf_denom with
+            # gf_denom2 built from cos(k h/2) odd powers
+            # (src/KSPACE/pppm_stagger.cpp:488-575 compute_gf_ik)
+            b2 = _GF_B2[order]
+
+            def gf_denom2(cx, cy, cz):
+                px = py = pz = 0.0
+                xl, yl, zl = cx, cy, cz
+                for l in range(order):
+                    px = px + b2[l] * xl
+                    py = py + b2[l] * yl
+                    pz = pz + b2[l] * zl
+                    xl = xl * cx * cx
+                    yl = yl * cy * cy
+                    zl = zl * cz * cz
+                s = px * py * pz
+                return s * s
+
+            cnx = np.cos(0.5 * unitkx * kx * xprd / nx)
+            cny = np.cos(0.5 * unitky * ky * yprd / ny)
+            cnz = np.cos(0.5 * unitkz * kz * zprd / nz)
+            denom = 0.5 * (denom + gf_denom2(cnx, cny, cnz))
         sum1 = np.zeros((nz, ny, nx))
         two_ord = 2 * order
         for ox in range(-nbx, nbx + 1):
@@ -528,6 +676,22 @@ class PPPM:
 
     # -------------------------------------------------------------- compute
     def compute(self, s, eflag: bool, vflag: bool):
+        if not self.stagger_flag:
+            return self._compute_one(s, eflag, vflag)
+        # pppm/stagger (src/KSPACE/pppm_stagger.cpp:118-235): two full
+        # assignment/poisson/interpolation passes with the grid offset by
+        # 0 and half a cell; forces/energy/virial are pass averages
+        # (qfactor and energy carry the 1/nstagger there; the self/
+        # neutralization constants appear once in each pass's energy, so
+        # the average preserves them exactly).
+        f0, e0, v0 = self._compute_one(s, eflag, vflag, stag=0.0)
+        f1, e1, v1 = self._compute_one(s, eflag, vflag, stag=0.5)
+        f = 0.5 * (f0 + f1)
+        elong = None if e0 is None else 0.5 * (e0 + e1)
+        virial = None if v0 is None else 0.5 * (v0 + v1)
+        return f, elong, virial
+
+    def _compute_one(self, s, eflag: bool, vflag: bool, stag: float = 0.0):
         dt_ = s.x.dtype
         nx, ny, nz = self.nx, self.ny, self.nz
         order = self.order
@@ -536,8 +700,11 @@ class PPPM:
         delinv = jnp.array([nx, ny, nz], dtype=dt_) / ell
         q = s.q
 
-        # particle_map: for odd order, nearest grid point (shift 0.5)
-        gx = (s.x - lo) * delinv
+        # particle_map: for odd order, nearest grid point (shift 0.5);
+        # stag is the pppm/stagger half-cell grid offset
+        # (pppm_stagger.cpp:696-698,746-748: the offset rides the grid
+        # coordinate in both the map and the fractional distances)
+        gx = (s.x - lo) * delinv + stag
         shift = 0.5 if order % 2 else 0.0
         base = jnp.floor(gx + shift).astype(jnp.int32)
         # rho1d weights per dim: dx = base + shiftone - gx
@@ -667,8 +834,9 @@ class PPPM:
             ek = jnp.stack([ekx, eky, ekz], axis=1) * hinv[None, :]
             f = (q * (qscale / delvol))[:, None] * ek
             # self-force correction: sf_coeff * sin(2pi m s), s = x*h_inv
+            # (+ the stagger offset, pppm_stagger.cpp:892-894)
             sf = jnp.asarray(self.sf_coeff, dt_)
-            s_abs = s.x * hinv[None, :]
+            s_abs = s.x * hinv[None, :] + stag
             two_pi = 2.0 * np.pi
             sfv = jnp.stack([
                 sf[0] * jnp.sin(two_pi * s_abs[:, 0])
@@ -764,7 +932,21 @@ class PPPMAD(PPPM):
     mode = "ad"
 
 
-class PPPMCG(PPPM):
+class PPPMStagger(PPPM):
+    """kspace_style pppm/stagger (src/KSPACE/pppm_stagger.cpp): two
+    interlaced charge-assignment grids offset by half a cell, with the
+    Green's function denominator averaged between the standard sin-power
+    series and the cos-series gf_denom2; errors cancel between the two
+    staggered meshes, giving ~one-order-higher effective accuracy."""
+
+    style = "pppm/stagger"
+    stagger_flag = True
+
+    def init(self, sim):
+        if self.mode == "ad":
+            raise ValueError("pppm/stagger with kspace_modify diff ad "
+                             "not supported; use the default ik")
+        super().init(sim)
     """kspace_style pppm/cg — identical physics to pppm
     (src/KSPACE/pppm_cg.cpp): the reference skips zero-charge atoms in
     the scatter/gather loops; the TPU path is dense and vectorized, so

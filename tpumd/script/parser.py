@@ -2025,6 +2025,9 @@ class LammpsScript:
             from tpumd.models.kspace_pppm import PPPMCG
             sim.kspace = PPPMCG(float(a[1]),
                                 *[float(v) for v in a[2:3]])
+        elif a[0] == "pppm/stagger":
+            from tpumd.models.kspace_pppm import PPPMStagger
+            sim.kspace = PPPMStagger(float(a[1]))
         elif a[0] == "pppm/tip4p":
             from tpumd.models.kspace_pppm import PPPMTIP4P
             sim.kspace = PPPMTIP4P(float(a[1]))
