@@ -57,6 +57,35 @@ class Fix:
         return s, fstate
 
 
+class FixBondBreakMask(Fix):
+    """Built-in companion of breakable bond styles (bond_style quartic):
+    after the position update and before the force evaluation, zero the
+    carried per-incidence alive mask for bonds stretched past Rc — the
+    same step timing as the reference's in-compute bondlist[n][2] = 0
+    (src/MOLECULE/bond_quartic.cpp:85-95).  Breaking is permanent: the
+    mask only ever multiplies down."""
+
+    name = "bond_break_mask"
+
+    def post_integrate(self, s, fstate, ctx):
+        from tpumd.ops.pairwise import minimum_image
+        for style in ctx.bonded:
+            key = getattr(style, "dynamic_mask_key", None)
+            if key is None or key not in s.extras:
+                continue
+            idx, typ_j, role_j, mask_j = style.device_incidence()
+            partner = jnp.where(role_j[..., None] == 0, idx[:, :, 1:2],
+                                idx[:, :, 0:1])[..., 0]
+            d = minimum_image(s.x[:, None, :] - s.x[partner], s.box)
+            r2 = jnp.sum(d * d, axis=-1)
+            rc = jnp.asarray(style.rc, s.x.dtype)[typ_j]
+            alive = s.extras[key]
+            keep = (r2 <= rc * rc) | ~mask_j
+            alive = alive * keep.astype(alive.dtype)
+            s = s.replace(extras={**s.extras, key: alive})
+        return s, fstate
+
+
 class FixNVE(Fix):
     """Velocity-Verlet kick-drift / kick (src/fix_nve.cpp:64-143).
 

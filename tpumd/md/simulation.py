@@ -466,6 +466,27 @@ class Simulation:
                 # (re)build incidence with the current (post-sort) ordering
                 b.set_topology(self.natoms, tuples, row_of_tag)
             b.init()
+        for b in self.bonded:
+            # breakable bonds (bond_style quartic): the per-incidence
+            # alive mask is carried STATE (broken stays broken), seeded
+            # once and preserved across re-setups; a built-in fix zeroes
+            # it pre-force, matching the reference's in-loop
+            # bondlist[n][2]=0 timing (bond_quartic.cpp:85-95)
+            key = getattr(b, "dynamic_mask_key", None)
+            if key and b._incidence is not None:
+                if mode == "cellgrid":
+                    raise ValueError(
+                        "breakable bond styles (quartic) require the "
+                        "matrix neighbor engine")
+                if key not in self.state.extras:
+                    mask0 = np.asarray(b._incidence[3], np.float64)
+                    ex = dict(self.state.extras)
+                    ex[key] = jnp.asarray(mask0, self.state.x.dtype)
+                    self.state = self.state.replace(extras=ex)
+                from tpumd.md.fixes import FixBondBreakMask
+                if not any(getattr(fx, "name", "") == "bond_break_mask"
+                           for fx in self.fixes):
+                    self.fixes.append(FixBondBreakMask())
         if getattr(self.pair, "is_tip4p", False):
             # resolve alpha + per-O hydrogen rows from the topology
             tip_rows = row_of_tag

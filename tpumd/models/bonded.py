@@ -771,42 +771,6 @@ class BondGromos(BondStyle):
         return -2.0 * k * dr, 0.25 * k * dr * dr
 
 
-@register_bonded("angle", "cosine")
-class AngleCosine(AngleStyle):
-    """E = K (1 + cos theta) (src/MOLECULE/angle_cosine.cpp)."""
-
-    def __init__(self, ntypes):
-        super().__init__(ntypes)
-        self.k = np.zeros(ntypes + 1)
-
-    def coeff(self, atype, k):
-        self.k[atype] = k
-
-    def tuple_terms(self, xs, ttype, box, ctx, eflag, vflag, s=None,
-                    idx=None, mask=None, role=None, **kw):
-        dt_ = xs[0].dtype
-        x1, x2, x3 = xs
-        d1 = _mi(x1 - x2, box)
-        d2 = _mi(x3 - x2, box)
-        rsq1 = jnp.sum(d1 * d1, -1)
-        rsq2 = jnp.sum(d2 * d2, -1)
-        r1 = jnp.sqrt(jnp.maximum(rsq1, 1e-30))
-        r2 = jnp.sqrt(jnp.maximum(rsq2, 1e-30))
-        k = jnp.asarray(self.k, dt_)[ttype]
-        c = jnp.clip(jnp.sum(d1 * d2, -1) / (r1 * r2), -1.0, 1.0)
-        e = k * (1.0 + c)
-        a = k
-        a11 = a * c / rsq1
-        a12 = -a / (r1 * r2)
-        a22 = a * c / rsq2
-        f1 = a11[..., None] * d1 + a12[..., None] * d2
-        f3 = a22[..., None] * d2 + a12[..., None] * d1
-        f2 = -(f1 + f3)
-        ed = {self.energy_key: e} if eflag else None
-        vp = [(d1, f1), (d2, f3)] if vflag else None
-        return [f1, f2, f3], ed, vp, None
-
-
 @register_bonded("angle", "cosine/squared")
 class AngleCosineSquared(AngleStyle):
     """E = K (cos theta - cos theta0)^2
@@ -1565,3 +1529,106 @@ class AngleQuartic(AngleStyle):
         ed = {self.energy_key: e} if eflag else None
         vp = [(d1, f1), (d2, f3)] if vflag else None
         return [f1, f2, f3], ed, vp, None
+
+
+@register_bonded("bond", "quartic")
+class BondQuartic(BondStyle):
+    """Breakable quartic bond (src/MOLECULE/bond_quartic.cpp:60-180):
+      E = K (r-Rc)^2 (r-Rc-B1)(r-Rc-B2) + U0
+        + [4 sr6 (sr6-1) + 1]            for r^2 < 2^(1/3)  (WCA core)
+        - E_pair(r)                      (pair->single, factors 1,1)
+    The bond BREAKS permanently when r > Rc.  Requires
+    special_bonds 1 1 1 (the pair term is computed in full and the
+    intact bond subtracts it).  The alive state rides
+    state.extras["bq_alive"] as a per-incidence (N,P) mask, updated by
+    the built-in FixBondBreakMask before each force evaluation; it
+    permutes with atoms and round-trips through restarts."""
+
+    name = "quartic"
+    dynamic_mask_key = "bq_alive"
+
+    def __init__(self, ntypes):
+        super().__init__(ntypes)
+        self.k = np.zeros(ntypes + 1)
+        self.b1 = np.zeros(ntypes + 1)
+        self.b2 = np.zeros(ntypes + 1)
+        self.rc = np.zeros(ntypes + 1)
+        self.u0 = np.zeros(ntypes + 1)
+
+    def coeff(self, btype, k, b1, b2, rc, u0):
+        self.k[btype] = k
+        self.b1[btype] = b1
+        self.b2[btype] = b2
+        self.rc[btype] = rc
+        self.u0[btype] = u0
+
+    def equilibrium_distance(self, btype):
+        return 0.97  # Bond::equilibrium_distance for quartic (bond_quartic.cpp:292)
+
+    def _terms(self, s, r2, d, typ_j, ctx, partner_type):
+        """(fbond, ebond_bond, e_pair_sub): quartic+WCA force/energy plus
+        the pair-interaction subtraction of the bonded pair."""
+        dt_ = r2.dtype
+        P = lambda t: jnp.asarray(t, dt_)[typ_j]
+        k, b1, b2, rc, u0 = (P(self.k), P(self.b1), P(self.b2),
+                             P(self.rc), P(self.u0))
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        dr = r - rc
+        ra = dr - b1
+        rb = dr - b2
+        fbond = -k / r * (dr * dr * (ra + rb) + 2.0 * dr * ra * rb)
+        eb = k * dr * dr * ra * rb + u0
+        wca = r2 < 2.0 ** (1.0 / 3.0)
+        sr2 = jnp.where(wca, 1.0, 0.0) / jnp.where(wca, r2, 1.0)
+        sr6 = sr2 * sr2 * sr2
+        fbond = fbond + 48.0 * sr6 * (sr6 - 0.5) * sr2
+        eb = eb + jnp.where(wca, 4.0 * sr6 * (sr6 - 1.0) + 1.0, 0.0)
+        # subtract the pair interaction of the intact bonded pair
+        fp, ev, ec, _ = ctx.pair.pair_fn(r2, partner_type[0],
+                                         partner_type[1])
+        esub = ev + (ec if ec is not None else 0.0)
+        return fbond - fp, eb, esub
+
+    def compute(self, s, ctx, eflag: bool, vflag: bool, consts=None):
+        inc = consts if consts is not None else self.device_incidence()
+        idx, typ_j, role_j, mask_j = inc
+        alive = s.extras.get(self.dynamic_mask_key)
+        live = mask_j if alive is None else (mask_j & (alive > 0.5))
+        partner = jnp.where(role_j[..., None] == 0, idx[:, :, 1:2],
+                            idx[:, :, 0:1])[..., 0]
+        d = minimum_image(s.x[:, None, :] - s.x[partner], s.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        r2 = jnp.where(live, r2, jnp.ones_like(r2))
+        fbond, eb, esub = self._terms(
+            s, r2, d, typ_j, ctx, (s.type[:, None], s.type[partner]))
+        fbond = jnp.where(live, fbond, 0)
+        if eflag == "atom":
+            eatom = 0.5 * jnp.sum(jnp.where(live, eb - esub, 0), axis=1)
+            vatom = 0.5 * jnp.stack([
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 0], axis=1),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 1], axis=1),
+                jnp.sum(fbond * d[:, :, 2] * d[:, :, 2], axis=1),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 1], axis=1),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 2], axis=1),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 2], axis=1),
+            ], axis=1)
+            return None, eatom, vatom
+        f = jnp.sum(d * fbond[:, :, None], axis=1)
+        e = None
+        virial = None
+        if eflag:
+            # quartic+WCA tallies as bond energy, the subtraction as
+            # PAIR energy — matching the reference's evdwl tally
+            e = {self.energy_key:
+                 0.5 * jnp.sum(jnp.where(live, eb, 0)),
+                 "evdwl": -0.5 * jnp.sum(jnp.where(live, esub, 0))}
+        if vflag:
+            virial = 0.5 * jnp.stack([
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 0]),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 1]),
+                jnp.sum(fbond * d[:, :, 2] * d[:, :, 2]),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 1]),
+                jnp.sum(fbond * d[:, :, 0] * d[:, :, 2]),
+                jnp.sum(fbond * d[:, :, 1] * d[:, :, 2]),
+            ])
+        return f, e, virial

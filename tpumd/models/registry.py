@@ -74,3 +74,4 @@ def _ensure_imports():
     import tpumd.models.pair_breadth2  # noqa: F401
     import tpumd.models.pair_tip4p  # noqa: F401
     import tpumd.models.kspace_msm  # noqa: F401 (lj/cut/coul/msm, lj/long)
+    import tpumd.models.bonded_class2  # noqa: F401

@@ -2117,6 +2117,15 @@ class LammpsScript:
             box = Box.triclinic(d.box_lo, d.box_hi, d.tilt,
                                 dtype=self.dtype, periodic=periodic)
         else:
+            # the reference remaps every read atom into the box
+            # (src/atom.cpp:1176 -> Domain::remap) and folds the shift
+            # into the image flags; loop-geom velocity hashes see the
+            # remapped coordinates, so this must happen before velocity
+            from tpumd.core.create import remap_host
+            d.x = np.ascontiguousarray(d.x, dtype=np.float64)
+            d.image = d.image + remap_host(
+                d.x, np.asarray(d.box_lo, np.float64),
+                np.asarray(d.box_hi, np.float64), periodic)
             box = Box.orthogonal(d.box_lo, d.box_hi, dtype=self.dtype,
                                  periodic=periodic)
         sim.state = make_state(d.x, d.v, d.types, box, q=d.q,
@@ -2156,6 +2165,24 @@ class LammpsScript:
                 if style is not None:
                     for r in d.coeffs[sect]:
                         style.coeff(int(r[0]), *[float(v) for v in r[1:]])
+        # class2 cross-term sections route to the style's keyword coeffs
+        # (read_data.cpp anglecoeffs/dihedralcoeffs/impropercoeffs pass
+        # the sub-keyword as arg[1])
+        for kind, sect, kw in (
+                ("angle", "BondBond Coeffs", "bb"),
+                ("angle", "BondAngle Coeffs", "ba"),
+                ("dihedral", "MiddleBondTorsion Coeffs", "mbt"),
+                ("dihedral", "EndBondTorsion Coeffs", "ebt"),
+                ("dihedral", "AngleTorsion Coeffs", "at"),
+                ("dihedral", "AngleAngleTorsion Coeffs", "aat"),
+                ("dihedral", "BondBond13 Coeffs", "bb13"),
+                ("improper", "AngleAngle Coeffs", "aa")):
+            if sect in d.coeffs:
+                style = next((b for b in sim.bonded if b.kind == kind), None)
+                if style is not None:
+                    for r in d.coeffs[sect]:
+                        style.coeff(int(r[0]), kw,
+                                    *[float(v) for v in r[1:]])
         self._data = d
 
     def _add_bonded(self, kind, name, args=()):
