@@ -270,3 +270,195 @@ def minimize_quickmin(sim, etol: float, ftol: float, maxiter: int,
     sim._last_virial = virial
     return (bool(jax.device_get(done)), int(jax.device_get(it)),
             float(jax.device_get(e0)), float(jax.device_get(e_final)))
+
+
+def minimize_hftn(sim, etol: float, ftol: float, maxiter: int,
+                  maxeval: int):
+    """Hessian-free truncated Newton (src/min_hftn.cpp): outer
+    trust-region iteration around an inner CG solve of H p = f, with
+    Hessian-vector products from finite differences of forces
+    (evaluate_dir_der_, :1312-1590 — forward diffs
+    eps = 2 sqrt(1000 eps_mach)/|d|, central for tiny gradients).
+
+    The inner CG is inherently sequential with a force evaluation per
+    iteration, so this runs as a host loop over ONE jitted
+    evaluate-at-x kernel (move + optional rebuild + forces) — each Hv
+    is a single device call, the dots ride along device-side."""
+    import numpy as np
+    ctx = sim._ctx
+    s, neigh, fstates, istep = sim._carry
+    dmax = 0.1
+    MEPS = 2.220446049250313e-16
+    MIN_ETOL_MAG = 1.0e-8
+
+    def _eval(s, neigh, x):
+        s2 = s.replace(x=x)
+        from tpumd.md.verlet import _rebuild, decide_rebuild
+        neigh2 = neigh.replace(ago=neigh.ago + 1)
+        do_build = decide_rebuild(s2, neigh2, ctx)
+        s2, neigh2, _ = jax.lax.cond(
+            do_build, lambda sn: _rebuild(sn[0], sn[1], ctx),
+            lambda sn: sn + ((),), (s2, neigh2))
+        f, energies, _, _, _ = compute_forces(
+            s2, neigh2, ctx, eflag=True, vflag=False, consts=sim._consts)
+        return s2.replace(f=f), neigh2, f, sum(energies.values())
+
+    eval_jit = jax.jit(_eval)
+    neval = [0]
+
+    def ef(s, neigh, x):
+        neval[0] += 1
+        return eval_jit(s, neigh, x)
+
+    def g(a):  # host scalar
+        return float(jax.device_get(a))
+
+    s, neigh, f, e_cur = ef(s, neigh, s.x)
+    e0 = g(e_cur)
+    fnorm = np.sqrt(g(jnp.sum(f * f)))
+    nunk = 3 * sim.natoms
+    tr_max = dmax * np.sqrt(nunk)
+    tr = min(1.5 * fnorm, tr_max)
+    last_newton = tr_max
+    xinf = g(jnp.max(jnp.abs(s.x)))
+    e_prev = e0
+
+    def dirder(s, neigh, xk, d, fx, fwd):
+        """H d by finite difference of forces; returns (Hd, s, neigh)."""
+        dn = np.sqrt(g(jnp.sum(d * d)))
+        if dn == 0.0:
+            return jnp.zeros_like(d), s, neigh
+        if fwd:
+            eps = 2.0 * np.sqrt(1000.0 * MEPS) / dn
+            s, neigh, f1, _ = ef(s, neigh, xk + eps * d)
+            return (fx - f1) / eps, s, neigh
+        eps = (3000.0 * MEPS) ** (1.0 / 3.0) / dn
+        s, neigh, f1, _ = ef(s, neigh, xk + eps * d)
+        s, neigh, f2, _ = ef(s, neigh, xk - eps * d)
+        return (f2 - f1) / (2.0 * eps), s, neigh
+
+    converged = False
+    it = 0
+    for it in range(1, maxiter + 1):
+        if fnorm < ftol:
+            converged = True
+            break
+        if neval[0] >= maxeval:
+            break
+        xk = s.x
+        # ---- inner CG (compute_inner_cg_step_, :598-885)
+        cg_tol = min(fnorm / 2.0, 0.1 / it)
+        cg_tol = max(cg_tol, ftol)
+        p = jnp.zeros_like(xk)
+        r = f
+        d = f
+        rr = fnorm * fnorm
+        r0norm = fnorm
+        pp = 0.0
+        nlim = nunk // 5
+        if nlim < 100:
+            nlim = min(nunk, 100)
+        nlim = min(nlim, max((maxeval - neval[0]) // 2, 1))
+        if fnorm < np.sqrt(MEPS) * max(1.0, abs(g(e_cur))):
+            nlim = min(nlim, max(nunk // 20, 1))
+        fwd = fnorm > 1000.0 * np.sqrt(MEPS)
+        step_type = "iters"
+        for _ in range(nlim):
+            hd, s, neigh = dirder(s, neigh, xk, d, f, fwd)
+            dhd = g(jnp.sum(d * hd))
+            dd = g(jnp.sum(d * d))
+            if dhd <= MEPS * dd:
+                # negative curvature: step to the TR boundary along d,
+                # picking the root with larger CG reduction
+                pd = g(jnp.sum(p * d))
+                phd = g(jnp.sum(p * hd))
+                gd = -g(jnp.sum(f * d))
+                disc = max(pd * pd - dd * (pp - tr * tr), 0.0) ** 0.5
+                roots = [(-pd + disc) / dd, (-pd - disc) / dd]
+                red = [t * (gd + phd) + 0.5 * t * t * dhd for t in roots]
+                tau = roots[0] if -red[0] > -red[1] else roots[1]
+                p = p + tau * d
+                step_type = "negcurv"
+                break
+            alpha = rr / dhd
+            p_old, p = p, p + alpha * d
+            ppnew = g(jnp.sum(p * p))
+            if np.sqrt(ppnew) > tr:
+                # crossed the trust region: back up to the boundary
+                pd = g(jnp.sum(p_old * d))
+                disc = max(pd * pd - dd * (pp - tr * tr), 0.0) ** 0.5
+                p = p_old + ((-pd + disc) / dd) * d
+                step_type = "tr"
+                break
+            if g(jnp.max(jnp.abs(p))) > dmax:
+                p = p_old
+                step_type = "dmax"
+                break
+            r = r - alpha * hd
+            rrnew = g(jnp.sum(r * r))
+            if np.sqrt(rrnew) < cg_tol * r0norm:
+                step_type = "newton"
+                break
+            d = r + (rrnew / rr) * d
+            rr = rrnew
+            pp = ppnew
+        slen2 = np.sqrt(g(jnp.sum(p * p)))
+        sleninf = g(jnp.max(jnp.abs(p)))
+        # ---- outer: Hp for pred, move, accept/reject (:345-520)
+        hp, s, neigh = dirder(s, neigh, xk, p, f, fwd)
+        gdotp = -g(jnp.sum(f * p))
+        s, neigh, f_new, e_new_a = ef(s, neigh, xk + p)
+        e_new = g(e_new_a)
+        f2new = np.sqrt(g(jnp.sum(f_new * f_new)))
+        ared = g(e_cur) - e_new
+        if f2new < ftol:
+            f, e_cur, fnorm = f_new, e_new_a, f2new
+            converged = True
+            break
+        if step_type != "dmax":
+            mag = max(0.5 * (abs(g(e_cur)) + abs(e_new)), MIN_ETOL_MAG)
+            if abs(ared) < etol * mag or sleninf == 0.0:
+                f, e_cur, fnorm = f_new, e_new_a, f2new
+                converged = True
+                break
+        php = g(jnp.sum(p * hp))
+        pred = -gdotp - 0.5 * php
+        accepted = ared > 0.0 and (f2new < fnorm or fnorm > 1.0e-6)
+        if accepted:
+            e_prev = g(e_cur)
+            e_cur = e_new_a
+            f = f_new
+            fnorm = f2new
+            if step_type == "newton":
+                last_newton = slen2
+            if ared > 0.75 * pred and slen2 >= 0.99 * tr:
+                tr = 2.0 * tr
+            tr = min(tr, tr_max)
+            if step_type == "dmax":
+                tr = 0.1 * tr if slen2 <= MEPS else min(tr, 2.0 * slen2)
+        else:
+            # reject: restore x_k (state already at x_k+p; move back)
+            s, neigh, f, e_cur = ef(s, neigh, xk)
+            fnorm = np.sqrt(g(jnp.sum(f * f)))
+            if step_type == "negcurv" and -ared > pred:
+                tr = 0.10 * min(tr, slen2)
+            elif step_type == "dmax" and slen2 <= MEPS:
+                tr = 0.10 * tr
+            elif -ared > pred:
+                tr = 0.20 * min(tr, slen2)
+            else:
+                tr = 0.25 * min(tr, slen2)
+            if step_type != "newton" and fnorm < np.sqrt(MEPS):
+                tr = min(tr, 2.0 * last_newton)
+            last_newton = tr_max
+            if tr <= 0.0 or tr <= MEPS * max(1.0, xinf):
+                break
+
+    sim._carry = (s, neigh, fstates, istep)
+    sim.state = s
+    from tpumd.md.verlet import eval_energies
+    f, energies, virial, _ = eval_energies(s, neigh, ctx,
+                                           consts=sim._consts)
+    sim._last_energies = energies
+    sim._last_virial = virial
+    return converged, it, e0, g(e_cur)

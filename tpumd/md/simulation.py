@@ -926,6 +926,8 @@ class Simulation:
             run_min = lambda *a: minimize_cg(*a, style=style)  # noqa: E731
         elif style == "quickmin":
             from tpumd.md.minimize import minimize_quickmin as run_min
+        elif style == "hftn":
+            from tpumd.md.minimize import minimize_hftn as run_min
         else:
             from tpumd.md.minimize import minimize as run_min
         self._thermo_header()

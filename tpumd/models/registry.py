@@ -49,7 +49,10 @@ def create_bonded_style(kind: str, name: str, ntypes: int, args=()):
         raise ValueError(f"Unknown {kind} style {name!r}")
     if name == "hybrid":
         return table[name](ntypes, sub_names=args)
-    return table[name](ntypes)
+    style = table[name](ntypes)
+    if args and hasattr(style, "settings"):
+        style.settings(*[_num(a) for a in args])
+    return style
 
 
 def _num(tok):
@@ -75,3 +78,4 @@ def _ensure_imports():
     import tpumd.models.pair_tip4p  # noqa: F401
     import tpumd.models.kspace_msm  # noqa: F401 (lj/cut/coul/msm, lj/long)
     import tpumd.models.bonded_class2  # noqa: F401
+    import tpumd.models.bonded_table  # noqa: F401

@@ -2225,7 +2225,12 @@ class LammpsScript:
             try:
                 return float(v)
             except ValueError:
-                return v  # hybrid sub-style name
+                # hybrid sub-style name, coeff keyword, or a table file:
+                # resolve table files against the deck's data_dir
+                p = os.path.join(self.data_dir, v)
+                if not os.path.exists(v) and os.path.exists(p):
+                    return p
+                return v
 
         style.coeff(int(a[0]), *[conv(v) for v in a[1:]])
 
