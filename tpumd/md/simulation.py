@@ -465,6 +465,7 @@ class Simulation:
                     tuples = tuples[keep]
                 # (re)build incidence with the current (post-sort) ordering
                 b.set_topology(self.natoms, tuples, row_of_tag)
+            b.units = self.units
             b.init()
         for b in self.bonded:
             # breakable bonds (bond_style quartic): the per-incidence
@@ -487,6 +488,22 @@ class Simulation:
                 if not any(getattr(fx, "name", "") == "bond_break_mask"
                            for fx in self.fixes):
                     self.fixes.append(FixBondBreakMask())
+        if any(getattr(fx, "needs_bond_alive", False) for fx in self.fixes):
+            # fix bond/break: carried per-incidence alive mask, seeded
+            # once (broken stays broken across re-setups)
+            if mode == "cellgrid":
+                raise ValueError(
+                    "fix bond/break requires the matrix neighbor engine")
+            bstyle = next((b for b in self.bonded if b.kind == "bond"),
+                          None)
+            if bstyle is not None and bstyle._incidence is not None \
+                    and "mc_bond_alive" not in self.state.extras:
+                mask0 = np.asarray(bstyle._incidence[3], np.float64)
+                ex = dict(self.state.extras)
+                ex["mc_bond_alive"] = jnp.asarray(mask0, self.state.x.dtype)
+                ex["mc_rebuild"] = jnp.zeros(
+                    (self.natoms,), self.state.x.dtype)
+                self.state = self.state.replace(extras=ex)
         if getattr(self.pair, "is_tip4p", False):
             # resolve alpha + per-O hydrogen rows from the topology
             tip_rows = row_of_tag

@@ -300,6 +300,10 @@ def _permute_fix_states(fstates, ctx, src, dst, cap):
 def _rebuild(s: MDState, neigh, ctx: StepContext, fstates=()):
     s = wrap_pbc(s)
     s = reset_box_shrink(s, ctx)
+    if "mc_rebuild" in s.extras:
+        # clear the dynamic-topology rebuild request (see decide_rebuild)
+        s = s.replace(extras={**s.extras, "mc_rebuild":
+                              jnp.zeros_like(s.extras["mc_rebuild"])})
     if ctx.is_cellgrid:
         cfg = ctx.neigh_cfg
         src, dst, row2slot, max_count, over = cg.bin_compact(
@@ -358,6 +362,12 @@ def decide_rebuild(s: MDState, neigh, ctx: StepContext):
             moved = nb.displacement_exceeded(
                 s.x, neigh.xhold, s.box, cfg.skin)
         sched = sched & moved
+    if "mc_rebuild" in s.extras:
+        # dynamic-topology fixes (bond/break) request a same-step
+        # rebuild so the new special codes reach the pair list — the
+        # analog of the reference's next_reneighbor = ntimestep
+        # (fix_bond_break.cpp:280); the flag clears in _rebuild
+        sched = sched | jnp.any(s.extras["mc_rebuild"] > 0)
     return sched
 
 

@@ -24,11 +24,14 @@ from tpumd.ops.pairwise import minimum_image
 
 
 def build_incidence(n: int, tuples: np.ndarray, arity: int,
-                    row_of_tag=None):
+                    row_of_tag=None, min_width: int = 0):
     """Per-atom padded incidence lists.
 
     tuples: (M, 1+arity) int array: [type, atom tags...] (1-based tags).
     row_of_tag maps tag -> atom row (identity - 1 if None).
+    min_width: pad P up to at least this many slots (dynamic-topology
+    fixes keep P static across mid-run rebuilds so the compiled segment
+    never retraces).
     Returns (idx (N, P, arity) int32 zero-based partner rows padded with
     self, ttype (N, P) int32 0-padded, role (N, P) int8 — which position
     this atom holds in the tuple, mask (N, P) bool).
@@ -42,7 +45,7 @@ def build_incidence(n: int, tuples: np.ndarray, arity: int,
             atoms = [int(row_of_tag[int(a)]) for a in row[1:1 + arity]]
         for role, a in enumerate(atoms):
             per_atom[a].append((ttype, role, atoms))
-    pmax = max(1, max(len(v) for v in per_atom))
+    pmax = max(1, max(len(v) for v in per_atom), int(min_width))
     idx = np.zeros((n, pmax, arity), dtype=np.int32)
     typ = np.zeros((n, pmax), dtype=np.int32)
     role = np.zeros((n, pmax), dtype=np.int8)
@@ -108,6 +111,11 @@ class BondStyle(BondedStyle):
     def compute(self, s, ctx, eflag: bool, vflag: bool, consts=None):
         inc = consts if consts is not None else self.device_incidence()
         idx, typ_j, role_j, mask_j = inc
+        # dynamic topology (fix bond/break): a carried per-incidence
+        # alive mask in state extras overrides the static one
+        alive = s.extras.get("mc_bond_alive")
+        if alive is not None:
+            mask_j = mask_j & (alive > 0.5)
         # partner of each incidence: the other atom of the bond
         partner = jnp.where(role_j[..., None] == 0, idx[:, :, 1:2],
                             idx[:, :, 0:1])[..., 0]
@@ -150,6 +158,9 @@ class BondStyle(BondedStyle):
                        member_type=None, member_q=None):
         """Grid tag-matched path: tally from member positions (the
         incidence-free twin of compute(); same 1/2 shares)."""
+        if s is not None and "mc_bond_alive" in getattr(s, "extras", {}):
+            raise NotImplementedError(
+                "fix bond/break requires the matrix neighbor engine")
         d = minimum_image(xs[0] - xs[1], box)
         r2 = jnp.sum(d * d, axis=-1)
         r2 = jnp.where(mask_j, r2, jnp.ones_like(r2))
@@ -1223,6 +1234,7 @@ class _BondedHybridMixin:
 
     def init(self):
         for s in self.subs:
+            s.units = getattr(self, "units", None)
             s.init()
 
 

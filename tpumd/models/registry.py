@@ -79,3 +79,4 @@ def _ensure_imports():
     import tpumd.models.kspace_msm  # noqa: F401 (lj/cut/coul/msm, lj/long)
     import tpumd.models.bonded_class2  # noqa: F401
     import tpumd.models.bonded_table  # noqa: F401
+    import tpumd.models.bonded_extra  # noqa: F401

@@ -1083,6 +1083,14 @@ class LammpsScript:
     def _dispatch_fix(self, sim, style, args):
         if style == "nve":
             sim.fixes.append(FixNVE())
+        elif style == "bond/break":
+            from tpumd.md.fix_bond_mc import FixBondBreakMC
+            frac = 1.0
+            if "prob" in args:
+                frac = float(args[args.index("prob") + 1])
+            sim.fixes.append(FixBondBreakMC(
+                "all", int(args[0]), int(args[1]), float(args[2]),
+                fraction=frac))
         elif style == "external":
             from tpumd.md.fix_external import FixExternal
             mode = args[0]
