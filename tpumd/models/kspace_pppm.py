@@ -947,6 +947,9 @@ class PPPMStagger(PPPM):
             raise ValueError("pppm/stagger with kspace_modify diff ad "
                              "not supported; use the default ik")
         super().init(sim)
+
+
+class PPPMCG(PPPM):
     """kspace_style pppm/cg — identical physics to pppm
     (src/KSPACE/pppm_cg.cpp): the reference skips zero-charge atoms in
     the scatter/gather loops; the TPU path is dense and vectorized, so
