@@ -121,3 +121,45 @@ class FixNVE(Fix):
             sel = jnp.repeat(self.group_sel(s), 3)
             v = jnp.where(sel, v, s.v.reshape(-1))
         return s.replace(v=v.reshape(shape)), fstate
+
+
+class FixNVELimit(FixNVE):
+    """fix nve/limit xmax (src/fix_nve_limit.cpp): velocity-Verlet with
+    per-atom speed clamped so no atom moves more than xmax per step."""
+
+    name = "nve/limit"
+
+    def __init__(self, xlimit):
+        self.xlimit = float(xlimit)
+
+    def _clamp(self, v3, ctx):
+        vlimsq = (self.xlimit / ctx.dt) ** 2
+        vsq = jnp.sum(v3 * v3, axis=1, keepdims=True)
+        scale = jnp.where(vsq > vlimsq,
+                          jnp.sqrt(vlimsq / jnp.maximum(vsq, 1e-300)), 1.0)
+        return v3 * scale
+
+    def initial_integrate(self, s, fstate, ctx):
+        m = ctx.mass_per_atom(s)
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        v = s.v + (dtf / m)[:, None] * s.f
+        v = self._clamp(v, ctx)
+        x = s.x + ctx.dt * v
+        return s.replace(x=x, v=v), fstate
+
+    def final_integrate(self, s, fstate, ctx):
+        m = ctx.mass_per_atom(s)
+        dtf = 0.5 * ctx.dt * ctx.units.ftm2v
+        v = s.v + (dtf / m)[:, None] * s.f
+        v = self._clamp(v, ctx)
+        return s.replace(v=v), fstate
+
+
+class FixNVENoforce(Fix):
+    """fix nve/noforce (src/fix_nve_noforce.cpp): positions advance
+    with the current velocities; velocities never updated."""
+
+    name = "nve/noforce"
+
+    def initial_integrate(self, s, fstate, ctx):
+        return s.replace(x=s.x + ctx.dt * s.v), fstate

@@ -800,15 +800,21 @@ class Simulation:
                     virial = virial + fx.virial_contrib(fstates[i])
             self._last_energies = energies
             self._last_virial = virial
-            if self.step == target or (self.thermo_every > 0
-                                       and self.step % self.thermo_every == 0):
-                self._thermo_line()
-            # end_of_step fixes run BEFORE output writes
-            # (Verlet::run: modify->end_of_step then output->write)
+            # end_of_step fixes run BEFORE output writes — including
+            # thermo (Verlet::run: modify->end_of_step then
+            # output->write); state-modifying host fixes (MP swaps,
+            # fix heat) must be visible in the same step's thermo
             for fx in self.fixes:
                 ev = getattr(fx, "host_every", 0)
                 if ev and self.step % ev == 0:
                     fx.host_end_of_step(self)
+            if self._ctx is None:
+                # a host fix changed the atom count/styles: re-setup
+                self.setup()
+                ctx = self._ctx
+            if self.step == target or (self.thermo_every > 0
+                                       and self.step % self.thermo_every == 0):
+                self._thermo_line()
             for d in self.dumps:
                 if d.every and self.step % d.every == 0:
                     d.write(self)

@@ -1083,6 +1083,40 @@ class LammpsScript:
     def _dispatch_fix(self, sim, style, args):
         if style == "nve":
             sim.fixes.append(FixNVE())
+        elif style == "nve/limit":
+            from tpumd.md.fixes import FixNVELimit
+            sim.fixes.append(FixNVELimit(float(args[0])))
+        elif style == "nve/noforce":
+            from tpumd.md.fixes import FixNVENoforce
+            sim.fixes.append(FixNVENoforce())
+        elif style == "thermal/conductivity":
+            from tpumd.md.fix_nemd import FixThermalConductivity
+            nswap = 1
+            if "swap" in args:
+                nswap = int(args[args.index("swap") + 1])
+            sim.fixes.append(FixThermalConductivity(
+                int(args[0]), args[1], int(args[2]), nswap=nswap))
+        elif style == "viscosity":
+            from tpumd.md.fix_nemd import FixViscosity
+            nswap, vtarget = 1, 1.0e10
+            if "swap" in args:
+                nswap = int(args[args.index("swap") + 1])
+            if "vtarget" in args:
+                vt = args[args.index("vtarget") + 1]
+                vtarget = 1.0e10 if vt == "INF" else float(vt)
+            sim.fixes.append(FixViscosity(
+                int(args[0]), args[1], args[2], int(args[3]),
+                nswap=nswap, vtarget=vtarget))
+        elif style == "heat":
+            from tpumd.md.fix_nemd import FixHeat
+            sim.fixes.append(FixHeat(int(args[0]), float(args[1])))
+        elif style == "oneway":
+            from tpumd.md.fix_nemd import FixOneway
+            sim.fixes.append(FixOneway(
+                int(args[0]), self.regions[args[1]], args[2]))
+        elif style == "vector":
+            from tpumd.md.fix_nemd import FixVector
+            sim.fixes.append(FixVector(int(args[0]), args[1:]))
         elif style == "bond/break":
             from tpumd.md.fix_bond_mc import FixBondBreakMC
             frac = 1.0
