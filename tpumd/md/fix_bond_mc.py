@@ -128,3 +128,187 @@ class FixBondBreakMC(Fix):
                        special_codes=jnp.asarray(sc, jnp.int32))
         sim._carry = (s2,) + tuple(sim._carry[1:])
         sim.state = s2
+
+
+class FixBondCreateMC(Fix):
+    """fix bond/create (src/MC/fix_bond_create.cpp): dynamic bond
+    formation.  Device design: created bonds occupy padded per-atom
+    extras slots ("mc_new_pidx/typ/live", written symmetrically on both
+    endpoints) so the compiled step never changes shape; the matching
+    runs in the post_integrate slot (reference timing): closest
+    eligible partner per atom (type pair, per-type max-bond caps, not
+    already 1-2 special, r < Rmin), mutual agreement, one new bond per
+    atom per event.  The 1-2 special entry is inserted device-side into
+    the padded special lists the same step and a same-step neighbor
+    rebuild is requested; exact 1-3/1-4 special lists rebuild on host
+    at the segment boundary.
+
+    Candidate search is a dense masked distance matrix — O(N^2) on the
+    event step only; fine for the molecular system sizes bond/create
+    targets.  `prob` and atom-type changes (inewtype != itype) are
+    unsupported, as for bond/break."""
+
+    name = "bond/create"
+    needs_new_bond_slots = True
+    nslots = 4  # extras slots per atom for created bonds
+
+    def __init__(self, group, nevery, itype, jtype, rmin, btype,
+                 imaxbond=0, jmaxbond=0):
+        self.group = group
+        self.nevery = int(nevery)
+        self.itype = int(itype)
+        self.jtype = int(jtype)
+        self.cutsq = float(rmin) ** 2
+        self.btype = int(btype)
+        self.imaxbond = int(imaxbond)
+        self.jmaxbond = int(jmaxbond)
+        self.host_every = self.nevery
+        self._ncreated_seen = -1
+
+    def init_state(self, s, ctx):
+        return jnp.zeros((), jnp.int32)
+
+    def pre_run(self, fstate, begin, end):
+        return jnp.asarray(begin, jnp.int32)
+
+    def _bond_style(self, ctx):
+        for b in ctx.bonded:
+            if b.kind == "bond":
+                return b
+        raise ValueError("fix bond/create requires a bond style")
+
+    def post_integrate(self, s, fstate, ctx):
+        step = fstate + 1
+        fire = (step % self.nevery) == 0
+        n = s.x.shape[0]
+        rows = jnp.arange(n)
+        style = self._bond_style(ctx)
+        # per-atom count of existing bonds of btype: static alive + slots
+        inc = style.device_incidence()
+        if inc is not None:
+            idx, typ_j, role_j, mask_j = inc
+            stat = mask_j & (typ_j == self.btype)
+            alive = s.extras.get("mc_bond_alive")
+            if alive is not None:
+                stat = stat & (alive > 0.5)
+            bondcount = jnp.sum(stat, axis=1)
+        else:
+            bondcount = jnp.zeros(n, jnp.int32)
+        nlive = s.extras["mc_new_live"] > 0.5
+        ntyp = s.extras["mc_new_typ"].astype(jnp.int32)
+        bondcount = bondcount + jnp.sum(nlive & (ntyp == self.btype), axis=1)
+
+        grp = self.group_sel(s)
+        t = s.type
+        cap_ok_as_i = (self.imaxbond == 0) | (bondcount < self.imaxbond)
+        cap_ok_as_j = (self.jmaxbond == 0) | (bondcount < self.jmaxbond)
+        ok_i = grp & (t == self.itype) & cap_ok_as_i
+        ok_j = grp & (t == self.jtype) & cap_ok_as_j
+        # pair eligibility matrix (i as itype & j as jtype, or swapped)
+        pair_ok = (ok_i[:, None] & ok_j[None, :]) | \
+            (ok_j[:, None] & ok_i[None, :])
+        d = minimum_image(s.x[:, None, :] - s.x[None, :, :], s.box)
+        r2 = jnp.sum(d * d, axis=-1)
+        # exclude self, already-1-2-bonded, and already-slot-bonded pairs
+        pair_ok = pair_ok & (rows[:, None] != rows[None, :])
+        if s.special_tags is not None:
+            is12 = jnp.any(
+                (s.special_tags[:, None, :]
+                 == s.tag[None, :, None].astype(s.special_tags.dtype))
+                & (s.special_codes[:, None, :] == 1), axis=-1)
+            pair_ok = pair_ok & ~is12
+        npidx = s.extras["mc_new_pidx"].astype(jnp.int32)
+        slot_bonded = jnp.any(
+            nlive[:, None, :] & (npidx[:, None, :]
+                                 == rows[None, :, None]), axis=-1)
+        pair_ok = pair_ok & ~slot_bonded & (r2 < self.cutsq)
+        dist = jnp.where(pair_ok, r2, jnp.inf)
+        pchoice = jnp.argmin(dist, axis=1)
+        haspick = jnp.isfinite(dist[rows, pchoice])
+        mutual = haspick & haspick[pchoice] & (pchoice[pchoice] == rows)
+        make = mutual & fire
+        # write into the first free slot of each endpoint
+        E = nlive.shape[1]
+        free_slot = jnp.argmin(nlive, axis=1)  # first False
+        has_free = ~jnp.all(nlive, axis=1)
+        make = make & has_free & has_free[pchoice]
+        hit = make[:, None] & (jnp.arange(E)[None, :]
+                               == free_slot[:, None])
+        new_live = jnp.where(hit, 1.0, s.extras["mc_new_live"])
+        new_pidx = jnp.where(
+            hit, pchoice[:, None].astype(s.extras["mc_new_pidx"].dtype),
+            s.extras["mc_new_pidx"])
+        new_typ = jnp.where(
+            hit, float(self.btype), s.extras["mc_new_typ"])
+        reb = jnp.where(make, 1.0, s.extras["mc_rebuild"])
+        s = s.replace(extras={**s.extras, "mc_new_live": new_live,
+                              "mc_new_pidx": new_pidx,
+                              "mc_new_typ": new_typ,
+                              "mc_rebuild": reb.astype(new_live.dtype)})
+        if s.special_tags is not None:
+            # insert the partner tag (code 1) into the first empty
+            # special slot of each endpoint
+            st, sc = s.special_tags, s.special_codes
+            empty = st == 0
+            sslot = jnp.argmax(empty, axis=1)
+            can = make & jnp.any(empty, axis=1)
+            shit = can[:, None] & (jnp.arange(st.shape[1])[None, :]
+                                   == sslot[:, None])
+            ptag = s.tag[pchoice].astype(st.dtype)
+            st = jnp.where(shit, ptag[:, None], st)
+            sc = jnp.where(shit, 1, sc)
+            s = s.replace(special_tags=st, special_codes=sc)
+        return s, step
+
+    def host_end_of_step(self, sim):
+        """Exact 1-3/1-4 special rebuild over static + created bonds."""
+        s = sim._carry[0]
+        if s.special_tags is None:
+            return
+        nlive = np.asarray(jax.device_get(s.extras["mc_new_live"])) > 0.5
+        ncreated = int(nlive.sum())
+        if ncreated == self._ncreated_seen:
+            return
+        self._ncreated_seen = ncreated
+        tag = np.asarray(jax.device_get(s.tag))
+        bonds = []
+        style = next(b for b in sim.bonded if b.kind == "bond")
+        if style._incidence is not None:
+            idx, typ_j, role_j, mask_j = (np.asarray(jax.device_get(a))
+                                          for a in
+                                          style.device_incidence())
+            alive = s.extras.get("mc_bond_alive")
+            own = (role_j == 0) & mask_j
+            if alive is not None:
+                own = own & (np.asarray(jax.device_get(alive)) > 0.5)
+            rr, ss_ = np.nonzero(own)
+            partner = np.where(role_j[..., None] == 0, idx[:, :, 1:2],
+                               idx[:, :, 0:1])[..., 0]
+            bonds.append(np.stack([typ_j[rr, ss_], tag[rr],
+                                   tag[partner[rr, ss_]]], axis=1))
+        npidx = np.asarray(jax.device_get(
+            s.extras["mc_new_pidx"])).astype(np.int64)
+        ntyp = np.asarray(jax.device_get(
+            s.extras["mc_new_typ"])).astype(np.int64)
+        rr, ss_ = np.nonzero(nlive)
+        keep = tag[rr] < tag[npidx[rr, ss_]]  # each created bond once
+        rr, ss_ = rr[keep], ss_[keep]
+        if len(rr):
+            bonds.append(np.stack([ntyp[rr, ss_], tag[rr],
+                                   tag[npidx[rr, ss_]]], axis=1))
+        allb = (np.concatenate(bonds, axis=0).astype(np.int64)
+                if bonds else np.zeros((0, 3), np.int64))
+        from tpumd.io.read_data import build_special
+        st, sc = build_special(sim.natoms, allb)
+        smax = s.special_tags.shape[1]
+        if st.shape[1] > smax:
+            raise ValueError(
+                "fix bond/create: special list overflow — increase "
+                "extra special headroom")
+        pad = smax - st.shape[1]
+        st = np.pad(st, ((0, 0), (0, pad)))[tag - 1]
+        sc = np.pad(sc, ((0, 0), (0, pad)))[tag - 1]
+        s2 = s.replace(special_tags=jnp.asarray(st, jnp.int32),
+                       special_codes=jnp.asarray(sc, jnp.int32))
+        sim._carry = (s2,) + tuple(sim._carry[1:])
+        sim.state = s2

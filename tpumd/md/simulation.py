@@ -488,6 +488,46 @@ class Simulation:
                 if not any(getattr(fx, "name", "") == "bond_break_mask"
                            for fx in self.fixes):
                     self.fixes.append(FixBondBreakMask())
+        for fx in self.fixes:
+            # fix bond/create: padded created-bond slots + special
+            # headroom, seeded once (created bonds persist)
+            if not getattr(fx, "needs_new_bond_slots", False):
+                continue
+            if mode == "cellgrid":
+                raise ValueError(
+                    "fix bond/create requires the matrix neighbor engine")
+            if self.special_lj is None:
+                raise ValueError(
+                    "fix bond/create requires special_bonds to be set")
+            E = fx.nslots
+            if "mc_new_pidx" not in self.state.extras:
+                n = self.natoms
+                dt_ = self.state.x.dtype
+                ex = dict(self.state.extras)
+                ex["mc_new_pidx"] = jnp.tile(
+                    jnp.arange(n, dtype=dt_)[:, None], (1, E))
+                ex["mc_new_typ"] = jnp.zeros((n, E), dt_)
+                ex["mc_new_live"] = jnp.zeros((n, E), dt_)
+                ex["mc_rebuild"] = jnp.zeros((n,), dt_)
+                self.state = self.state.replace(extras=ex)
+                # pad the special lists with headroom for insertions
+                if self.special_tags is None:
+                    self.special_tags = np.zeros((n, E), np.int32)
+                    self.special_codes = np.zeros((n, E), np.int32)
+                else:
+                    self.special_tags = np.pad(
+                        np.asarray(self.special_tags, np.int32),
+                        ((0, 0), (0, E)))
+                    self.special_codes = np.pad(
+                        np.asarray(self.special_codes, np.int32),
+                        ((0, 0), (0, E)))
+                # the state picked up the unpadded lists earlier in
+                # setup — swap in the padded ones
+                self.state = self.state.replace(
+                    special_tags=jnp.asarray(self.special_tags,
+                                             jnp.int32),
+                    special_codes=jnp.asarray(self.special_codes,
+                                              jnp.int32))
         if any(getattr(fx, "needs_bond_alive", False) for fx in self.fixes):
             # fix bond/break: carried per-incidence alive mask, seeded
             # once (broken stays broken across re-setups)

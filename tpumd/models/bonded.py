@@ -110,6 +110,14 @@ class BondStyle(BondedStyle):
 
     def compute(self, s, ctx, eflag: bool, vflag: bool, consts=None):
         inc = consts if consts is not None else self.device_incidence()
+        if inc is None:
+            # no static bonds (pure fix bond/create deck): zero-width
+            # incidence so the dynamic-slot path below still runs
+            n = s.x.shape[0]
+            inc = (jnp.zeros((n, 0, 2), jnp.int32),
+                   jnp.zeros((n, 0), jnp.int32),
+                   jnp.zeros((n, 0), jnp.int8),
+                   jnp.zeros((n, 0), bool))
         idx, typ_j, role_j, mask_j = inc
         # dynamic topology (fix bond/break): a carried per-incidence
         # alive mask in state extras overrides the static one
@@ -125,6 +133,22 @@ class BondStyle(BondedStyle):
         r2 = jnp.where(mask_j, r2, jnp.ones_like(r2))
         fbond, ebond = self.bond_fn(r2, typ_j)
         fbond = jnp.where(mask_j, fbond, 0)
+        if "mc_new_pidx" in s.extras:
+            # fix bond/create: dynamically created bonds live in padded
+            # per-atom extras slots (partner row, type, live), stored
+            # symmetrically on both endpoints — same 1/2-share tallies
+            npidx = s.extras["mc_new_pidx"].astype(jnp.int32)
+            ntyp = s.extras["mc_new_typ"].astype(jnp.int32)
+            nlive = s.extras["mc_new_live"] > 0.5
+            dn = minimum_image(s.x[:, None, :] - s.x[npidx], s.box)
+            rn2 = jnp.where(nlive, jnp.sum(dn * dn, -1), 1.0)
+            fn_, en_ = self.bond_fn(rn2, ntyp)
+            fn_ = jnp.where(nlive, fn_, 0)
+            en_ = jnp.where(nlive, en_, 0)
+            d = jnp.concatenate([d, dn], axis=1)
+            fbond = jnp.concatenate([fbond, fn_], axis=1)
+            ebond = jnp.concatenate([ebond, en_], axis=1)
+            mask_j = jnp.concatenate([mask_j, nlive], axis=1)
         if eflag == "atom":
             # per-atom tallies: each endpoint gets a half share
             eatom = 0.5 * jnp.sum(jnp.where(mask_j, ebond, 0), axis=1)

@@ -1117,6 +1117,33 @@ class LammpsScript:
         elif style == "vector":
             from tpumd.md.fix_nemd import FixVector
             sim.fixes.append(FixVector(int(args[0]), args[1:]))
+        elif style == "bond/create":
+            from tpumd.md.fix_bond_mc import FixBondCreateMC
+            imax = jmax = 0
+            rest = list(args[5:])
+            i = 0
+            while i < len(rest):
+                if rest[i] == "iparam":
+                    imax = int(rest[i + 1])
+                    if int(rest[i + 2]) != int(args[1]):
+                        raise ScriptError(
+                            "fix bond/create inewtype changes not supported")
+                    i += 3
+                elif rest[i] == "jparam":
+                    jmax = int(rest[i + 1])
+                    if int(rest[i + 2]) != int(args[2]):
+                        raise ScriptError(
+                            "fix bond/create jnewtype changes not supported")
+                    i += 3
+                elif rest[i] == "prob":
+                    raise ScriptError("fix bond/create prob not supported")
+                else:
+                    raise ScriptError(
+                        f"fix bond/create keyword {rest[i]!r} unsupported")
+            sim.fixes.append(FixBondCreateMC(
+                "all", int(args[0]), int(args[1]), int(args[2]),
+                float(args[3]), int(args[4]), imaxbond=imax,
+                jmaxbond=jmax))
         elif style == "bond/break":
             from tpumd.md.fix_bond_mc import FixBondBreakMC
             frac = 1.0
