@@ -60,6 +60,10 @@ def _resolve_input(sim, name):
 
 
 class _AveBase(Fix):
+    # FixAveTime::setup invokes end_of_step once when the run starts on
+    # an output step (nvalid == ntimestep), producing the step-0 rows
+    invoke_at_setup = True
+
     def __init__(self, nevery, nrepeat, nfreq, inputs, file=None,
                  mode="ave"):
         self.nevery = int(nevery)
@@ -73,8 +77,11 @@ class _AveBase(Fix):
         self._fh = None
 
     def _sample_due(self, step):
-        # samples at steps nfreq*k - j*nevery, j in 0..nrepeat-1
-        if step <= 0 or step % self.nevery:
+        # samples at steps nfreq*k - j*nevery, j in 0..nrepeat-1;
+        # step 0 is a valid output step when invoked from setup
+        if step == 0:
+            return True
+        if step < 0 or step % self.nevery:
             return False
         r = step % self.nfreq
         if r == 0:
@@ -97,12 +104,51 @@ class _AveBase(Fix):
 
 
 class FixAveTime(_AveBase):
-    """fix ave/time Nevery Nrepeat Nfreq value1 ... (mode scalar)."""
+    """fix ave/time Nevery Nrepeat Nfreq value1 ... — mode scalar, or
+    mode vector writing the reference's vector-file layout
+    (src/fix_ave_time.cpp invoke_vector: per Nfreq a `TimeStep
+    Number-of-rows` header + `Row value...` lines)."""
 
     name = "ave/time"
 
+    def __init__(self, nevery, nrepeat, nfreq, inputs, file=None,
+                 mode_vector=False):
+        super().__init__(nevery, nrepeat, nfreq, inputs, file=file)
+        self.mode_vector = mode_vector
+
+    def _vector_sample(self, sim):
+        cols = []
+        for nm in self.inputs:
+            v = np.asarray(_resolve_input(sim, nm), np.float64)
+            cols.append(v[:, None] if v.ndim == 1 else v)
+        return np.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+    def _emit_vector(self, sim, arr):
+        if not self.file:
+            return
+        if self._fh is None:
+            self._fh = open(self.file, "w")
+            self._fh.write(f"# Time-averaged data for fix "
+                           f"{getattr(self, 'id', '')}\n")
+            self._fh.write("# TimeStep Number-of-rows\n")
+            self._fh.write("# Row " + " ".join(self.inputs) + "\n")
+        arr = np.atleast_2d(arr)
+        self._fh.write(f"{sim.step} {arr.shape[0]}\n")
+        for i, row in enumerate(arr, 1):
+            self._fh.write(f"{i} " + " ".join(
+                f"{v:g}" for v in row) + "\n")
+        self._fh.flush()
+
     def host_end_of_step(self, sim):
         if not self._sample_due(sim.step):
+            return
+        if self.mode_vector:
+            self._samples.append(self._vector_sample(sim))
+            if sim.step % self.nfreq == 0:
+                self._result = np.mean(self._samples[-self.nrepeat:],
+                                       axis=0)
+                self._samples = []
+                self._emit_vector(sim, self._result)
             return
         vals = np.array(
             [float(np.asarray(_resolve_input(sim, nm),

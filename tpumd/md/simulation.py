@@ -736,6 +736,16 @@ class Simulation:
 
         for d in self.dumps:
             d.write(self)
+        # ave-family fixes sample/emit at setup when the run starts on
+        # one of their output steps (FixAveTime::setup -> end_of_step)
+        for fx in self.fixes:
+            if getattr(fx, "invoke_at_setup", False) \
+                    and getattr(fx, "nfreq", 0) \
+                    and getattr(fx, "nrepeat", 0) == 1 \
+                    and self.step % fx.nfreq == 0 \
+                    and not getattr(fx, "_setup_invoked", False):
+                fx.host_end_of_step(self)
+                fx._setup_invoked = True
         target = self.step + nsteps
         # run begin/end steps for fixes with start->stop target ramps
         # (Update::beginstep/endstep, used by FixNH::compute_temp_target)

@@ -1379,8 +1379,13 @@ class LammpsScript:
             vals = list(args[3:])
             if "file" in vals:
                 i = vals.index("file")
-                kw["file"] = vals[i + 1]
+                fp = vals[i + 1]
+                kw["file"] = fp if os.path.isabs(fp) else \
+                    os.path.join(self.data_dir, fp)
                 vals = vals[:i] + vals[i + 2:]
+            if "mode" in vals:
+                i = vals.index("mode")
+                kw["mode_vector"] = vals[i + 1] == "vector"
             vals = [v for i, v in enumerate(vals)
                     if v not in ("mode", "scalar", "vector")
                     and (i == 0 or vals[i - 1] != "mode")]
