@@ -383,6 +383,7 @@ class Simulation:
 
     def setup(self):
         """Initial neighbor build + force evaluation (Verlet::setup)."""
+        self._mass_sum = None   # atom count/masses may have changed
         if self._shrink_small is None:
             ell0 = np.asarray(jax.device_get(self.state.box.lengths),
                               dtype=np.float64)
@@ -763,6 +764,9 @@ class Simulation:
         if not hasattr(self, "_cpu_start"):
             self._cpu_start = t0
         self._halt = None
+        if self._stream_ok(nsteps, ctx):
+            self._run_streamed(nsteps, ctx, t0)
+            return
         while self.step < target:
             nxt = target
             everies = ([self.thermo_every] + [d.every for d in self.dumps]
@@ -884,6 +888,102 @@ class Simulation:
                 break
         # device_get forces completion (block_until_ready is unreliable on
         # the remote-tunnel TPU backend)
+        jax.device_get(self._carry[0].x[0])
+        elapsed = time.perf_counter() - t0
+        self.loop_time += elapsed
+        self.loop_steps += nsteps
+        self._finish_report(elapsed, nsteps)
+
+    _STREAM_KEYS = frozenset((
+        "step", "temp", "epair", "emol", "pe", "ke", "etotal", "press",
+        "vol", "lx", "ly", "lz", "xy", "xz", "yz", "evdwl", "ecoul",
+        "elong", "ebond", "eangle", "edihed", "eimp", "atoms", "density"))
+
+    def _stream_ok(self, nsteps: int, ctx) -> bool:
+        """Eligibility for the single-dispatch streamed run: uniform
+        thermo-only output stops with no per-stop host work.  Everything
+        else uses the segmented loop."""
+        L = self.thermo_every
+        if not (L and L > 0 and self.step % L == 0 and nsteps % L == 0
+                and nsteps >= 2 * L):
+            return False
+        if any(d.every and d.every > 0 for d in self.dumps):
+            return False
+        for fx in self.fixes:
+            if getattr(fx, "host_every", 0):
+                return False
+            if getattr(fx, "eos_box_change", False):
+                return False
+            if getattr(fx, "mode", "") == "pf/callback" \
+                    and fx.callback is not None:
+                return False
+            # a zero-length probe detects host-stream fixes (bit-exact
+            # RanMars langevin, variable-style fix move) without
+            # consuming any RNG draws
+            if fx.segment_inputs(0, ctx, self._carry[0]) is not None:
+                return False
+        if self._barostat_active():
+            return False
+        if self.timer_sync or self.timer_timeout is not None:
+            return False
+        if self.thermo_multi:
+            return False
+        if not all(k in self._STREAM_KEYS for k in self.thermo_style):
+            return False
+        return True
+
+    def _run_streamed(self, nsteps: int, ctx, t0: float):
+        """One-dispatch run: device loops over thermo intervals and banks
+        packed thermo rows; the host syncs once per STREAM_MAX_STOPS
+        intervals instead of once per thermo stop (each sync costs a
+        ~20 ms tunnel round trip on remote TPU backends)."""
+        from tpumd.md.verlet import (run_stream, STREAM_MAX_STOPS)
+        L = self.thermo_every
+        nstops_total = nsteps // L
+        scal = self._thermo_scal()
+        mass_arr = self._thermo_mass_arr()
+        rows = []
+        done = 0
+        while done < nstops_total:
+            nstops = min(nstops_total - done, STREAM_MAX_STOPS)
+            while True:
+                snapshot = self._carry
+                carry, buf = run_stream(
+                    snapshot, ctx, jnp.int32(nstops), jnp.int32(L),
+                    scal, mass_arr, consts=self._consts)
+                if bool(jax.device_get(carry[1].overflow)):
+                    ctx = self._regrow(snapshot)
+                    continue
+                break
+            rows.append(np.asarray(jax.device_get(buf), np.float64)[:nstops])
+            self._carry = carry
+            done += nstops
+        s, neigh, fstates, istep = self._carry[:4]
+        self.state = s
+        # refresh energies/virial for post-run readers (run 0 reprints,
+        # computes, restart headers) — async dispatch, no extra sync
+        f, energies, virial, _ = eval_energies(s, neigh, ctx,
+                                               consts=self._consts)
+        for i, fx in enumerate(self.fixes):
+            if getattr(fx, "contributes_virial", False):
+                virial = virial + fx.virial_contrib(fstates[i])
+        self._last_energies = energies
+        self._last_virial = virial
+        for block in rows:
+            for row in block:
+                self.step += L
+                self._emit_vals(self._vals_from_packed(row))
+        # per-stop checks that need big-array fetches run once per run
+        # here (the segmented path runs them per stop)
+        self._escape_checks(s)
+        st = getattr(neigh, "shear_tags", None)
+        if (st is not None and getattr(st, "ndim", 0) == 2
+                and not self._hist_saturated_warned):
+            if bool(jax.device_get(jnp.all(st != 0, axis=1).any())):
+                self._hist_saturated_warned = True
+                self._log("WARNING: granular contact-history slots "
+                          "saturated for some atom — contacts beyond "
+                          f"{st.shape[1]} per atom lose shear history")
         jax.device_get(self._carry[0].x[0])
         elapsed = time.perf_counter() - t0
         self.loop_time += elapsed
@@ -1175,36 +1275,28 @@ class Simulation:
         self._last_virial = virial
 
     # ------------------------------------------------------------------ thermo
+    def _thermo_scal(self):
+        u = self.units
+        return jnp.asarray([self.dof(), u.boltz, u.mvv2e], self.dtype)
+
+    def _thermo_mass_arr(self):
+        if self._carry[0].rmass is not None:
+            return None
+        return jnp.asarray(self.mass, self.dtype)
+
     def thermo_values(self) -> dict:
         s, neigh, fstates, _ = self._carry[:4]
-        u = self.units
-        dof = self.dof()
         # one fused device computation + ONE host transfer (tunnel round
         # trips are expensive on remote TPU backends)
-        ekeys = sorted(self._last_energies)
-        if s.rmass is not None:
-            mass_pa = jnp.where(s.rmass > 0, s.rmass, 1.0)
-        else:
-            mass_pa = jnp.asarray(self.mass, self.dtype)[s.type]
-        t_dev = computes.temperature(s.v, mass_pa, dof, u.boltz, u.mvv2e)
-        dt_ = s.x.dtype
-        packed = jnp.stack(
-            [t_dev.astype(dt_), s.box.volume.astype(dt_),
-             jnp.sum(self._last_virial[:3]).astype(dt_),
-             jnp.sum(s.tag > 0).astype(dt_)]
-            + [self._last_energies[k].astype(dt_) for k in ekeys])
+        from tpumd.md.verlet import pack_thermo_jit
+        packed = pack_thermo_jit(
+            s, self._last_energies, self._last_virial,
+            self._thermo_scal(), self._thermo_mass_arr())
         vals_h = np.asarray(jax.device_get(packed), dtype=np.float64)
-        # unconditional atom-count check every thermo step
-        # (Thermo::lost_check counts regardless of boundary style,
-        # src/thermo.cpp:382) — rides the packed transfer for free
-        ncur = int(vals_h[3])
-        vals_h = np.delete(vals_h, 3)
-        if ncur != self.natoms and self.lost_policy != "ignore":
-            msg = (f"Lost atoms: original {self.natoms} current {ncur} "
-                   f"at step {self.step}")
-            if self.lost_policy == "error":
-                raise RuntimeError(msg)
-            self._log("WARNING: " + msg)
+        self._escape_checks(s)
+        return self._vals_from_packed(vals_h)
+
+    def _escape_checks(self, s):
         # per-dimension fixed-boundary escape check
         if not all(s.box.periodic) and self.lost_policy != "ignore":
             fixed_dims = [d for d, tok in enumerate(self.boundary)
@@ -1230,6 +1322,25 @@ class Simulation:
                     if self.lost_policy == "error":
                         raise RuntimeError(msg)
                     self._log("WARNING: " + msg)
+
+    def _vals_from_packed(self, vals_h) -> dict:
+        """Thermo dict from one pack_thermo row (layout: verlet.pack_thermo).
+
+        Host-side finishing of the thermo columns (Thermo::compute_*,
+        src/thermo.cpp) — shared by the per-stop path and the streamed
+        run drain."""
+        u = self.units
+        dof = self.dof()
+        # unconditional atom-count check every thermo step
+        # (Thermo::lost_check counts regardless of boundary style,
+        # src/thermo.cpp:382) — rides the packed transfer for free
+        ncur = int(vals_h[3])
+        if ncur != self.natoms and self.lost_policy != "ignore":
+            msg = (f"Lost atoms: original {self.natoms} current {ncur} "
+                   f"at step {self.step}")
+            if self.lost_policy == "error":
+                raise RuntimeError(msg)
+            self._log("WARNING: " + msg)
         if not np.isfinite(vals_h).all():
             # the reference's lost-atom / unstable-simulation checks
             # (Thermo::lost_check, Domain "non-numeric atom coords")
@@ -1237,8 +1348,11 @@ class Simulation:
                 f"Non-finite thermodynamics at step {self.step} — "
                 "simulation unstable (bad dynamics, overlapping atoms, or "
                 "too-large timestep)")
+        ekeys = sorted(self._last_energies)
         t, vol, vir3 = float(vals_h[0]), float(vals_h[1]), float(vals_h[2])
-        e = dict(zip(ekeys, vals_h[3:].tolist()))
+        ell = vals_h[4:7]
+        tilt_np = vals_h[7:10]
+        e = dict(zip(ekeys, vals_h[10:].tolist()))
         ke = computes.kinetic_energy(t, dof, u.boltz)
         # long-range LJ tail corrections (Thermo::compute_evdwl,
         # ComputePressure: ptail/volume added to each diagonal term)
@@ -1252,8 +1366,8 @@ class Simulation:
         emol = e["ebond"] + e["eangle"] + e["edihed"] + e["eimp"]
         pe = epair + emol
         norm = self.natoms if self.thermo_norm else 1
-        ell = np.asarray(jax.device_get(s.box.lengths), dtype=np.float64)
-        tilt_np = np.asarray(jax.device_get(s.box.tilt), dtype=np.float64)
+        if getattr(self, "_mass_sum", None) is None:
+            self._mass_sum = float(self.mass_per_atom_np().sum())
         vals = {
             "step": self.step,
             "temp": t,
@@ -1272,8 +1386,7 @@ class Simulation:
             "eangle": e["eangle"] / norm, "edihed": e["edihed"] / norm,
             "eimp": e["eimp"] / norm,
             "atoms": self.natoms,
-            "density": (self.units.mv2d
-                        * float(self.mass_per_atom_np().sum()) / vol),
+            "density": self.units.mv2d * self._mass_sum / vol,
         }
         self.last_thermo = vals
         return vals
@@ -1372,6 +1485,9 @@ class Simulation:
                           "saturated for some atom — contacts beyond "
                           f"{st.shape[1]} per atom lose shear history")
         vals = self.thermo_values()
+        self._emit_vals(vals)
+
+    def _emit_vals(self, vals):
         if self.thermo_multi:
             return self._thermo_line_multi(vals)
         parts = []

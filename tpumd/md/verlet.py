@@ -506,6 +506,75 @@ def run_segment_dyn(carry, ctx: StepContext, nsteps, consts=None):
     return jax.lax.fori_loop(0, nsteps, body, carry)
 
 
+def pack_thermo(s: MDState, energies, virial, scal, mass_arr):
+    """Device-side thermo vector: ONE row per output step so the host
+    fetches a single small array per run instead of one tunnel round
+    trip per thermo stop (remote-TPU latency is ~20 ms/sync).
+
+    Layout: [temp, vol, sum(vir[:3]), natoms, lengths(3), tilt(3),
+             energies in sorted-key order].  scal = [dof, boltz, mvv2e]."""
+    from tpumd.md import computes
+    if s.rmass is not None:
+        mass_pa = jnp.where(s.rmass > 0, s.rmass, 1.0)
+    else:
+        mass_pa = mass_arr[s.type]
+    dof, boltz, mvv2e = scal[0], scal[1], scal[2]
+    t_dev = computes.temperature(s.v, mass_pa, dof, boltz, mvv2e)
+    dt_ = s.x.dtype
+    ekeys = sorted(energies)
+    return jnp.stack(
+        [t_dev.astype(dt_), s.box.volume.astype(dt_),
+         jnp.sum(virial[:3]).astype(dt_),
+         jnp.sum(s.tag > 0).astype(dt_)]
+        + [s.box.lengths[i].astype(dt_) for i in range(3)]
+        + [s.box.tilt[i].astype(dt_) for i in range(3)]
+        + [energies[k].astype(dt_) for k in ekeys])
+
+
+THERMO_NVALS = 17   # pack_thermo row length: 4 + 3 + 3 + 7 energy keys
+STREAM_MAX_STOPS = 64
+
+pack_thermo_jit = jax.jit(pack_thermo)
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def run_stream(carry, ctx: StepContext, nstops, seg_len, scal,
+               mass_arr, consts=None):
+    """Up to STREAM_MAX_STOPS uniform thermo intervals in ONE dispatch.
+
+    Dynamic fori_loop over output stops (so one compile serves every run
+    length / thermo interval), inner fori_loop of seg_len steps; each
+    stop writes a pack_thermo row into a fixed-size buffer.  The host
+    fetches the whole (STREAM_MAX_STOPS, 17) block once at the end — the
+    pipelined analog of the reference's per-step thermo
+    (src/verlet.cpp run loop + Thermo), restructured for a
+    high-latency device link (~20 ms per host sync on remote TPU)."""
+    if ctx.respa is not None:
+        step = make_respa_step(ctx, consts)
+    else:
+        step = make_step_fn(ctx, consts)
+
+    def stop_body(i, cb):
+        c, buf = cb
+
+        def body(_, cc):
+            cc2, _ = step(cc, None)
+            return cc2
+        c = jax.lax.fori_loop(0, seg_len, body, c)
+        s, neigh, fstates = c[0], c[1], c[2]
+        _, energies, virial, _, _ = compute_forces(
+            s, neigh, ctx, eflag=True, vflag=True, shearupdate=False,
+            consts=consts)
+        for k, fx in enumerate(ctx.fixes):
+            if getattr(fx, "contributes_virial", False):
+                virial = virial + fx.virial_contrib(fstates[k])
+        row = pack_thermo(s, energies, virial, scal, mass_arr)
+        return c, buf.at[i].set(row)
+
+    buf0 = jnp.zeros((STREAM_MAX_STOPS, THERMO_NVALS), carry[0].x.dtype)
+    return jax.lax.fori_loop(0, nstops, stop_body, (carry, buf0))
+
+
 @partial(jax.jit, static_argnames=("ctx",))
 def eval_energies(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                   consts=None):
