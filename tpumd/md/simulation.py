@@ -145,8 +145,16 @@ class Simulation:
         cutneigh = self.max_cutoff() + self.skin
         mode = self._resolve_mode()
         # under a barostat, leave headroom so moderate box shrinkage keeps
-        # cell edges >= cutneigh (revalidated per segment)
-        margin = 1.05 if self._barostat_active() else 1.0
+        # cell edges >= cutneigh (revalidated per segment).  The margin
+        # is adaptive: every mid-run reconfig costs a full recompile of
+        # the run segment (~150-200 s for the pppm+shake+npt stack), so
+        # _revalidate_geometry widens it 10% per violation — reconfigs
+        # back off exponentially instead of tracking a steady shrink.
+        if self._barostat_active():
+            margin = getattr(self, "_baro_margin", 1.12)
+            self._baro_margin = margin
+        else:
+            margin = 1.0
         # cell-size factor: cells of F*cutneigh (stencil stays +-1).
         # Short-cutoff dilute systems (chain: ~3 atoms/cell) pay ~4x
         # Poisson-tail cap padding and per-row overhead at F=1; fatter
@@ -191,6 +199,22 @@ class Simulation:
             if self.neigh_exclude:
                 import dataclasses as _dc
                 cfg = _dc.replace(cfg, exclude_bits=tuple(self.neigh_exclude))
+            if (getattr(self, "_cellcap_override", None) is None
+                    and not cfg.image_shifts):
+                # size the per-cell capacity from the ACTUAL occupancy:
+                # the mean-density heuristic is ~2x oversized for
+                # settled granular packs, and rebuild cost scales with
+                # cap (27*cap candidates/atom).  A +2 margin absorbs
+                # drift; overflow still self-heals via the setup retry
+                # and mid-run regrow.
+                cid, _ = nb._cell_index(self.state.x, self.state.box, cfg)
+                occ = np.bincount(
+                    np.asarray(jax.device_get(cid), np.int64).clip(
+                        0, cfg.ncells - 1), minlength=cfg.ncells)
+                tight = int(np.ceil((int(occ.max()) + 2) / 2) * 2)
+                if tight < cfg.cell_cap:
+                    import dataclasses as _dc
+                    cfg = _dc.replace(cfg, cell_cap=tight)
             if cfg.image_shifts and self.pair is not None and not getattr(
                     self.pair, "supports_image_ext", False):
                 raise ValueError(
@@ -601,6 +625,21 @@ class Simulation:
                     nbuilds=jnp.ones((), jnp.int32),
                     overflow=over, max_count=max_count, shear=shear)
             if not bool(jax.device_get(neigh.overflow)):
+                if (not ctx.is_cellgrid
+                        and getattr(self, "_kmax_override", None) is None):
+                    # shrink once from the OBSERVED max count: pair-sweep
+                    # gather cost is per neighbor row, so an oversized
+                    # kmax taxes every step (the density heuristic gives
+                    # 16 where chute's true max is 11); +3 margin, and
+                    # mid-run regrow still covers drift past it
+                    # multiples of 8 only: K=14 measured SLOWER than 16
+                    # on TPU (76 s compile + 30% slower steps — XLA's
+                    # gather/tiling wants power-of-two-ish row widths)
+                    mc = int(jax.device_get(neigh.max_count))
+                    tight = int(np.ceil((mc + 3) / 8) * 8)
+                    if tight + 4 <= ctx.neigh_cfg.kmax:
+                        self._kmax_override = tight
+                        continue
                 break
             # grow capacities from the observed maximum and retry
             mc = int(jax.device_get(neigh.max_count))
@@ -1225,6 +1264,19 @@ class Simulation:
     def _regrow(self, snapshot):
         """Grow neighbor capacities after an overflow; rebuild from snapshot."""
         neigh0 = snapshot[1]
+        stags = getattr(neigh0, "shear_tags", None)
+        if stags is not None:
+            full = np.asarray(jax.device_get(stags)) != 0
+            if full.size and bool(full.all(axis=-1).any()):
+                # growing the cell cap cannot fix a saturated history
+                # table (KH is a compiled constant) — fail loudly instead
+                # of silently dropping contacts or regrowing forever
+                raise RuntimeError(
+                    f"granular contact-history table saturated at step "
+                    f"{self.step}: an atom holds {full.shape[-1]} live "
+                    f"contacts (KH limit, ops/cellgrid_gran.py) — "
+                    f"polydisperse/compressed pack exceeds the compact "
+                    f"history capacity; raise KH")
         mc = float(jax.device_get(neigh0.max_count))
         if self._ctx.is_cellgrid:
             self._cap_override = int(np.ceil(max(
@@ -1254,6 +1306,9 @@ class Simulation:
         cfg = self._neigh_cfg
         dims = np.array([cfg.nx, cfg.ny, cfg.nz], dtype=np.float64)
         if (ell / dims < cutneigh).any():
+            # widen the barostat bracket so the NEXT shrink of the same
+            # relative size fits without another reconfig/recompile
+            self._baro_margin = getattr(self, "_baro_margin", 1.12) * 1.10
             self._rebuild_ctx(self._carry)
 
     def recompute_output(self):

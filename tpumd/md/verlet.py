@@ -127,8 +127,14 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                     ctx.neigh_cfg, ctx.dt, shearupdate,
                     exclude_bits=ctx.neigh_cfg.exclude_bits)
             if shearupdate:
+                # a FULL compact history row (all KH slots live) means
+                # further contacts would drop silently (possible for
+                # polydisperse / strongly compressed packs) — surface it
+                # through the overflow flag; _regrow raises a clear error
+                hist_sat = jnp.any(jnp.all(stags_new != 0, axis=-1))
                 neigh = neigh.replace(shear_tags=stags_new,
-                                      shear=shear_new)
+                                      shear=shear_new,
+                                      overflow=neigh.overflow | hist_sat)
         else:
             fp, torque, shear_new = ctx.pair.compute_gran(
                 s, neigh.idx, neigh.shear, ctx.dt, shearupdate)
@@ -275,11 +281,15 @@ def _remap_shear(old_idx, new_idx, shear):
     old_valid = old_idx != self_idx
     match = (new_idx[:, :, None] == old_idx[:, None, :]) \
         & old_valid[:, None, :]                       # (N, Knew, Kold)
-    has = match.any(axis=-1)
-    src = jnp.argmax(match, axis=-1)                  # (N, Knew)
-    out = jnp.take_along_axis(shear, src[:, :, None], axis=1)
+    # each (i, j) appears at most once per old row, so the matched slot's
+    # history is a masked SUM over old slots — a batched (Knew, Kold) x
+    # (Kold, 3) matmul, ~10x cheaper than the take_along_axis row gather
+    # (gather cost is per row: N*Knew rows ~ 3.5 ms at chute scale)
+    out = jax.lax.dot_general(
+        match.astype(shear.dtype), shear,
+        (((2,), (1,)), ((0,), (0,))))                 # (N, Knew, 3)
     new_valid = new_idx != self_idx
-    return jnp.where((has & new_valid)[..., None], out, 0.0)
+    return jnp.where(new_valid[..., None], out, 0.0)
 
 
 def _permute_fix_states(fstates, ctx, src, dst, cap):

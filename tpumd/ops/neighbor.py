@@ -276,14 +276,23 @@ def _build_rolled(x, box: Box, cfg: NeighborConfig, gmask):
         cj = [_roll_nbr(rows[0], dz, 0, None),
               _roll_nbr(rows[1], dz, 0, None),
               _roll_nbr(rows[2], dz, 0, corr[2])]
-        cp = _roll_nbr(rows_p, dz, 0, None)[..., None, :]
+        cp0 = _roll_nbr(rows_p, dz, 0, None)
+        cg0 = (_roll_nbr(rows_g, dz, 0, None)
+               if rows_g is not None else None)
+        # materialize the rolled planes: fused into the pair math below,
+        # each roll-concat read degrades to a per-element select chain
+        # over 9 shifted sources (measured 1.5x slower at 32k atoms)
+        mats = jax.lax.optimization_barrier(
+            tuple(cj) + (cp0,) + (() if cg0 is None else (cg0,)))
+        cj, cp0 = list(mats[:3]), mats[3]
+        cp = cp0[..., None, :]
         r2 = jnp.zeros(gshape[:-1] + (cap, cj[0].shape[-1]), dtype)
         for c in range(3):
             d = xg[c][..., :, None] - cj[c][..., None, :]
             r2 = r2 + d * d
         ok = (r2 < cut2) & (cp > 0) & (cp != self_p)
         if cfg.exclude_bits:
-            cgb = _roll_nbr(rows_g, dz, 0, None)[..., None, :]
+            cgb = mats[4][..., None, :]
             gi = gg[..., :, None]
             for b1, b2 in cfg.exclude_bits:
                 both = (((gi & b1) > 0) & ((cgb & b2) > 0)) | (
@@ -295,17 +304,22 @@ def _build_rolled(x, box: Box, cfg: NeighborConfig, gmask):
     # compact to the n REAL atoms before extracting the k winners: one
     # n-row gather beats running the extraction over every padded slot
     # (5x+ waste), and lax.top_k lowers to a full sort (~66 ms at 37M
-    # candidates on TPU) — kmax rounds of masked max are pure VPU work
+    # candidates on TPU).  Winners land via survivor-rank one-hot sums:
+    # kmax INDEPENDENT masked reductions (multi-output fused, one pass)
+    # instead of kmax sequential masked-max rounds (measured 9 ms ->
+    # 0.8 ms at 32k atoms x 216 candidates).  Rows come out in candidate
+    # order, not descending row order — no consumer depends on it.
     val = jnp.concatenate(vals + [counts[..., None]], axis=-1)
+    val = jax.lax.optimization_barrier(val)
     rows_v = val.reshape(npad, -1)[slot]       # (n, S+1) sorted-atom order
+    rows_v = jax.lax.optimization_barrier(rows_v)
     cnt_rows = rows_v[:, -1]
     v = rows_v[:, :-1]
-    tops = []
-    for _ in range(cfg.kmax):
-        m = jnp.max(v, axis=-1)
-        tops.append(m)
-        v = jnp.where(v == m[:, None], 0, v)
-    topv = jnp.stack(tops, axis=1)             # (n, kmax) descending
+    okv = v > 0
+    posk = jnp.cumsum(okv.astype(jnp.int32), axis=1) - 1
+    ks = jnp.arange(cfg.kmax, dtype=jnp.int32)
+    sel = (posk[:, :, None] == ks) & okv[:, :, None]
+    topv = jnp.sum(jnp.where(sel, v[:, :, None], 0), axis=1)  # (n, kmax)
     rows_sorted = jnp.where(topv > 0, topv - 1, order[:, None])
     out = jnp.zeros((n, cfg.kmax + 1), jnp.int32).at[order].set(
         jnp.concatenate([rows_sorted, cnt_rows[:, None]], axis=1),
