@@ -28,6 +28,8 @@ if not _os.environ.get("TPUMD_NO_COMPILE_CACHE"):
     _jax.config.update("jax_compilation_cache_dir",
                        _os.environ.get("TPUMD_COMPILE_CACHE",
                                        "/tmp/jax_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # only cache programs whose compile dwarfs the ~1.4 s serialize+write
+    # cost of a cache entry (the run-segment graphs; not eager one-op hits)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
 
 from tpumd.utils.units import Units, get_units  # noqa: F401

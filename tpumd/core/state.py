@@ -254,11 +254,15 @@ def make_state(x, v, types, box: Box, *, tags=None, q=None, molecule=None,
     )
 
 
+@jax.jit
 def wrap_pbc(state: MDState) -> MDState:
     """Remap atoms into the periodic box, updating image flags.
 
     Equivalent of Domain::pbc (src/domain.cpp) for orthogonal boxes, called
     at reneighbor steps.  Non-periodic dims are left unwrapped.
+
+    Jitted: the setup path calls it eagerly, and on the remote-TPU link
+    every eager op pays a ~0.5 s AOT compile round trip.
     """
     box = state.box
     if box.istriclinic:

@@ -211,7 +211,13 @@ class Simulation:
                 occ = np.bincount(
                     np.asarray(jax.device_get(cid), np.int64).clip(
                         0, cfg.ncells - 1), minlength=cfg.ncells)
-                tight = int(np.ceil((int(occ.max()) + 2) / 2) * 2)
+                # granular contacts bound occupancy physically (+2 is
+                # plenty); point particles diffuse, so keep a 30%
+                # fluctuation margin to avoid mid-run regrow recompiles
+                if getattr(self.pair, "is_granular", False):
+                    tight = int(np.ceil((int(occ.max()) + 2) / 2) * 2)
+                else:
+                    tight = int(np.ceil((occ.max() * 1.3 + 2) / 2) * 2)
                 if tight < cfg.cell_cap:
                     import dataclasses as _dc
                     cfg = _dc.replace(cfg, cell_cap=tight)
@@ -1282,8 +1288,14 @@ class Simulation:
             self._cap_override = int(np.ceil(max(
                 self._neigh_cfg.cap * 1.5, mc * 1.3) / 8) * 8)
         else:
+            # grow BOTH capacities: the overflow flag is
+            # cell_over | (max_count > kmax), and growing only kmax when
+            # the per-cell cap is the violated one loops forever
+            # (kmax observed ballooning 112 -> 1758 on the lj melt)
             self._kmax_override = int(
                 max(self._neigh_cfg.kmax * 1.5, mc * 1.3) + 8)
+            self._cellcap_override = int(
+                np.ceil(self._neigh_cfg.cell_cap * 1.5 / 8) * 8)
         return self._rebuild_ctx(snapshot)
 
     def _barostat_active(self) -> bool:

@@ -26,6 +26,7 @@ better physics; exact-parity tests use the matrix path).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,7 @@ def _cell_ids(x, valid, box: Box, cfg: CellGridConfig):
     return jnp.where(valid, cid, cfg.ncells)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def bin_permutation(x, valid, box: Box, cfg: CellGridConfig):
     """Permutation taking atoms into grid-slot order.
 
@@ -135,6 +137,7 @@ def bin_permutation(x, valid, box: Box, cfg: CellGridConfig):
     return perm, valid_new, max_count, overflow
 
 
+@partial(jax.jit, static_argnames=("natoms", "cfg"))
 def bin_compact(x, tag, natoms: int, box: Box, cfg: CellGridConfig,
                 row2slot=None):
     """Compact re-bin: sort the ``natoms`` REAL atoms only instead of
@@ -190,6 +193,7 @@ def row2slot_from_tags(tag, natoms: int):
         jnp.arange(npad, dtype=jnp.int32), mode="drop")
 
 
+@partial(jax.jit, static_argnames=("capacity",))
 def apply_permutation_compact(state: MDState, src, dst,
                               capacity: int) -> MDState:
     """Reorder per-atom arrays via n-sized gather + scatter (the compact
@@ -227,6 +231,7 @@ def apply_permutation_compact(state: MDState, src, dst,
     return replace_per_atom(state, updates)
 
 
+@jax.jit
 def apply_permutation(state: MDState, perm, valid_new) -> MDState:
     """Reorder all per-atom arrays into grid-slot order (capacity Np).
 
@@ -253,6 +258,7 @@ def apply_permutation(state: MDState, perm, valid_new) -> MDState:
     return replace_per_atom(state, updates)
 
 
+@partial(jax.jit, static_argnames=("capacity",))
 def pad_state(state: MDState, capacity: int) -> MDState:
     """Pad per-atom arrays to the grid capacity (invalid slots at the end)."""
     from tpumd.core.state import map_per_atom
