@@ -20,6 +20,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")  # in case jax pre-imported
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: XLA compiles of the big scan graphs take
-# minutes on this 1-core CPU; cache them across test processes
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# minutes on this 1-core CPU; cache them across test processes.  The dir
+# is keyed by host CPU features — a stale /tmp/jax_cache from another
+# machine holds AOT blobs that SIGSEGV on load (tpumd.host_cache_dir).
+from tpumd import host_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -59,3 +59,49 @@ def test_image_shift_count():
     script.run_string("\n".join(deck) + "\nrun 0\n")
     cfg = script.sim._neigh_cfg
     assert len(cfg.image_shifts) == 27
+
+
+IN_N1 = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.8442
+region          box block 0 4 0 4 0 4
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.9
+pair_coeff      1 1 1.0 1.0 2.9
+neighbor        0.3 bin
+neigh_modify    delay 0 every 1 check yes
+fix             1 all npt temp 1.44 1.44 0.5 iso 0.0 0.0 5.0
+run             20
+"""
+
+
+def _run_n1(mode):
+    script = LammpsScript()
+    pre, runline = IN_N1.rsplit("\nrun", 1)
+    script.run_string(pre)
+    script._finalize_atoms()
+    script.sim.neighbor_mode = mode
+    script.run_string("run" + runline)
+    return script.sim
+
+
+def test_cellgrid_one_cell_per_axis_npt():
+    """Regression for the r3 cell-margin bug: under a barostat the
+    adaptive margin (1.12) makes choose_cellgrid_config pick ONE cell
+    per axis on a box with L/cutneigh in (2, 2*margin); the stencil
+    must then include the ±L periodic self-images (cellgrid._offs) or
+    every cross-boundary pair is silently lost (water_npt golden broke
+    at step 0, 72% of forces wrong).  Reference contract: multi-hop
+    ghosts, src/comm_brick.cpp:191-360."""
+    ref = _run_n1("matrix")
+    sim = _run_n1("cellgrid")
+    cfg = sim._neigh_cfg
+    assert (cfg.nx, cfg.ny, cfg.nz) == (1, 1, 1), (
+        "deck no longer lands on the 1-cell config; retune IN_N1")
+    for key in ("temp", "epair", "etotal", "press"):
+        assert sim.last_thermo[key] == pytest.approx(
+            ref.last_thermo[key], rel=1e-9, abs=1e-12), key

@@ -58,6 +58,29 @@ fix             1 all nve
 # threefry instead of the reference's serial RanMars, so its row is an
 # ensemble match (temp fluctuates O(1/sqrt(N))); rhodo_class's violent
 # first-100-step heating amplifies f32 divergence.
+# step-0 thermo targets (deterministic lattice + loop-geom velocities:
+# bit-reproducible initial state, so these hold to f32 resolution even
+# on chaotic decks).  |value - target| must be < 1e-4 * max(|target|,
+# scale).  A physics regression of the r3 cell-margin class (15% step-0
+# E_pair error) fails here no matter what the trajectory later does.
+# Sources: step-0 rows of bench/log.6Oct16.*.fixed.icc.1; lj864 shares
+# lj's per-atom lattice energy exactly (same reduced density + cutoff),
+# with KE/atom scaled by (1-1/N) dof; rhodo_class regenerated with the
+# locally built reference binary (tools/gen_bench_targets.sh).
+STEP0_RTOL = 1e-4
+STEP0 = {
+    "lj": {"temp": 1.44, "epair": -6.7733681, "etotal": -4.6134356},
+    "lj864": {"temp": 1.44, "epair": -6.7733681, "etotal": -4.6133706},
+    "chain": {"temp": 0.97029772, "epair": 0.44484087,
+              "emol": 20.494523, "etotal": 22.394765},
+    "eam": {"temp": 1600.0, "epair": -113280.0, "etotal": -106662.09},
+    "chute": {"ke": 784139.13},
+    # /tmp/log.rhodo2 step-0 row (initial velocities come from the data
+    # file, so the state is bit-reproducible)
+    "rhodo_class": {"temp": 281.9047, "epair": -103081.45,
+                    "etotal": -83796.488},
+}
+
 SANITY = {
     "lj": {"temp": (0.7574531, 3e-3), "epair": (-5.7585055, 1e-3),
            "etotal": (-4.6223613, 1e-3)},
@@ -66,39 +89,39 @@ SANITY = {
     "eam": {"temp": (801.832, 1e-2), "epair": (-109957.3, 1e-3),
             "etotal": (-106640.77, 1e-3)},
     "chute": {"ke": (784292.08, 1.5e-3)},
-    # regenerated with the reference binary on the synthetic water deck
-    # (no data.rhodo ships in the snapshot): /tmp/log.rhodo_class,
-    # 600-step run, step-100 row
-    "rhodo_class": {"temp": (594.64935, 2e-2), "epair": (-27958.561, 1e-2),
-                    "etotal": (400.25459, 1e-2, 42000.0)},
+    # reference binary on the peptide-replicated rhodo deck:
+    # /tmp/log.rhodo2, step-100 row
+    "rhodo_class": {"temp": (302.90763, 2e-2), "epair": (-100551.94, 1e-2),
+                    "etotal": (-79735.321, 1e-2)},
     # reference binary on the 60^3-cell 864k melt: /tmp/log.lj864
     "lj864": {"temp": (0.75926567, 3e-3), "epair": (-5.7611846, 1e-3),
               "etotal": (-4.6222874, 1e-3)},
 }
 
-# rhodo stand-in: the reference snapshot ships in.rhodo but NO data.rhodo,
-# so the full rhodo STACK (CHARMM real-space + PPPM + SHAKE + NPT) is
-# benchmarked on a replicated 24,000-atom water box instead
+# rhodo stand-in: the reference snapshot ships in.rhodo but NO data.rhodo.
+# The solvated-peptide example data replicated 2x2x4 gives a 32,064-atom
+# system with rhodo's exact force stack and scale (bench/in.rhodo:1-23 is
+# 32,000 atoms): CHARMM 8/10 real-space + dihedrals w/ 1-4 pairs +
+# impropers + PPPM 1e-4 + mass-selected SHAKE + z-coupled NPT.  Targets
+# regenerated with the locally built reference binary on THIS deck
+# (tools/gen_bench_targets.sh -> /tmp/log.rhodo2).
 RHODO_CLASS = """
 units           real
+neigh_modify    delay 5 every 1
 atom_style      full
 bond_style      harmonic
 angle_style     charmm
-pair_style      lj/charmm/coul/long 6.0 7.0
+dihedral_style  charmm
+improper_style  harmonic
+pair_style      lj/charmm/coul/long 8.0 10.0
+pair_modify     mix arithmetic
 kspace_style    pppm 1e-4
+read_data       {golden}/data.peptide
+replicate       2 2 4
+fix             1 all shake 0.0001 5 0 m 1.0 a 31
+fix             2 all npt temp 300.0 300.0 100.0 z 0.0 0.0 1000.0 mtk no pchain 0 tchain 1
 special_bonds   charmm
-read_data       {golden}/data.water
-replicate       4 4 4
-bond_coeff      1 450.0 0.9572
-angle_coeff     1 55.0 104.52 0.0 0.0
-pair_coeff      1 1 0.1521 3.1507
-pair_coeff      2 2 0.0460 0.4000
-neighbor        2.0 bin
-neigh_modify    every 1 delay 5 check yes
-fix             0 all shake 0.0001 20 0 b 1 a 1
-fix             1 all npt temp 300.0 300.0 100.0 iso 0.0 0.0 1000.0
-velocity        all create 300.0 48291 loop geom
-timestep        1.0
+timestep        2.0
 """
 
 
@@ -114,7 +137,7 @@ def build(deck_name):
     elif deck_name == "lj864":
         script.run_string(IN_LJ.format(n=60))
     elif deck_name == "rhodo_class":
-        golden = os.path.join(REPO, "tests", "golden", "water_npt")
+        golden = os.path.join(REPO, "tests", "golden", "peptide")
         script.run_string(RHODO_CLASS.format(golden=golden))
     else:
         deck = open(f"{BENCH}/in.{deck_name}").read()
@@ -143,18 +166,32 @@ def check_sanity(name, sim):
     return vals, fails
 
 
+def check_step0(name, sim):
+    """Tight deterministic gate BEFORE any perf number is taken."""
+    fails = {}
+    targets = STEP0.get(name, {})
+    if not targets:
+        print(f"[{name}] WARNING: no step-0 targets — gate skipped",
+              file=sys.stderr)
+    for key, target in targets.items():
+        val = float(sim.last_thermo[key])
+        if abs(val - target) > max(abs(target), 1.0) * STEP0_RTOL:
+            fails[key] = (val, target, STEP0_RTOL)
+    return fails
+
+
 def bench_deck(name, nsteps):
     sim = build(name)
+    sim.run(0)                   # setup + step-0 thermo
+    fails0 = check_step0(name, sim)
+    if fails0:
+        return {"deck": name, "sanity_ok": False, "step0_fails": {
+            k: list(v) for k, v in fails0.items()},
+            "error": "step-0 energy gate failed"}
     t0 = time.perf_counter()
     sim.run(100)                 # compile + sanity window
     compile_s = time.perf_counter() - t0
     vals, fails = check_sanity(name, sim)
-    if name == "rhodo_class":
-        # NPT compresses the synthetic water lattice ~15% linear over
-        # the first ~1000 steps; equilibrate fully past the shrink (and
-        # the one cell-grid reconfig it triggers, at ~1.6x density) so
-        # the timed window is the stable dense regime
-        sim.run(1100)
     t0 = time.perf_counter()
     sim.run(nsteps)              # warmup at the timed length
     warm_s = time.perf_counter() - t0

@@ -8,32 +8,30 @@ set -e
 LMP=${LMP:-/tmp/lmpbuild/lmp}
 REPO=$(dirname "$(dirname "$(readlink -f "$0")")")
 
-# rhodo_class stand-in (synthetic water box, CHARMM+PPPM+SHAKE+NPT)
-cat > /tmp/in.rhodo_class <<EOF
+# rhodo_class stand-in: solvated-peptide example data replicated to
+# rhodo scale (32,064 atoms) under rhodo's exact force stack
+cat > /tmp/in.rhodo2 <<EOF
 units           real
+neigh_modify    delay 5 every 1
 atom_style      full
 bond_style      harmonic
 angle_style     charmm
-pair_style      lj/charmm/coul/long 6.0 7.0
+dihedral_style  charmm
+improper_style  harmonic
+pair_style      lj/charmm/coul/long 8.0 10.0
+pair_modify     mix arithmetic
 kspace_style    pppm 1e-4
+read_data       $REPO/tests/golden/peptide/data.peptide
+replicate       2 2 4
+fix             1 all shake 0.0001 5 0 m 1.0 a 31
+fix             2 all npt temp 300.0 300.0 100.0 z 0.0 0.0 1000.0 mtk no pchain 0 tchain 1
 special_bonds   charmm
-read_data       $REPO/tests/golden/water_npt/data.water
-replicate       4 4 4
-bond_coeff      1 450.0 0.9572
-angle_coeff     1 55.0 104.52 0.0 0.0
-pair_coeff      1 1 0.1521 3.1507
-pair_coeff      2 2 0.0460 0.4000
-neighbor        2.0 bin
-neigh_modify    every 1 delay 5 check yes
-fix             0 all shake 0.0001 20 0 b 1 a 1
-fix             1 all npt temp 300.0 300.0 100.0 iso 0.0 0.0 1000.0
-velocity        all create 300.0 48291 loop geom
-timestep        1.0
-thermo          100
-thermo_style    custom step temp epair etotal press vol
-run             600
+thermo          50
+thermo_style    custom step temp epair emol etotal press vol
+timestep        2.0
+run             200
 EOF
-"$LMP" -in /tmp/in.rhodo_class -log /tmp/log.rhodo_class
+"$LMP" -in /tmp/in.rhodo2 -log /tmp/log.rhodo2
 
 # 864k LJ melt (bench/in.lj scaled 20 -> 60 cells per side)
 sed -e 's/0 20/0 60/g' -e 's/^run.*/run 100/' \

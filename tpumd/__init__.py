@@ -21,13 +21,49 @@ import os as _os
 
 import jax as _jax
 
+
+def host_cache_dir(base: str = "/tmp/jax_cache") -> str:
+    """Persistent-cache dir keyed by host CPU features + jax version.
+
+    XLA:CPU AOT blobs embed the compile machine's feature set; loading a
+    blob produced on a different host can SIGSEGV outright.  Keying the
+    directory by a digest of /proc/cpuinfo flags makes a stale /tmp from
+    another machine invisible instead of fatal."""
+    import hashlib
+    import platform
+    feats = platform.machine()
+    try:
+        got = set()
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                k = line.split(":")[0].strip()
+                # flags alone are not enough: LLVM's host-CPU detection
+                # keys off family/model/stepping (two hosts with equal
+                # flag sets can get different tuning features like
+                # prefer-no-gather baked into the AOT blob)
+                if k in ("flags", "Features", "vendor_id", "cpu family",
+                         "model", "stepping", "model name") \
+                        and k not in got:
+                    got.add(k)
+                    feats += f" {k}=" + " ".join(sorted(line.split()[1:]))
+    except OSError:
+        pass
+    try:
+        import jaxlib
+        ver = f"{_jax.__version__}/{jaxlib.__version__}"
+    except ImportError:
+        ver = _jax.__version__
+    key = hashlib.sha1(f"{ver}|{feats}".encode()).hexdigest()[:12]
+    return f"{base}-{key}"
+
+
 # Persistent XLA compilation cache: the scan-compiled run segments take
 # 10-200 s to compile cold; warm starts (same deck/shapes/backend) then
 # load in seconds.  Opt out with TPUMD_NO_COMPILE_CACHE=1.
 if not _os.environ.get("TPUMD_NO_COMPILE_CACHE"):
     _jax.config.update("jax_compilation_cache_dir",
                        _os.environ.get("TPUMD_COMPILE_CACHE",
-                                       "/tmp/jax_cache"))
+                                       host_cache_dir()))
     # only cache programs whose compile dwarfs the ~1.4 s serialize+write
     # cost of a cache entry (the run-segment graphs; not eager one-op hits)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)

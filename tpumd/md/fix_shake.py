@@ -226,10 +226,23 @@ class FixShake(Fix):
         return s, virial  # fstate := the constraint virial
 
     def setup_post_force(self, s, fstate, ctx, xin=None):
-        # FixShake::shake_end_of_step: setup applies constraints with the
-        # velocity-Verlet HALF prefactor
-        s, virial = self._apply(
-            s, ctx, 0.5 * ctx.dt * ctx.dt * ctx.units.ftm2v)
+        # FixShake::setup = correct_coordinates + shake_end_of_step
+        # (src/RIGID/fix_shake.cpp:461-503).
+        dtfsq = 0.5 * ctx.dt * ctx.dt * ctx.units.ftm2v
+        # correct_coordinates: with v = f = 0 the unconstrained update is
+        # the identity, so the solve returns the projection of x onto the
+        # constraint manifold; apply it as a position move (:3205-3272).
+        # The step-0 energies stay those of the UNcorrected coordinates
+        # (the reference computes forces before modify->setup) — only the
+        # constraint virial and the step-1+ trajectory see the move.
+        zero = jnp.zeros_like(s.f)
+        s0 = s.replace(f=zero, v=zero)
+        s0, _ = self._apply(s0, ctx, dtfsq)
+        invm = 1.0 / ctx.mass_per_atom(s)
+        s = s.replace(x=s.x + (dtfsq * invm)[:, None] * s0.f)
+        # shake_end_of_step: constraint forces with the velocity-Verlet
+        # HALF prefactor on the corrected coordinates
+        s, virial = self._apply(s, ctx, dtfsq)
         return s, virial
 
     def _apply(self, s, ctx, dtfsq):

@@ -60,10 +60,8 @@ class CellGridConfig:
         return self.ncells * self.cap
 
     def stencil(self):
-        def offs(n):
-            return (-1, 0, 1) if n >= 3 else ((0, -1) if n == 2 else (0,))
-        return [(dx, dy, dz) for dz in offs(self.nz)
-                for dy in offs(self.ny) for dx in offs(self.nx)]
+        return [(dx, dy, dz) for dz in _offs(self.nz)
+                for dy in _offs(self.ny) for dx in _offs(self.nx)]
 
 
 @struct.dataclass
@@ -276,12 +274,23 @@ def pad_state(state: MDState, capacity: int) -> MDState:
     return map_per_atom(state, pad)
 
 
-def _offs(n: int):
-    """Stencil offsets along one axis.  n == 2 still needs BOTH ±1: the
-    other cell has two periodic images (direct and wrapped) and either
-    can hold in-range pairs; the rolls produce the same array but with
-    different wrap corrections."""
-    return (-1, 0, 1) if n >= 2 else (0,)
+def _offs(n: int, periodic: bool = True):
+    """Stencil offsets along one axis.
+
+    Periodic axes always get all three offsets: with n == 2 the ±1
+    rolls reach the same cell under DIFFERENT wrap corrections (direct
+    and wrapped image), and with n == 1 they produce the ±L periodic
+    images of the self cell — the minimum-image correction for a box
+    one cell wide.  Valid because every config guards L >= 2*cutneigh,
+    so at most one image of any pair is in range (reference analog:
+    multi-hop ghosts when cutoff ≳ subdomain, src/comm_brick.cpp:191).
+    Non-periodic axes deduplicate offsets that alias mod n: the roll
+    carries no wrap correction there, so ±1 would present the same
+    atoms at identical coordinates twice (n == 2) or thrice (n == 1).
+    """
+    if periodic:
+        return (-1, 0, 1)
+    return (-1, 0, 1) if n >= 3 else ((-1, 0) if n == 2 else (0,))
 
 
 def _roll_nbr(a, o: int, axis: int, corr):
@@ -463,6 +472,17 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
             # bond force is NOT special-weighted and adds on top of the
             # (excluded) pair term
             tagj_b = roll2(tagrow, None, None)[..., None, :]
+            if min(cfg.nx, cfg.ny, cfg.nz) < 3:
+                # axes under 3 cells present a partner at several
+                # periodic images; pair terms are cutoff-masked but
+                # bonds are not — keep only the minimum image (unique:
+                # configs guard L >= 2*cutneigh >= 2*bond reach)
+                mi_ok = ((jnp.abs(d[0]) <= 0.5 * Lx)
+                         & (jnp.abs(d[1]) <= 0.5 * Ly)
+                         & (jnp.abs(d[2]) <= 0.5 * Lz))
+                mask_b = mask & mi_ok
+            else:
+                mask_b = mask
             bhit = bfp = None
             btype_hit = jnp.zeros(mask.shape, jnp.int32)
             for bi in range(B):
@@ -472,7 +492,7 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
                 btype_hit = jnp.where(hit, btypes_g[..., :, bi:bi + 1],
                                       btype_hit)
             bf, be = bond_fn(r2, btype_hit)
-            bondmask = bhit & mask
+            bondmask = bhit & mask_b
             if bond_excl:
                 # the special list was exactly {bond partners, w=0}:
                 # bonded pairs take ONLY the bond force

@@ -34,13 +34,15 @@ from tpumd.ops.cellgrid import CellGridConfig, _offs, _roll_nbr
 KH = 12
 
 
-def _plan(cfg: CellGridConfig):
+def _plan(cfg: CellGridConfig, periodic=(True, True, True)):
     cap = cfg.cap
-    xoffs = _offs(cfg.nx)
+    px, py, pz = (bool(p) for p in periodic)
+    xoffs = _offs(cfg.nx, px)
     foldy = 3 * cap < 128
-    yoffs = _offs(cfg.ny) if foldy else (0,)
-    shifts = ([(dz, 0) for dz in _offs(cfg.nz)] if foldy else
-              [(dz, dy) for dz in _offs(cfg.nz) for dy in _offs(cfg.ny)])
+    yoffs = _offs(cfg.ny, py) if foldy else (0,)
+    shifts = ([(dz, 0) for dz in _offs(cfg.nz, pz)] if foldy else
+              [(dz, dy) for dz in _offs(cfg.nz, pz)
+               for dy in _offs(cfg.ny, py)])
     rowlen = len(xoffs) * len(yoffs) * cap
     return cap, xoffs, yoffs, foldy, shifts, rowlen
 
@@ -54,7 +56,7 @@ def gran_compact_sums(x, tag, valid, shear_tags, shear, box: Box,
     freeze_bit, exclude_bits); state_planes: (v(3), omega(3), radius,
     rmass, gmask) per-slot planes.  Returns (f (Np,3), torque (Np,3),
     shear_tags_new, shear_new)."""
-    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
+    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg, box.periodic)
     gshape = (cfg.nz, cfg.ny, cfg.nx, cap)
     dtype = x.dtype
     vx, vy, vz, ox, oy, oz, rad, rm, gm = state_planes

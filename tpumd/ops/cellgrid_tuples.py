@@ -171,10 +171,24 @@ def match_members(x, tag, type_, q, valid, box, cfg, utags, cols=None):
         tj = roll2(trow, None, None).astype(dtype)
         qj = None if qrow is None else roll2(qrow, None, None)
         cj = {k: roll2(v, None, None) for k, v in colrows.items()}
+        mi_ok = None
+        if min(cfg.nx, cfg.ny, cfg.nz) < 3:
+            # axes under 3 cells show the same tag at several periodic
+            # images (n==1: self cell ±L; n==2: direct + wrapped) — the
+            # hit accumulation below would sum them all.  Keep only the
+            # minimum image: the true member is within the tuple span
+            # (< L/2 per the 2*cutneigh box guard), every other image
+            # is >= L - span away.
+            mi_ok = jnp.ones(gshape[:-1] + (cap, xj[0].shape[-1]), bool)
+            for c, Lc in zip(range(3), (Lx, Ly, Lz)):
+                dcc = xg[c][..., :, None] - xj[c][..., None, :]
+                mi_ok = mi_ok & (jnp.abs(dcc) <= 0.5 * Lc)
         for p in range(P):
             want = ug[..., p]                        # (nz,ny,nx,cap)
             hit = (want[..., :, None] > 0) \
                 & (want[..., :, None] == tagj[..., None, :])
+            if mi_ok is not None:
+                hit = hit & mi_ok
             # elementwise mask-and-reduce (NOT a dot: flattening the
             # sharded grid dims for a dot_general would all-gather)
             hitf = hit.astype(dtype)                 # (...,cap,rowlen)

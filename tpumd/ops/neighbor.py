@@ -254,9 +254,11 @@ def _build_rolled(x, box: Box, cfg: NeighborConfig, gmask):
     pg = ig_t[:, 0].reshape(gshape)            # atom row + 1 (0 = empty)
     gg = ig_t[:, 1].reshape(gshape) if cfg.exclude_bits else None
 
-    xoffs, yoffs, zoffs = _offs(nx), _offs(ny), _offs(nz)
+    per = [bool(p) for p in box.periodic]
+    xoffs, yoffs, zoffs = (_offs(nx, per[0]), _offs(ny, per[1]),
+                           _offs(nz, per[2]))
     ell = box.lengths
-    corr = [ell[c] if box.periodic[c] else None for c in range(3)]
+    corr = [ell[c] if per[c] else None for c in range(3)]
 
     def fold_xy(a, cx, cy):
         row = jnp.concatenate([_roll_nbr(a, o, 2, cx) for o in xoffs], -1)
@@ -317,9 +319,20 @@ def _build_rolled(x, box: Box, cfg: NeighborConfig, gmask):
     v = rows_v[:, :-1]
     okv = v > 0
     posk = jnp.cumsum(okv.astype(jnp.int32), axis=1) - 1
-    ks = jnp.arange(cfg.kmax, dtype=jnp.int32)
-    sel = (posk[:, :, None] == ks) & okv[:, :, None]
-    topv = jnp.sum(jnp.where(sel, v[:, :, None], 0), axis=1)  # (n, kmax)
+    if n * v.shape[1] * cfg.kmax <= (1 << 30):
+        ks = jnp.arange(cfg.kmax, dtype=jnp.int32)
+        sel = (posk[:, :, None] == ks) & okv[:, :, None]
+        topv = jnp.sum(jnp.where(sel, v[:, :, None], 0),
+                       axis=1)  # (n, kmax)
+    else:
+        # dense molecular rows (e.g. 12 A cutneigh water: ~12k
+        # candidates x ~1k slots): the one-hot tensor would be
+        # O(n*S*kmax) -- hundreds of GB.  Compact by survivor-rank
+        # scatter instead: O(n*S), one pass, rebuild-only cost.
+        dest = jnp.where(okv & (posk < cfg.kmax), posk, cfg.kmax)
+        rid = jnp.arange(n, dtype=jnp.int32)[:, None]
+        topv = jnp.zeros((n, cfg.kmax + 1), jnp.int32).at[
+            rid, dest].set(v, mode="drop")[:, :cfg.kmax]
     rows_sorted = jnp.where(topv > 0, topv - 1, order[:, None])
     out = jnp.zeros((n, cfg.kmax + 1), jnp.int32).at[order].set(
         jnp.concatenate([rows_sorted, cnt_rows[:, None]], axis=1),

@@ -185,7 +185,8 @@ def gran_cellgrid_forces_pallas(x, tag, valid, shear_tags, shear,
     limit_damping, freeze_bit, exclude_bits)."""
     from tpumd.ops.cellgrid import _roll_nbr
     kn, kt, gamman, gammat, xmu, limit_damping, freeze_bit, excl = params_t
-    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(cfg)
+    cap, xoffs, yoffs, foldy, shifts, rowlen = _plan(
+        cfg, tuple(bool(p) for p in box.periodic))
     if not foldy or len(shifts) != 3 or cfg.nz < 3:
         raise ValueError("pallas granular kernel needs foldy + nz >= 3")
     nz, ny, nx = cfg.nz, cfg.ny, cfg.nx
