@@ -91,10 +91,13 @@ velocity half1 set 1.0 NULL 3.0
     v = np.asarray(jax.device_get(sim.state.v), dtype=np.float64)
     tag = np.asarray(jax.device_get(sim.state.tag))
     sel = tag <= 100
-    assert np.allclose(v[sel, 0], 1.0)
-    assert np.allclose(v[sel, 2], 3.0)
+    # velocity set values are in LATTICE units by default
+    # (Velocity::set scale_flag, src/velocity.cpp:434-445)
+    sp = s.lattice.spacing
+    assert np.allclose(v[sel, 0], 1.0 * sp[0])
+    assert np.allclose(v[sel, 2], 3.0 * sp[2])
     assert not np.allclose(v[sel, 1], 0.0)   # NULL leaves component
-    assert not np.allclose(v[~sel, 0], 1.0)  # others untouched
+    assert not np.allclose(v[~sel, 0], 1.0 * sp[0])  # others untouched
 
 
 def test_enforce2d_zeros_z():

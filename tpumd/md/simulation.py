@@ -625,6 +625,28 @@ class Simulation:
                 if getattr(self.pair, "is_granular", False):
                     shear = jnp.zeros(
                         idx.shape + (self.pair.size_history,), s.x.dtype)
+                    stash = getattr(self, "_shear_stash", None)
+                    if stash is not None and self.pair.size_history:
+                        # carry contact history across a host re-setup
+                        # that GREW the atom array (fix pour): rows are
+                        # appended at the end, so pad + tag-remap
+                        oidx, osh = stash
+                        n_new, k_new = idx.shape
+                        n_old, k_old = oidx.shape
+                        if n_new >= n_old and osh is not None:
+                            selfpad = jnp.arange(
+                                n_old, n_new, dtype=oidx.dtype)[:, None]
+                            oidx = jnp.concatenate([
+                                oidx, jnp.broadcast_to(
+                                    selfpad, (n_new - n_old, k_old))])
+                            osh = jnp.concatenate([
+                                osh, jnp.zeros((n_new - n_old, k_old,
+                                                osh.shape[-1]),
+                                               osh.dtype)])
+                            from tpumd.md.verlet import _remap_shear
+                            shear = _remap_shear(oidx, idx,
+                                                 osh.astype(s.x.dtype))
+                    self._shear_stash = None
                 neigh = nb.NeighborState(
                     idx=idx, sbits=sbits, xhold=s.x,
                     ago=jnp.zeros((), jnp.int32),
@@ -745,6 +767,11 @@ class Simulation:
                     self._carry[0], self._carry[1].valid, self.natoms)
             else:
                 self.state = self._carry[0]
+                neigh = self._carry[1]
+                if getattr(neigh, "shear", None) is not None:
+                    # granular contact history survives atom-count
+                    # growth (fix pour) via tag remap at the next setup
+                    self._shear_stash = (neigh.idx, neigh.shear)
         self._ctx = None
         self._carry = None
 
@@ -756,11 +783,24 @@ class Simulation:
         stashed = self._fstate_stash.get(id(fx))
         if stashed is not None:
             try:
-                if (jax.tree.structure(stashed) == jax.tree.structure(fresh)
-                        and all(a.shape == b.shape for a, b in
-                                zip(jax.tree.leaves(stashed),
-                                    jax.tree.leaves(fresh)))):
+                if jax.tree.structure(stashed) != jax.tree.structure(fresh):
+                    return fresh
+                sl, fl = jax.tree.leaves(stashed), jax.tree.leaves(fresh)
+                if all(a.shape == b.shape for a, b in zip(sl, fl)):
                     return stashed
+                if getattr(fx, "peratom_state", False) and all(
+                        a.shape == b.shape
+                        or (a.ndim == b.ndim and a.ndim >= 1
+                            and a.shape[1:] == b.shape[1:]
+                            and a.shape[0] < b.shape[0])
+                        for a, b in zip(sl, fl)):
+                    # atom array grew (fix pour appends rows at the end):
+                    # keep the stashed per-atom state, fresh-init new rows
+                    merged = [a if a.shape == b.shape
+                              else jnp.concatenate([a, b[a.shape[0]:]])
+                              for a, b in zip(sl, fl)]
+                    return jax.tree.unflatten(
+                        jax.tree.structure(fresh), merged)
             except Exception:
                 pass
         return fresh
@@ -774,6 +814,11 @@ class Simulation:
 
     # ------------------------------------------------------------------ run
     def run(self, nsteps: int):
+        # host fixes that act at the start of a run (fix pour's first
+        # insertion batch, reference pre_exchange at ntimestep+1)
+        for fx in self.fixes:
+            if hasattr(fx, "host_run_begin"):
+                fx.host_run_begin(self)
         if self._ctx is None:
             self.setup()
         ctx = self._ctx

@@ -104,7 +104,7 @@ def _pair_ext(s, ctx):
 
 def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
                    eflag: bool, vflag: bool, shearupdate: bool = False,
-                   consts=None):
+                   consts=None, istep=None):
     """Sum forces from all styles.
 
     Returns (f, energies dict, virial6, neigh, torque): neigh carries
@@ -141,6 +141,18 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
             if shearupdate:
                 neigh = neigh.replace(shear=shear_new)
         f = f + fp
+    elif ctx.pair is not None and getattr(ctx.pair, "needs_velocities",
+                                          False):
+        # velocity-dependent pairwise styles (DPD): the force needs
+        # v_i - v_j and the per-pair RNG counter; matrix engine only
+        fp, evdwl, vir = ctx.pair.compute_vel(
+            s, neigh, ctx, eflag, vflag,
+            jnp.zeros((), jnp.int32) if istep is None else istep)
+        f = f + fp
+        if eflag:
+            energies["evdwl"] = evdwl
+        if vflag:
+            virial = virial + vir
     elif ctx.pair is not None:
         if ctx.is_cellgrid:
             special = _cellgrid_special(s, ctx)
@@ -421,7 +433,7 @@ def make_step_fn(ctx: StepContext, consts=None):
                           for fx in ctx.fixes)
         f, _, virial, neigh, torque = compute_forces(
             s, neigh, ctx, eflag=False, vflag=need_virial, shearupdate=True,
-            consts=consts)
+            consts=consts, istep=istep + 1)
         s = s.replace(f=f)
         if torque is not None:
             s = s.replace(torque=torque)

@@ -767,3 +767,197 @@ class PairHarmonicCut(_SimpleTablePair):
         fpair = jnp.where(inside, 2.0 * k * delta / r, 0.0)
         e = jnp.where(inside, k * delta * delta, 0.0)
         return fpair, e, None, None
+
+
+class _LJWolfDSFBase(_SimpleTablePair):
+    """Shared LJ 12-6 + damped-coulomb machinery for the wolf/dsf
+    combos (src/EXTRA-PAIR/pair_lj_cut_coul_{wolf,dsf}.cpp)."""
+
+    ncoeff = 2  # epsilon sigma
+
+    def settings(self, alf, cut_lj, cut_coul=None):
+        self.alf = float(alf)
+        self.cut_global = float(cut_lj)
+        self.cut_coul = (float(cut_coul) if cut_coul is not None
+                         else float(cut_lj))
+
+    def derive(self):
+        eps, sig = self.params
+        self.lj1 = 48.0 * eps * sig**12
+        self.lj2 = 24.0 * eps * sig**6
+        self.lj3 = 4.0 * eps * sig**12
+        self.lj4 = 4.0 * eps * sig**6
+        self._derive_coul()
+
+    @property
+    def max_cutoff(self):
+        return max(float(self.cut[1:, 1:].max()), self.cut_coul)
+
+    def _lj_terms(self, r2, it, jt, w_lj):
+        dt_ = r2.dtype
+        in_lj = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        r2inv = 1.0 / r2
+        r6inv = r2inv**3
+        lj1 = jnp.asarray(self.lj1, dt_)[it, jt]
+        lj2 = jnp.asarray(self.lj2, dt_)[it, jt]
+        lj3 = jnp.asarray(self.lj3, dt_)[it, jt]
+        lj4 = jnp.asarray(self.lj4, dt_)[it, jt]
+        forcelj = r6inv * (lj1 * r6inv - lj2)
+        fpair = jnp.where(in_lj, w_lj * forcelj * r2inv, 0.0)
+        e = jnp.where(in_lj, w_lj * r6inv * (lj3 * r6inv - lj4), 0.0)
+        return fpair, e
+
+
+@register_pair("lj/cut/coul/wolf")
+class PairLJCutCoulWolf(_LJWolfDSFBase):
+    """LJ 12-6 + Wolf-summation coulomb
+    (src/EXTRA-PAIR/pair_lj_cut_coul_wolf.cpp:76-200)."""
+
+    name = "lj/cut/coul/wolf"
+
+    def _derive_coul(self):
+        from math import erfc, exp
+        rc = self.cut_coul
+        self.cut_coulsq = rc * rc
+        self.e_shift = erfc(self.alf * rc) / rc
+        self.f_shift = -(self.e_shift + 2.0 * self.alf / MY_PIS
+                         * exp(-self.alf * self.alf * rc * rc)) / rc
+
+    def ecoul_self(self, q):
+        return jnp.sum(-(self.e_shift / 2.0 + self.alf / MY_PIS)
+                       * q * q * self.units.qqr2e)
+
+    def _coul_terms(self, r2, w_coul, qi, qj):
+        in_c = r2 < self.cut_coulsq
+        r = jnp.sqrt(r2)
+        prefactor = self.units.qqr2e * qi * qj / r
+        erfcc = jerfc(self.alf * r)
+        erfcd = jnp.exp(-self.alf * self.alf * r2)
+        v_sh = (erfcc - self.e_shift * r) * prefactor
+        dvdrr = (erfcc / r2 + 2.0 * self.alf / MY_PIS * erfcd / r) \
+            + self.f_shift
+        forcecoul = dvdrr * r2 * prefactor - (1.0 - w_coul) * prefactor
+        ec = v_sh - (1.0 - w_coul) * prefactor
+        return jnp.where(in_c, ec, 0.0), jnp.where(in_c, forcecoul / r2,
+                                                   0.0)
+
+    def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
+        fpair, e = self._lj_terms(r2, it, jt, w_lj)
+        ec, fc = self._coul_terms(r2, w_coul, qi, qj)
+        return fpair, e, ec, fc
+
+
+@register_pair("lj/cut/coul/dsf")
+class PairLJCutCoulDSF(_LJWolfDSFBase):
+    """LJ 12-6 + damped-shifted-force coulomb
+    (src/EXTRA-PAIR/pair_lj_cut_coul_dsf.cpp:85-215)."""
+
+    name = "lj/cut/coul/dsf"
+
+    def _derive_coul(self):
+        from math import erfc, exp
+        rc = self.cut_coul
+        self.cut_coulsq = rc * rc
+        erfcc = erfc(self.alf * rc)
+        erfcd = exp(-self.alf * self.alf * rc * rc)
+        self.f_shift = -(erfcc / self.cut_coulsq
+                         + 2.0 / MY_PIS * self.alf * erfcd / rc)
+        self.e_shift = erfcc / rc - self.f_shift * rc
+
+    def ecoul_self(self, q):
+        return jnp.sum(-(self.e_shift / 2.0 + self.alf / MY_PIS)
+                       * q * q * self.units.qqr2e)
+
+    # lj/cut/coul/dsf uses the A1-A5 erfc polynomial; born/coul/dsf
+    # computes the TRUE erfc via erfcx*exp(-x^2)
+    # (src/EXTRA-PAIR/pair_born_coul_dsf.cpp:135-137)
+    dsf_true_erfc = False
+
+    def _coul_terms(self, r2, w_coul, qi, qj):
+        in_c = r2 < self.cut_coulsq
+        r = jnp.sqrt(r2)
+        prefactor = self.units.qqr2e * qi * qj / r
+        erfcd = jnp.exp(-self.alf * self.alf * r2)
+        if self.dsf_true_erfc:
+            erfcc = jerfc(self.alf * r)
+        else:
+            t = 1.0 / (1.0 + EWALD_P * self.alf * r)
+            erfcc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) \
+                * erfcd
+        forcecoul = prefactor * (erfcc / r + 2.0 * self.alf / MY_PIS
+                                 * erfcd + r * self.f_shift) * r
+        forcecoul = forcecoul - (1.0 - w_coul) * prefactor
+        ec = prefactor * (erfcc - r * self.e_shift - r2 * self.f_shift) \
+            - (1.0 - w_coul) * prefactor
+        return jnp.where(in_c, ec, 0.0), jnp.where(in_c, forcecoul / r2,
+                                                   0.0)
+
+    def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
+        fpair, e = self._lj_terms(r2, it, jt, w_lj)
+        ec, fc = self._coul_terms(r2, w_coul, qi, qj)
+        return fpair, e, ec, fc
+
+
+class _BornCoulBase(_SimpleTablePair):
+    """Born-Mayer-Huggins repulsion for the wolf/dsf combos
+    (src/EXTRA-PAIR/pair_born_coul_{wolf,dsf}.cpp)."""
+
+    ncoeff = 5  # a rho sigma c d
+
+    def _derive_born(self):
+        a, rho, sig, c, d = self.params
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.rhoinv = np.where(rho > 0, 1.0 / np.where(rho > 0, rho, 1),
+                                   0.0)
+        self.born1 = a * self.rhoinv
+        self.born2 = 6.0 * c
+        self.born3 = 8.0 * d
+
+    def _born_terms(self, r2, it, jt, w_lj):
+        dt_ = r2.dtype
+        in_r = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        r2inv = 1.0 / r2
+        r6inv = r2inv**3
+        r = jnp.sqrt(r2)
+        a = jnp.asarray(self.params[0], dt_)[it, jt]
+        sig = jnp.asarray(self.params[2], dt_)[it, jt]
+        c = jnp.asarray(self.params[3], dt_)[it, jt]
+        d = jnp.asarray(self.params[4], dt_)[it, jt]
+        rhoinv = jnp.asarray(self.rhoinv, dt_)[it, jt]
+        rexp = jnp.exp((sig - r) * rhoinv)
+        forceborn = (a * rhoinv * r * rexp - 6.0 * c * r6inv
+                     + 8.0 * d * r2inv * r6inv)
+        e = a * rexp - c * r6inv + d * r6inv * r2inv
+        return (jnp.where(in_r, w_lj * forceborn * r2inv, 0.0),
+                jnp.where(in_r, w_lj * e, 0.0))
+
+
+@register_pair("born/coul/wolf")
+class PairBornCoulWolf(_BornCoulBase, PairLJCutCoulWolf):
+    name = "born/coul/wolf"
+    ncoeff = 5
+
+    def derive(self):
+        self._derive_born()
+        self._derive_coul()
+
+    def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
+        fpair, e = self._born_terms(r2, it, jt, w_lj)
+        ec, fc = self._coul_terms(r2, w_coul, qi, qj)
+        return fpair, e, ec, fc
+
+
+@register_pair("born/coul/dsf")
+class PairBornCoulDSF(_BornCoulBase, PairLJCutCoulDSF):
+    name = "born/coul/dsf"
+    ncoeff = 5
+    dsf_true_erfc = True
+
+    def derive(self):
+        self._derive_born()
+        self._derive_coul()
+
+    def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
+        fpair, e = self._born_terms(r2, it, jt, w_lj)
+        ec, fc = self._coul_terms(r2, w_coul, qi, qj)
+        return fpair, e, ec, fc

@@ -32,6 +32,7 @@ class PairGranHookeHistory:
     supports_cellgrid = False
     is_granular = True
     size_history = 3
+    is_hertz = False   # Hertzian sqrt(delta*Reff) stiffness scaling
 
     def __init__(self, ntypes):
         self.ntypes = ntypes
@@ -122,6 +123,14 @@ class PairGranHookeHistory:
         # normal force = Hookean contact + normal velocity damping
         damp = meff * self.gamman * vnnr * rsqinv
         ccel = self.kn * (radsum - r) * rinv - damp
+        poly = None
+        if self.is_hertz:
+            # PairGranHertzHistory::compute: polyhertz scales both the
+            # normal and tangential stiffness
+            # (src/GRANULAR/pair_gran_hertz_history.cpp:186-189)
+            poly = jnp.sqrt(jnp.where(
+                touching, (radsum - r) * radi * radj / radsum, 0.0))
+            ccel = ccel * poly
         if self.limit_damping:
             ccel = jnp.maximum(ccel, 0.0)
 
@@ -144,6 +153,8 @@ class PairGranHookeHistory:
         # tangential force = shear spring + tangential damping
         gt = meff * self.gammat
         fs_v = [-(self.kt * sh[c] + gt * vtr[c]) for c in range(3)]
+        if poly is not None:
+            fs_v = [poly * fc for fc in fs_v]
         fs = jnp.sqrt(fs_v[0] ** 2 + fs_v[1] ** 2 + fs_v[2] ** 2)
         fn = self.xmu * jnp.abs(ccel * r)
 
@@ -184,7 +195,8 @@ class PairGranHookeHistory:
                     gammat=self.gammat, xmu=self.xmu,
                     limit_damping=self.limit_damping,
                     freeze_bit=self.freeze_group_bit,
-                    exclude_bits=tuple(exclude_bits))
+                    exclude_bits=tuple(exclude_bits),
+                    hertz=self.is_hertz)
 
     def compute_gran_cellgrid(self, s, valid, shear_tags, shear, cfg, dt,
                               shearupdate: bool, exclude_bits=()):
@@ -197,6 +209,7 @@ class PairGranHookeHistory:
                   s.radius, jnp.where(s.rmass > 0, s.rmass, 1.0),
                   s.gmask.astype(s.x.dtype))
         if (shearupdate and s.x.dtype == jnp.float32
+                and not self.is_hertz
                 and _jax.default_backend() == "tpu"
                 and 3 * cfg.cap < 128 and cfg.nz >= 3
                 and cfg.ny >= 2 and cfg.nx >= 2):
@@ -212,3 +225,101 @@ class PairGranHookeHistory:
             s.x, s.tag, valid, shear_tags, shear, s.box, cfg,
             self.gran_params(exclude_bits), planes, dt, shearupdate)
         return f, tq, st, sh
+
+
+@register_pair("gran/hertz/history")
+class PairGranHertzHistory(PairGranHookeHistory):
+    """Hertzian contact with shear history (pair gran/hertz/history).
+
+    Identical to gran/hooke/history except both the normal and the
+    tangential force are scaled by polyhertz =
+    sqrt((radsum - r) * radi * radj / radsum)
+    (src/GRANULAR/pair_gran_hertz_history.cpp:169-230; settings are
+    shared with the hooke parent, :262-289)."""
+
+    name = "gran/hertz/history"
+    is_hertz = True
+
+
+@register_pair("gran/hooke")
+class PairGranHooke(PairGranHookeHistory):
+    """History-free Hookean contact (pair gran/hooke).
+
+    Tangential force is pure velocity damping capped by Coulomb
+    friction: ft = min(xmu*|ccel*r|, meff*gammat*vrel)/vrel
+    (src/GRANULAR/pair_gran_hooke.cpp:85-160)."""
+
+    name = "gran/hooke"
+    size_history = 0
+
+    def compute_gran(self, s, idx, shear, dt, shearupdate: bool):
+        x, v, omega = s.x, s.v, s.omega
+        radius, rmass, gmask = s.radius, s.rmass, s.gmask
+        n, k = idx.shape
+        dtype = x.dtype
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        mask = idx != self_idx
+
+        packed = jnp.concatenate(
+            [x, v, omega, radius[:, None], rmass[:, None],
+             gmask.astype(dtype)[:, None]], axis=1)
+        pj = packed[idx]
+        xj, vj, omegaj = pj[..., 0:3], pj[..., 3:6], pj[..., 6:9]
+        radj, mj = pj[..., 9], pj[..., 10]
+        gj = pj[..., 11].astype(jnp.int32)
+
+        d = [x[:, c:c + 1] - xj[..., c] for c in range(3)]
+        d = [minimum_image_c(d[c], s.box, c) for c in range(3)]
+        rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        radi = radius[:, None]
+        radsum = radi + radj
+        touching = mask & (rsq < radsum * radsum)
+        rsq_safe = jnp.where(touching, rsq, jnp.ones_like(rsq))
+        r = jnp.sqrt(rsq_safe)
+        rinv = 1.0 / r
+        rsqinv = 1.0 / rsq_safe
+
+        vr = [v[:, c:c + 1] - vj[..., c] for c in range(3)]
+        vnnr = vr[0] * d[0] + vr[1] * d[1] + vr[2] * d[2]
+        vt = [vr[c] - d[c] * (vnnr * rsqinv) for c in range(3)]
+        wr = [(radi * omega[:, c:c + 1] + radj * omegaj[..., c]) * rinv
+              for c in range(3)]
+
+        mi = rmass[:, None]
+        meff = mi * mj / (mi + mj)
+        if self.freeze_group_bit:
+            fi = (gmask[:, None] & self.freeze_group_bit) > 0
+            fj = (gj & self.freeze_group_bit) > 0
+            meff = jnp.where(fi, mj, meff)
+            meff = jnp.where(fj, mi, meff)
+
+        damp = meff * self.gamman * vnnr * rsqinv
+        ccel = self.kn * (radsum - r) * rinv - damp
+        if self.limit_damping:
+            ccel = jnp.maximum(ccel, 0.0)
+
+        vtr = [vt[0] + (d[1] * wr[2] - d[2] * wr[1]),
+               vt[1] + (d[2] * wr[0] - d[0] * wr[2]),
+               vt[2] + (d[0] * wr[1] - d[1] * wr[0])]
+        vrel = jnp.sqrt(vtr[0] ** 2 + vtr[1] ** 2 + vtr[2] ** 2)
+
+        fn = self.xmu * jnp.abs(ccel * r)
+        fs = meff * self.gammat * vrel
+        ft = jnp.where(vrel != 0.0, jnp.minimum(fn, fs)
+                       / jnp.where(vrel != 0.0, vrel, 1.0), 0.0)
+        fs_v = [-ft * vtr[c] for c in range(3)]
+
+        fpc = [jnp.where(touching, d[c] * ccel + fs_v[c], 0.0)
+               for c in range(3)]
+        f = jnp.stack([jnp.sum(fpc[c], axis=1) for c in range(3)], axis=1)
+        tor = [(d[1] * fs_v[2] - d[2] * fs_v[1]) * rinv,
+               (d[2] * fs_v[0] - d[0] * fs_v[2]) * rinv,
+               (d[0] * fs_v[1] - d[1] * fs_v[0]) * rinv]
+        torque = jnp.stack(
+            [-jnp.sum(jnp.where(touching, radi * tor[c], 0.0), axis=1)
+             for c in range(3)], axis=1)
+        return f, torque, shear
+
+    def compute_gran_cellgrid(self, *a, **kw):
+        raise NotImplementedError(
+            "pair gran/hooke runs on the matrix neighbor engine")

@@ -73,6 +73,7 @@ def _ensure_imports():
     import tpumd.models.pair_meam  # noqa: F401
     import tpumd.models.pair_hybrid  # noqa: F401
     import tpumd.models.pair_gran  # noqa: F401
+    import tpumd.models.pair_dpd  # noqa: F401
     import tpumd.models.pair_table  # noqa: F401
     import tpumd.models.pair_breadth2  # noqa: F401
     import tpumd.models.pair_tip4p  # noqa: F401

@@ -158,6 +158,11 @@ def gran_compact_sums(x, tag, valid, shear_tags, shear, box: Box,
 
         damp = meff * gamman * vnnr * rsqinv
         ccel = kn * (radsum - r) * rinv - damp
+        poly = None
+        if params.get("hertz"):
+            poly = jnp.sqrt(jnp.where(
+                touching, (radsum - r) * radi * radj / radsum, 0.0))
+            ccel = ccel * poly
         if limit_damping:
             ccel = jnp.maximum(ccel, 0.0)
 
@@ -185,6 +190,8 @@ def gran_compact_sums(x, tag, valid, shear_tags, shear, box: Box,
 
         gt = meff * gammat
         fs_v = [-(kt * sh[c] + gt * vtr[c]) for c in range(3)]
+        if poly is not None:
+            fs_v = [poly * fc for fc in fs_v]
         fs = jnp.sqrt(fs_v[0] ** 2 + fs_v[1] ** 2 + fs_v[2] ** 2)
         fn = xmu * jnp.abs(ccel * r)
         slip = touching & (fs > fn)

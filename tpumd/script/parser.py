@@ -512,16 +512,93 @@ class LammpsScript:
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
+
+        def wrap_side(region, rest):
+            # side out (Region::options, src/region.cpp)
+            if "side" in rest and rest[rest.index("side") + 1] == "out":
+                from tpumd.core.region import OutsideRegion
+                return OutsideRegion(region)
+            return region
+
+        def sp_of(rest, dims=(0, 1, 2)):
+            # lattice-units scale factors per dim (1.0 with units box)
+            if self.lattice is not None and "units" not in rest:
+                sp = self.lattice.spacing
+                return [sp[c] for c in dims]
+            return [1.0, 1.0, 1.0]
+
         if style == "sphere":
             # region name sphere x y z r (src/region_sphere.cpp);
             # lattice-units scaling like block
             vals = [float(v) for v in a[2:6]]
-            if self.lattice is not None and "units" not in a[6:]:
-                sp = self.lattice.spacing
-                vals = [vals[0] * sp[0], vals[1] * sp[1], vals[2] * sp[2],
-                        vals[3] * sp[0]]
+            sp = sp_of(a[6:])
+            vals = [vals[0] * sp[0], vals[1] * sp[1], vals[2] * sp[2],
+                    vals[3] * sp[0]]
             from tpumd.core.region import SphereRegion
-            self.regions[name] = SphereRegion(vals[:3], vals[3])
+            self.regions[name] = wrap_side(
+                SphereRegion(vals[:3], vals[3]), a[6:])
+            return
+        if style == "cylinder":
+            # region name cylinder dim c1 c2 radius lo hi
+            # (src/region_cylinder.cpp); lattice scaling: c1/c2/radius by
+            # the off-axis spacings, lo/hi by the axis spacing
+            from tpumd.core.region import CylinderRegion
+            dim = "xyz".index(a[2])
+            o1, o2 = [c for c in range(3) if c != dim]
+            rest = a[8:]
+            sp = sp_of(rest)
+
+            def bnd(tok, lohi):
+                if tok in ("INF", "EDGE"):
+                    return float("-inf") if lohi == 0 else float("inf")
+                return float(tok) * sp[dim]
+
+            self.regions[name] = wrap_side(CylinderRegion(
+                dim, float(a[3]) * sp[o1], float(a[4]) * sp[o2],
+                float(a[5]) * sp[o1], bnd(a[6], 0), bnd(a[7], 1)), rest)
+            return
+        if style == "cone":
+            # region name cone dim c1 c2 radlo radhi lo hi
+            # (src/region_cone.cpp)
+            from tpumd.core.region import ConeRegion
+            dim = "xyz".index(a[2])
+            o1, o2 = [c for c in range(3) if c != dim]
+            rest = a[9:]
+            sp = sp_of(rest)
+            self.regions[name] = wrap_side(ConeRegion(
+                dim, float(a[3]) * sp[o1], float(a[4]) * sp[o2],
+                float(a[5]) * sp[o1], float(a[6]) * sp[o1],
+                float(a[7]) * sp[dim], float(a[8]) * sp[dim]), rest)
+            return
+        if style == "plane":
+            # region name plane px py pz nx ny nz (src/region_plane.cpp)
+            from tpumd.core.region import PlaneRegion
+            rest = a[8:]
+            sp = sp_of(rest)
+            pt = [float(a[2 + c]) * sp[c] for c in range(3)]
+            self.regions[name] = wrap_side(
+                PlaneRegion(pt, [float(v) for v in a[5:8]]), rest)
+            return
+        if style == "ellipsoid":
+            # region name ellipsoid x y z a b c (src/region_ellipsoid.cpp)
+            from tpumd.core.region import EllipsoidRegion
+            rest = a[8:]
+            sp = sp_of(rest)
+            ctr = [float(a[2 + c]) * sp[c] for c in range(3)]
+            abc = [float(a[5 + c]) * sp[c] for c in range(3)]
+            self.regions[name] = wrap_side(EllipsoidRegion(ctr, abc), rest)
+            return
+        if style in ("union", "intersect"):
+            # region name union N reg1 ... regN (src/region_union.cpp)
+            from tpumd.core.region import IntersectRegion, UnionRegion
+            nreg = int(a[2])
+            subs = []
+            for rn in a[3:3 + nreg]:
+                if rn not in self.regions:
+                    raise ScriptError(f"undefined region {rn!r}")
+                subs.append(self.regions[rn])
+            cls = UnionRegion if style == "union" else IntersectRegion
+            self.regions[name] = wrap_side(cls(subs), a[3 + nreg:])
             return
         if style not in ("block", "prism"):
             raise ScriptError(f"region style {style} not supported yet")
@@ -553,9 +630,9 @@ class LammpsScript:
             tilt = vals[6:9] if style == "prism" else None
         if style == "prism":
             from tpumd.core.region import PrismRegion
-            self.regions[name] = PrismRegion(lo, hi, tilt)
+            self.regions[name] = wrap_side(PrismRegion(lo, hi, tilt), rest)
         else:
-            self.regions[name] = BlockRegion(lo, hi)
+            self.regions[name] = wrap_side(BlockRegion(lo, hi), rest)
 
     def cmd_create_box(self, a):
         ntypes = int(a[0])
@@ -776,8 +853,17 @@ class LammpsScript:
             elif self.atom_style in ("full", "molecular"):
                 mol = np.zeros(len(x), np.int32)
             image = _cat(self._atoms_image, np.int32, width=3)
+            radius = rmass = omega = None
+            if self.atom_style == "sphere":
+                # AtomVecSphere::create_atom defaults: diameter 1.0,
+                # density 1.0 -> rmass = 4/3 pi r^3
+                # (src/atom_vec_sphere.cpp:create_atom)
+                radius = np.full(len(x), 0.5)
+                rmass = 4.0 / 3.0 * np.pi * radius**3
+                omega = np.zeros_like(x)
             sim.state = make_state(x, v, t, box, tags=tags, q=q,
                                    molecule=mol, image=image,
+                                   radius=radius, rmass=rmass, omega=omega,
                                    dtype=self.dtype)
             # topology accumulated by create_atoms mol
             if any(self._topo_acc.values()):
@@ -829,13 +915,18 @@ class LammpsScript:
         sim = self.sim
         group, style = a[0], a[1]
         if style == "set":
-            # NULL leaves that component untouched (src/velocity.cpp set)
+            # NULL leaves that component untouched (src/velocity.cpp set);
+            # values are in LATTICE units by default (scale_flag=1,
+            # src/velocity.cpp:434-445)
             sel = self._group_sel_np(group)
             vnow = np.asarray(jax.device_get(sim.state.v),
                               dtype=np.float64).copy()
+            sp = (self.lattice.spacing
+                  if self.lattice is not None
+                  and "box" not in a[5:] else (1.0, 1.0, 1.0))
             for d, tok in enumerate(a[2:5]):
                 if tok != "NULL":
-                    vnow[sel, d] = float(tok)
+                    vnow[sel, d] = float(tok) * sp[d]
             sim.state = sim.state.replace(
                 v=jnp.asarray(vnow, dtype=self.dtype))
             return
@@ -1373,6 +1464,17 @@ class LammpsScript:
         elif style == "gravity":
             from tpumd.md.fix_sphere import FixGravity
             sim.fixes.append(FixGravity(float(args[0]), args[1], *args[2:]))
+        elif style == "wall/gran":
+            from tpumd.md.fix_wall_gran import FixWallGran
+            sim.fixes.append(FixWallGran(*args))
+        elif style == "pour":
+            from tpumd.md.fix_pour import FixPour
+            pour = FixPour(self, args[0], args[1], args[2], *args[3:])
+            sim.fixes.append(pour)
+            # nfreq is frozen with the dt AT DEFINITION (the reference
+            # computes it in the constructor, before any later
+            # `timestep` command changes dt)
+            pour.host_setup(sim)
         elif style == "ave/time":
             from tpumd.md.fix_ave import FixAveTime
             kw = {}
