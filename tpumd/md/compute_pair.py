@@ -376,6 +376,31 @@ class ComputeHeatFlux(Compute):
         return np.concatenate([jc + jv, jc])
 
 
+class ComputeEventDisplace(Compute):
+    """compute event/displace Dcut: scalar is non-zero iff any atom has
+    moved more than Dcut since the last stored event
+    (src/REPLICA/compute_event_displace.cpp:86-140).  Inactive (0.0)
+    until an accelerated-dynamics command (prd/tad/hyper) binds its
+    event store; the command drives the comparison itself through
+    tpumd.md.prd.EventDetector."""
+
+    style = "event/displace"
+
+    def __init__(self, cid, group, args=()):
+        super().__init__(cid, group)
+        dist = float(args[0])
+        if dist <= 0.0:
+            raise ValueError(
+                "Distance must be > 0 for compute event/displace")
+        self.displace_dist = dist
+        self.detector = None   # bound by prd/tad/hyper
+
+    def evaluate(self, sim):
+        if self.detector is None or self.detector.xevent is None:
+            return 0.0
+        return 1.0 if self.detector.check(sim, sim._carry) else 0.0
+
+
 class ComputeDipole(Compute):
     """compute dipole [geometry|mass]: group dipole moment, charged
     groups referenced to the (mass/geometric) center

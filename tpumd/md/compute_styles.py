@@ -308,6 +308,7 @@ def create_compute(cid, group, style, args=()):
         cs.ComputeCentroAtom, cs.ComputeOrientOrderAtom,
         cl.ComputePropertyLocal, cl.ComputeBondLocal,
         cl.ComputeAngleLocal, cp.ComputeDipole, cp.ComputeDipoleChunk,
+        cp.ComputeEventDisplace,
         cp.ComputeTempCOM, cp.ComputeTempPartial,
         cp.ComputeTempRegion)})
     from tpumd.md import compute_chunk as cc

@@ -24,10 +24,14 @@ FIRE_PARAMS = dict(
 )
 
 
-def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
-    """FIRE minimization; returns (converged, niter, e_initial, e_final)."""
-    ctx = sim._ctx
-    s, neigh, fstates, istep = sim._carry
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ctx", "etol", "ftol", "maxiter"))
+def _fire_loop(s, neigh, ctx, etol, ftol, maxiter, consts=None):
+    """One compiled FIRE while_loop (cached per ctx/tolerances so the
+    accelerated-dynamics commands' repeated quenches never recompile)."""
     dt0 = ctx.dt
     p = FIRE_PARAMS
 
@@ -36,7 +40,7 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
 
     def energy_and_force(s, neigh):
         f, energies, _, _, _ = compute_forces(
-            s, neigh, ctx, eflag=True, vflag=False, consts=sim._consts)
+            s, neigh, ctx, eflag=True, vflag=False, consts=consts)
         e = sum(energies.values())
         return f, e
 
@@ -89,9 +93,18 @@ def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
     carry = (s, neigh, jnp.zeros_like(s.v.reshape(-1)), dt_a, alpha_a,
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
              e0 + 1.0, e0, jnp.zeros((), bool))
-    carry = jax.jit(
-        lambda c: jax.lax.while_loop(cond, body, c))(carry)
+    carry = jax.lax.while_loop(cond, body, carry)
     s, neigh, _, _, _, _, it, _, e_final, done = carry
+    return s, neigh, it, e0, e_final, done
+
+
+def minimize(sim, etol: float, ftol: float, maxiter: int, maxeval: int):
+    """FIRE minimization; returns (converged, niter, e_initial, e_final)."""
+    ctx = sim._ctx
+    s, neigh, fstates, istep = sim._carry
+    s, neigh, it, e0, e_final, done = _fire_loop(
+        s, neigh, ctx, float(etol), float(ftol), int(maxiter),
+        consts=sim._consts)
     sim._carry = (s, neigh, fstates, istep)
     sim.state = s
     from tpumd.md.verlet import eval_energies

@@ -1180,6 +1180,11 @@ class LammpsScript:
         elif style == "nve/noforce":
             from tpumd.md.fixes import FixNVENoforce
             sim.fixes.append(FixNVENoforce())
+        elif style == "hyper/global":
+            from tpumd.md.fix_hyper import FixHyperGlobal
+            sim.fixes.append(FixHyperGlobal(
+                float(args[0]), float(args[1]), float(args[2]),
+                float(args[3]), boltz=sim.units.boltz))
         elif style == "thermal/conductivity":
             from tpumd.md.fix_nemd import FixThermalConductivity
             nswap = 1
@@ -1894,6 +1899,142 @@ class LammpsScript:
             sims, temps, nsteps, nevery, int(a[4]), int(a[5]),
             self.sim.units.boltz, log=self.sim._log)
         self.replicas = sims
+
+    def cmd_prd(self, a):
+        """prd N t_event n_dephase t_dephase t_correlate compute-ID seed
+        [min etol ftol maxiter maxeval] [temp T] [vel loop/dist ...]
+        replicas R  (src/REPLICA/prd.cpp command syntax; `replicas R`
+        replaces the reference's `-partition` universe: replicas are
+        carry snapshots over one compiled step, not MPI partitions)."""
+        nsteps, t_event = int(a[0]), int(a[1])
+        n_dephase, t_dephase, t_corr = int(a[2]), int(a[3]), int(a[4])
+        compute_id, seed = a[5], int(a[6])
+        kw = dict(etol=0.1, ftol=0.1, maxiter=40, maxeval=50)
+        nreplica = None
+        i = 7
+        while i < len(a):
+            if a[i] == "min":
+                kw["etol"], kw["ftol"] = float(a[i + 1]), float(a[i + 2])
+                kw["maxiter"], kw["maxeval"] = int(a[i + 3]), int(a[i + 4])
+                i += 5
+            elif a[i] == "temp":
+                kw["temp"] = float(a[i + 1])
+                i += 2
+            elif a[i] == "vel":
+                # vel loop-style dist-style (prd.cpp options); only
+                # loop geom is deterministic on device, so the other
+                # loop styles map to it
+                kw["dist"] = a[i + 2]
+                i += 3
+            elif a[i] == "time":
+                kw["stepmode"] = 0 if a[i + 1] == "steps" else 1
+                i += 2
+            elif a[i] == "replicas":
+                nreplica = int(a[i + 1])
+                i += 2
+            else:
+                raise ScriptError(f"unknown prd keyword {a[i]!r}")
+        if nreplica is None:
+            raise ScriptError("prd needs 'replicas R' (the reference "
+                              "takes replicas from -partition)")
+        self._finalize_atoms()
+        sim = self.sim
+        comp = sim.computes.get(compute_id)
+        if comp is None or comp.style != "event/displace":
+            raise ScriptError("prd compute-ID must name a compute "
+                              "event/displace")
+        from tpumd.md.prd import PRD, EventDetector
+        det = EventDetector(comp.displace_dist)
+        comp.detector = det
+        runner = PRD(sim, nreplica, det, seed, log=sim._log, **kw)
+        sim._log("Step CPU Clock Event Correlated Coincident Replica")
+        self.prd_events = runner.run(nsteps, t_event, n_dephase,
+                                     t_dephase, t_corr)
+
+    def cmd_tad(self, a):
+        """tad N t_event T_lo T_hi delta_conf tmax compute-ID
+        [min etol ftol maxiter maxeval] [neb etol ftol N1 N2 Nevery]
+        [neb_style ...] replicas R  (src/REPLICA/tad.cpp; `replicas R`
+        sets the NEB band width in place of -partition)."""
+        nsteps, t_event = int(a[0]), int(a[1])
+        templo, temphi = float(a[2]), float(a[3])
+        delta_conf, tmax = float(a[4]), float(a[5])
+        compute_id = a[6]
+        kw = dict(etol=0.1, ftol=0.1, maxiter=40, maxeval=50,
+                  etol_neb=0.01, ftol_neb=0.01, n1_neb=100, n2_neb=100,
+                  nevery_neb=10, neb_replicas=4)
+        i = 7
+        while i < len(a):
+            if a[i] == "min":
+                kw["etol"], kw["ftol"] = float(a[i + 1]), float(a[i + 2])
+                kw["maxiter"], kw["maxeval"] = int(a[i + 3]), int(a[i + 4])
+                i += 5
+            elif a[i] == "neb":
+                kw["etol_neb"], kw["ftol_neb"] = (float(a[i + 1]),
+                                                  float(a[i + 2]))
+                kw["n1_neb"], kw["n2_neb"] = int(a[i + 3]), int(a[i + 4])
+                kw["nevery_neb"] = int(a[i + 5])
+                i += 6
+            elif a[i] in ("neb_style", "neb_step", "neb_log"):
+                i += 2  # quickmin band + NEB dt are fixed in tpumd
+            elif a[i] == "replicas":
+                kw["neb_replicas"] = int(a[i + 1])
+                i += 2
+            else:
+                raise ScriptError(f"unknown tad keyword {a[i]!r}")
+        self._finalize_atoms()
+        sim = self.sim
+        comp = sim.computes.get(compute_id)
+        if comp is None or comp.style != "event/displace":
+            raise ScriptError("tad compute-ID must name a compute "
+                              "event/displace")
+        from tpumd.md.prd import EventDetector
+        from tpumd.md.tad import TAD
+        det = EventDetector(comp.displace_dist)
+        comp.detector = det
+        runner = TAD(sim, det, templo, temphi, delta_conf, tmax,
+                     log=sim._log, **kw)
+        sim._log("Step CPU N M Status Barrier Margin t_lo delt_lo")
+        self.tad_events = runner.run(nsteps, t_event)
+
+    def cmd_hyper(self, a):
+        """hyper N t_event fix-ID compute-ID [min ...] [rebond N]
+        (src/REPLICA/hyper.cpp; fix-ID NULL disables the bias)."""
+        nsteps, t_event = int(a[0]), int(a[1])
+        fix_id, compute_id = a[2], a[3]
+        kw = dict(etol=1e-4, ftol=1e-4, maxiter=40, maxeval=50, rebond=0)
+        i = 4
+        while i < len(a):
+            if a[i] == "min":
+                kw["etol"], kw["ftol"] = float(a[i + 1]), float(a[i + 2])
+                kw["maxiter"], kw["maxeval"] = int(a[i + 3]), int(a[i + 4])
+                i += 5
+            elif a[i] == "rebond":
+                kw["rebond"] = int(a[i + 1])
+                i += 2
+            else:
+                raise ScriptError(f"unknown hyper keyword {a[i]!r}")
+        self._finalize_atoms()
+        sim = self.sim
+        comp = sim.computes.get(compute_id)
+        if comp is None or comp.style != "event/displace":
+            raise ScriptError("hyper compute-ID must name a compute "
+                              "event/displace")
+        fix_hyper = None
+        if fix_id != "NULL":
+            for fx in sim.fixes:
+                if getattr(fx, "id", None) == fix_id:
+                    fix_hyper = fx
+            if fix_hyper is None or fix_hyper.name != "hyper/global":
+                raise ScriptError("hyper fix-ID must name a fix "
+                                  "hyper/global")
+        from tpumd.md.fix_hyper import hyper as run_hyper
+        self.hyper_stats = run_hyper(
+            sim, nsteps, t_event, comp.displace_dist,
+            fix_hyper=fix_hyper, log=sim._log, **kw)
+        sim._log(f"hyper time = {self.hyper_stats['t_hyper']:.6g} "
+                 f"boost = {self.hyper_stats['boost']:.6g} "
+                 f"events = {self.hyper_stats['nevent']}")
 
     def cmd_delete_atoms(self, a):
         """delete_atoms region <name> (src/delete_atoms.cpp): remove
