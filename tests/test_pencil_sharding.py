@@ -22,7 +22,8 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from tpumd import host_cache_dir
+jax.config.update("jax_compilation_cache_dir", host_cache_dir())
 import numpy as np
 from tpumd.script.parser import LammpsScript
 from tpumd.md.verlet import run_segment, compute_forces

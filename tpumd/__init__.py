@@ -67,5 +67,11 @@ if not _os.environ.get("TPUMD_NO_COMPILE_CACHE"):
     # only cache programs whose compile dwarfs the ~1.4 s serialize+write
     # cost of a cache entry (the run-segment graphs; not eager one-op hits)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
+    # XLA:CPU's internal AOT kernel cache embeds LLVM host-feature sets
+    # that are finer-grained than anything visible in /proc/cpuinfo
+    # (prefer-no-gather etc.); loading a blob from a near-identical host
+    # can SIGSEGV.  The JAX-level executable cache is enough for warm
+    # starts — keep only it.
+    _jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 from tpumd.utils.units import Units, get_units  # noqa: F401

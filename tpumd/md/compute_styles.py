@@ -312,12 +312,15 @@ def create_compute(cid, group, style, args=()):
         cp.ComputeTempCOM, cp.ComputeTempPartial,
         cp.ComputeTempRegion)})
     from tpumd.md import compute_chunk as cc
+    from tpumd.md import compute_extra as ce
     arg_styles.update({c.style: c for c in cc.CHUNK_STYLES})
+    arg_styles.update({c.style: c for c in ce.EXTRA_ARG_STYLES})
     if style in arg_styles:
         return arg_styles[style](cid, group, args)
     styles = dict(_STYLES)
     styles["displace/atom"] = cp.ComputeDisplaceAtom
     styles.update({c.style: c for c in cc.PLAIN_STYLES})
+    styles.update({c.style: c for c in ce.EXTRA_PLAIN_STYLES})
     if style not in styles:
         raise ValueError(f"Unknown compute style {style!r}")
     return styles[style](cid, group)

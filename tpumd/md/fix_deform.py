@@ -91,6 +91,49 @@ class FixDeform(Fix):
                 raise ValueError(f"deform style {style} not supported")
         return jnp.stack(lo_t), jnp.stack(hi_t)
 
+    def current_rates(self, sim, fstate):
+        """(h_rate diag (3,), h_ratelo (3,), tilt-rate dict) for
+        compute temp/deform's streaming-velocity bias (the reference's
+        Domain::h_rate/h_ratelo, set by FixDeform::init from the linear
+        targets over the run window)."""
+        import jax as _jax
+        import numpy as _np
+        fst = fstate
+        begin = int(_jax.device_get(fst.begin))
+        end = int(_jax.device_get(fst.end))
+        lo0 = _np.asarray(_jax.device_get(fst.lo0), _np.float64)
+        hi0 = _np.asarray(_jax.device_get(fst.hi0), _np.float64)
+        t_total = max(end - begin, 1) * sim._ctx.dt
+        h_rate = _np.zeros(3)
+        h_ratelo = _np.zeros(3)
+        for d in range(3):
+            spec = self.specs.get(d)
+            if spec is None:
+                continue
+            style = spec[0]
+            if style == "final":
+                lo_f, hi_f = spec[1], spec[2]
+            elif style == "delta":
+                lo_f, hi_f = lo0[d] + spec[1], hi0[d] + spec[2]
+            elif style == "scale":
+                c = 0.5 * (lo0[d] + hi0[d])
+                h = 0.5 * (hi0[d] - lo0[d]) * spec[1]
+                lo_f, hi_f = c - h, c + h
+            elif style == "vel":
+                c = 0.5 * (lo0[d] + hi0[d])
+                h = 0.5 * (hi0[d] - lo0[d]) + 0.5 * spec[1] * t_total
+                lo_f, hi_f = c - h, c + h
+            elif style == "erate":
+                c = 0.5 * (lo0[d] + hi0[d])
+                h = 0.5 * (hi0[d] - lo0[d]) * (1.0 + spec[1] * t_total)
+                lo_f, hi_f = c - h, c + h
+            else:
+                continue
+            h_rate[d] = ((hi_f - lo_f) - (hi0[d] - lo0[d])) / t_total
+            h_ratelo[d] = (lo_f - lo0[d]) / t_total
+        tilt = {k: v for k, v in getattr(self, "tilt_rates", {}).items()}
+        return h_rate, h_ratelo, tilt
+
     def end_of_step(self, s, fst, ctx):
         apply = (fst.step % self.nevery) == 0
         lo_t, hi_t = self._targets(fst, ctx, s.x.dtype)

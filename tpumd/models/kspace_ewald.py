@@ -85,7 +85,9 @@ class Ewald:
         vol = s.box.volume
         pref = 2.0 * jnp.pi / vol
         q = s.q
-        phase = s.x @ kv.T                          # (N, K)
+        # full-f32 matmul: TPU default (bf16 passes) loses ~1 rad of phase
+        phase = jnp.matmul(s.x, kv.T,
+                           precision=jax.lax.Precision.HIGHEST)  # (N, K)
         c = jnp.cos(phase)
         sn = jnp.sin(phase)
         Sr = jnp.sum(q[:, None] * c, axis=0)        # (K,)
@@ -94,7 +96,8 @@ class Ewald:
         #   (sin(kr_i) Sr - cos(kr_i) Si)   [half-space => x2]
         w = 2.0 * ug
         coef = (sn * Sr[None, :] - c * Si[None, :]) * w[None, :]
-        f = 2.0 * self.qqrd2e * pref * q[:, None] * (coef @ kv)
+        f = 2.0 * self.qqrd2e * pref * q[:, None] * jnp.matmul(
+            coef, kv, precision=jax.lax.Precision.HIGHEST)
         elong = None
         virial = None
         if eflag:
@@ -218,7 +221,8 @@ class EwaldDisp(Ewald):
         c1 = 2.0 * jnp.pi * MY_PIS / (24.0 * vol)
 
         def e6_of(x):
-            phase = x @ kv.T
+            phase = jnp.matmul(x, kv.T,
+                               precision=jax.lax.Precision.HIGHEST)
             Sr = jnp.sum(Bq[:, None] * jnp.cos(phase), axis=0)
             Si = jnp.sum(Bq[:, None] * jnp.sin(phase), axis=0)
             # c1 = 2 pi sqrt(pi)/(24V) already carries the half-space

@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 
 MY_PIS = 1.77245385090551602729  # sqrt(pi)
+
+
+def _dot(a, b):
+    """Full-f32 matmul: TPU's default matmul precision is bfloat16
+    passes, which costs ~1e-3 relative on the assignment/interpolation
+    contractions — far above the 1e-4 step-0 energy gate."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 EPS_HOC = 1.0e-7
 
 _ACONS = np.zeros((8, 7))
@@ -750,7 +757,9 @@ class PPPM:
             wz_line = wline(2, nz)
             m_plane = ((q[:, None] * wy_line)[:, :, None]
                        * wx_line[:, None, :]).reshape(n, ny * nx)
-            grid = (wz_line.T @ m_plane).reshape(nz, ny, nx)
+            # TPU matmuls default to bfloat16 passes; charge assignment
+            # needs full f32 (0.4% step-0 E_pair error otherwise)
+            grid = _dot(wz_line.T, m_plane).reshape(nz, ny, nx)
         else:
             gx_ = (base[:, 0][:, None] + offs[None, :]) % nx
             wz = w[:, :, 2][:, :, None, None]
@@ -820,9 +829,9 @@ class PPPM:
                 py = (dwy_line[:, :, None]
                       * wx_line[:, None, :]).reshape(n, ny * nx)
                 ur = u.reshape(nz, ny * nx)
-                ekx = jnp.sum(wz_line.T * (ur @ px.T), axis=0)
-                eky = jnp.sum(wz_line.T * (ur @ py.T), axis=0)
-                ekz = jnp.sum(dwz_line.T * (ur @ p0.T), axis=0)
+                ekx = jnp.sum(wz_line.T * _dot(ur, px.T), axis=0)
+                eky = jnp.sum(wz_line.T * _dot(ur, py.T), axis=0)
+                ekz = jnp.sum(dwz_line.T * _dot(ur, p0.T), axis=0)
             else:
                 uvals = u[iz, iy, ix].reshape(n, order, order, order)
                 dwz = dw[:, :, 2][:, :, None, None]
@@ -876,12 +885,12 @@ class PPPM:
         # rides the dense Wz lines.  M carries q, so the result is
         # already q_i * E(x_i).
         if line_mode:
-            gx_ = jnp.sum(wz_line.T * (ex.reshape(nz, ny * nx)
-                                       @ m_plane.T), axis=0)
-            gy_ = jnp.sum(wz_line.T * (ey.reshape(nz, ny * nx)
-                                       @ m_plane.T), axis=0)
-            gz_ = jnp.sum(wz_line.T * (ez.reshape(nz, ny * nx)
-                                       @ m_plane.T), axis=0)
+            gx_ = jnp.sum(wz_line.T * _dot(ex.reshape(nz, ny * nx),
+                                           m_plane.T), axis=0)
+            gy_ = jnp.sum(wz_line.T * _dot(ey.reshape(nz, ny * nx),
+                                           m_plane.T), axis=0)
+            gz_ = jnp.sum(wz_line.T * _dot(ez.reshape(nz, ny * nx),
+                                           m_plane.T), axis=0)
 
             def gather(comp):
                 return (gx_, gy_, gz_)[comp]

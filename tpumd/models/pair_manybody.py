@@ -25,7 +25,11 @@ def _strained(x, box_lengths, eps6):
                    [0.0, eps6[1], eps6[5]],
                    [0.0, 0.0, eps6[2]]], x.dtype)
     strain = jnp.eye(3, dtype=x.dtype) + e
-    return x @ strain.T, strain @ box_lengths
+    # full-f32 matmul: bf16 passes on TPU would corrupt the strained
+    # coordinates (|x| ~ box size) and the virial derivative with them
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(x, strain.T, precision=hi),
+            jnp.matmul(strain, box_lengths, precision=hi))
 
 
 class EnergyPairStyle(PairStyle):
