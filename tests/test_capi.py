@@ -331,3 +331,96 @@ variable alpha equal 1.5
     lib.lammps_memory_usage(lmp, mem)
     assert mem[0] > 0
     lib.lammps_close(lmp)
+
+
+def test_capi_wave4(lib):
+    """Wave-4 symbols: extract_global (+datatypes), last_thermo,
+    neighbor-list access, generic gather/scatter, fix-external vector,
+    python_api_version, device info (src/library.h:152-300)."""
+    P, C, I = ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+    lib.lammps_extract_global.restype = P
+    lib.lammps_extract_global.argtypes = [P, C]
+    lib.lammps_extract_global_datatype.restype = I
+    lib.lammps_extract_global_datatype.argtypes = [P, C]
+    lib.lammps_extract_atom_datatype.restype = I
+    lib.lammps_extract_atom_datatype.argtypes = [P, C]
+    lib.lammps_last_thermo.restype = P
+    lib.lammps_last_thermo.argtypes = [P, C, I]
+    lib.lammps_find_pair_neighlist.restype = I
+    lib.lammps_find_pair_neighlist.argtypes = [P, C, I, I, I]
+    lib.lammps_neighlist_num_elements.restype = I
+    lib.lammps_neighlist_num_elements.argtypes = [P, I]
+    lib.lammps_neighlist_element_neighbors.argtypes = [
+        P, I, I, ctypes.POINTER(I), ctypes.POINTER(I),
+        ctypes.POINTER(ctypes.POINTER(I))]
+    lib.lammps_python_api_version.restype = I
+    lib.lammps_has_gpu_device.restype = I
+    lib.lammps_fix_external_set_vector_length.argtypes = [P, C, I]
+    lib.lammps_fix_external_set_vector.argtypes = [P, C, I,
+                                                   ctypes.c_double]
+    lib.lammps_gather.argtypes = [P, C, I, I, ctypes.c_void_p]
+
+    h = lib.lammps_open_no_mpi(0, None, None)
+    lib.lammps_commands_string(h, DECK)
+
+    # extract_global: dt double, ntimestep int64
+    assert lib.lammps_extract_global_datatype(h, b"dt") == 2  # DOUBLE
+    p = lib.lammps_extract_global(h, b"dt")
+    assert ctypes.cast(p, ctypes.POINTER(ctypes.c_double))[0] == \
+        pytest.approx(0.005)
+    assert lib.lammps_extract_global_datatype(h, b"ntimestep") == 4
+    p = lib.lammps_extract_global(h, b"ntimestep")
+    assert ctypes.cast(p, ctypes.POINTER(ctypes.c_int64))[0] == 10
+    assert lib.lammps_extract_global_datatype(h, b"bogus") == -1
+    assert lib.lammps_extract_atom_datatype(h, b"x") == 3  # DOUBLE_2D
+    assert lib.lammps_extract_atom_datatype(h, b"type") == 0  # INT
+
+    # last_thermo
+    p = lib.lammps_last_thermo(h, b"step", 0)
+    assert ctypes.cast(p, ctypes.POINTER(ctypes.c_int64))[0] == 10
+    p = lib.lammps_last_thermo(h, b"num", 0)
+    nfield = ctypes.cast(p, ctypes.POINTER(ctypes.c_int))[0]
+    assert nfield >= 3
+    kw = lib.lammps_last_thermo(h, b"keyword", 0)
+    assert ctypes.cast(kw, ctypes.c_char_p).value  # non-empty name
+
+    # neighbor list access: find the lj/cut list and sanity-check
+    # neighbor counts on the fcc lattice (cutneigh = 2.8 sigma)
+    idx = lib.lammps_find_pair_neighlist(h, b"lj/cut", 1, 0, 0)
+    assert idx == 0
+    assert lib.lammps_find_pair_neighlist(h, b"eam", 1, 0, 0) == -1
+    n = lib.lammps_neighlist_num_elements(h, idx)
+    assert n == 256
+    iatom = I(); numneigh = I()
+    neighbors = ctypes.POINTER(I)()
+    total = 0
+    for e in range(n):
+        lib.lammps_neighlist_element_neighbors(
+            h, idx, e, ctypes.byref(iatom), ctypes.byref(numneigh),
+            ctypes.byref(neighbors))
+        assert iatom.value == e
+        total += numneigh.value
+        for k in range(numneigh.value):
+            assert 0 <= neighbors[k] < n and neighbors[k] != e
+    # half list: 2*total/n = full-list neighbors/atom; at rc+skin=2.8
+    # sigma on fcc 0.8442 that's (4/3)pi r^3 rho ~ 77.6
+    assert 70 < 2 * total / n < 85
+
+    # generic gather == gather_atoms
+    buf = (ctypes.c_double * (256 * 3))()
+    lib.lammps_gather(h, b"x", 0, 3, buf)
+    assert np.isfinite(np.frombuffer(buf, np.float64)).all()
+
+    # fix external vector channel
+    lib.lammps_command(h, b"fix ext all external pf/array 1")
+    lib.lammps_fix_external_set_vector_length(h, b"ext", 3)
+    lib.lammps_fix_external_set_vector(h, b"ext", 2, 7.5)
+    lib.lammps_extract_fix.restype = P
+    lib.lammps_extract_fix.argtypes = [P, C, I, I, I, I]
+    p = lib.lammps_extract_fix(h, b"ext", 0, 1, 1, 0)
+    assert ctypes.cast(p, ctypes.POINTER(ctypes.c_double))[0] == 7.5
+
+    assert lib.lammps_python_api_version() == 2
+    assert lib.lammps_has_gpu_device() in (0, 1)
+    assert lib.lammps_plugin_count() >= 0
+    lib.lammps_close(h)

@@ -142,8 +142,13 @@ class TpuMD:
                 if vec is None:
                     raise KeyError(f"fix {fid} has no global vector")
                 vec = np.asarray(vec, dtype=np.float64)
-                if type == 1 and ncol == 0:
-                    return vec if nrow == 0 else float(vec[nrow - 1])
+                if type == 1:
+                    # reference contract: global-vector access returns
+                    # ONE element, 0-based nrow (src/library.cpp
+                    # fix->compute_vector(nrow))
+                    return float(vec.reshape(-1)[nrow])
+                if type == 2:
+                    return float(np.atleast_2d(vec)[nrow, ncol])
                 return vec
         raise KeyError(f"unknown fix id {fid!r}")
 
@@ -265,6 +270,100 @@ class TpuMD:
     def fix_external_set_virial_global(self, fid: str, virial):
         self._find_external(fid).virial_global = np.asarray(
             virial, dtype=np.float64).reshape(6)
+
+    def fix_external_set_energy_peratom(self, fid: str, eatom):
+        self._find_external(fid).energy_peratom = np.asarray(
+            eatom, dtype=np.float64).reshape(-1)
+
+    def fix_external_set_virial_peratom(self, fid: str, vatom):
+        self._find_external(fid).virial_peratom = np.asarray(
+            vatom, dtype=np.float64).reshape(-1, 6)
+
+    def fix_external_set_vector_length(self, fid: str, n: int):
+        self._find_external(fid).set_vector_length(n)
+
+    def fix_external_set_vector(self, fid: str, idx: int, val: float):
+        self._find_external(fid).set_vector(idx, val)
+
+    # ------------------------------------------------- neighbor-list API
+    def neighlist_half(self):
+        """Half neighbor list of the CURRENT configuration in local
+        (tag-order, 0-based) indices: list of (i, int32 array of j).
+
+        The reference exposes the pair style's actual list
+        (src/library.cpp lammps_find_pair_neighlist /
+        lammps_neighlist_element_neighbors); here the list is rebuilt
+        host-side at the same cutoff (cutneigh = max_cutoff + skin) via
+        numpy cell binning, independent of which device engine ran the
+        forces."""
+        import jax
+        sim = self.sim
+        s = sim.state
+        tags = np.asarray(jax.device_get(s.tag))
+        valid = tags > 0
+        order = np.nonzero(valid)[0][np.argsort(tags[valid])]
+        x = np.asarray(jax.device_get(s.x), np.float64)[order]
+        lo = np.asarray(jax.device_get(s.box.lo), np.float64)
+        ell = np.asarray(jax.device_get(s.box.lengths), np.float64)
+        periodic = s.box.periodic
+        cut = float(sim.max_cutoff() + sim.skin)
+        n = x.shape[0]
+        # cell binning: >= 1 cell per axis, cells >= cut wide
+        nc = np.maximum(1, (ell / cut).astype(int))
+        rel = x - lo
+        for d in range(3):
+            if periodic[d]:
+                rel[:, d] %= ell[d]
+        cidx = np.minimum((rel / (ell / nc)).astype(int), nc - 1)
+        flat = (cidx[:, 0] * nc[1] + cidx[:, 1]) * nc[2] + cidx[:, 2]
+        order2 = np.argsort(flat, kind="stable")
+        neighbors: list = [[] for _ in range(n)]
+        cutsq = cut * cut
+        # group atom ids by cell
+        cells: dict = {}
+        for a in order2:
+            cells.setdefault(int(flat[a]), []).append(int(a))
+        offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                for dz in (-1, 0, 1)]
+        for key, members in cells.items():
+            cx, rem = divmod(key, nc[1] * nc[2])
+            cy, cz = divmod(rem, nc[2])
+            mi = np.asarray(members)
+            for dx, dy, dz in offs:
+                ox, oy, oz = cx + dx, cy + dy, cz + dz
+                shift = np.zeros(3)
+                oc = [ox, oy, oz]
+                skip = False
+                for d, o in enumerate(oc):
+                    if 0 <= o < nc[d]:
+                        continue
+                    if not periodic[d] or nc[d] < 2:
+                        if not periodic[d]:
+                            skip = True
+                            break
+                        # single-cell periodic axis: same cell, shifted
+                    shift[d] = -np.floor(o / nc[d]) * ell[d]
+                    oc[d] = o % nc[d]
+                if skip:
+                    continue
+                okey = (oc[0] * nc[1] + oc[1]) * nc[2] + oc[2]
+                other = cells.get(int(okey))
+                if other is None:
+                    continue
+                mj = np.asarray(other)
+                d2 = rel[mi][:, None, :] - (rel[mj][None, :, :] - shift)
+                # minimum image for single-cell axes
+                for d in range(3):
+                    if periodic[d] and nc[d] < 3:
+                        d2[..., d] -= np.round(d2[..., d] / ell[d]) * ell[d]
+                r2 = np.sum(d2 * d2, axis=-1)
+                hit = r2 < cutsq
+                for a, row in zip(mi, hit):
+                    js = mj[row]
+                    neighbors[a].extend(int(j) for j in js
+                                        if j > a)
+        return [(i, np.asarray(sorted(set(neighbors[i])), np.int32))
+                for i in range(n)]
 
     # ---------------------------------------------------------- errors
     def has_error(self) -> bool:

@@ -358,6 +358,227 @@ def _ready(h: int):
     return lmp
 
 
+# --------------------------------------------------------------- wave 4
+# neighbor-list access, generic gather/scatter, last_thermo, datatype
+# queries, plugin info, fix-external per-atom/vector channels
+# (src/library.h:152-258).
+
+# LAMMPS C library datatype constants (src/library.h:48-55)
+LAMMPS_NONE, LAMMPS_INT, LAMMPS_INT_2D = -1, 0, 1
+LAMMPS_DOUBLE, LAMMPS_DOUBLE_2D = 2, 3
+LAMMPS_INT64, LAMMPS_INT64_2D, LAMMPS_STRING = 4, 5, 6
+
+_ATOM_DTYPES = {
+    "x": LAMMPS_DOUBLE_2D, "v": LAMMPS_DOUBLE_2D, "f": LAMMPS_DOUBLE_2D,
+    "omega": LAMMPS_DOUBLE_2D, "torque": LAMMPS_DOUBLE_2D,
+    "mu": LAMMPS_DOUBLE_2D,
+    "q": LAMMPS_DOUBLE, "radius": LAMMPS_DOUBLE, "rmass": LAMMPS_DOUBLE,
+    "mass": LAMMPS_DOUBLE,
+    "type": LAMMPS_INT, "mask": LAMMPS_INT, "tag": LAMMPS_INT,
+    "id": LAMMPS_INT, "molecule": LAMMPS_INT, "image": LAMMPS_INT,
+}
+
+_GLOBAL_DTYPES = {
+    "dt": LAMMPS_DOUBLE, "natoms": LAMMPS_INT64, "ntypes": LAMMPS_INT,
+    "ntimestep": LAMMPS_INT64,
+    "boxxlo": LAMMPS_DOUBLE, "boxylo": LAMMPS_DOUBLE,
+    "boxzlo": LAMMPS_DOUBLE, "boxxhi": LAMMPS_DOUBLE,
+    "boxyhi": LAMMPS_DOUBLE, "boxzhi": LAMMPS_DOUBLE,
+}
+
+
+def extract_atom_datatype(h: int, name: str) -> int:
+    return _ATOM_DTYPES.get(name, LAMMPS_NONE)
+
+
+def extract_global_datatype(h: int, name: str) -> int:
+    return _GLOBAL_DTYPES.get(name, LAMMPS_NONE)
+
+
+def extract_variable_datatype(h: int, name: str) -> int:
+    try:
+        out = _instances[h].extract_variable(name)
+    except Exception:  # noqa: BLE001
+        return LAMMPS_NONE
+    if isinstance(out, str):
+        return LAMMPS_STRING
+    if isinstance(out, float):
+        return LAMMPS_DOUBLE
+    return LAMMPS_DOUBLE   # atom-style variables eval to double arrays
+
+
+def extract_global_typed(h: int, name: str):
+    """Pinned 1-element array matching the declared datatype (the C side
+    hands out its data pointer)."""
+    kind, value = extract_global(h, name)
+    dt = _GLOBAL_DTYPES.get(name)
+    np_dt = {LAMMPS_DOUBLE: np.float64, LAMMPS_INT: np.int32,
+             LAMMPS_INT64: np.int64}[dt]
+    return _pin(h, np.asarray([value], np_dt))
+
+
+def python_api_version() -> int:
+    return 2
+
+
+def get_mpi_comm(h: int) -> int:
+    return -1   # no MPI support (lammps_get_mpi_comm contract)
+
+
+def has_gpu_device() -> int:
+    # the accelerator IS the engine: report the TPU (or any non-CPU
+    # backend) as the "GPU" device
+    import jax
+    return int(jax.default_backend() not in ("cpu",))
+
+
+def get_gpu_device_info() -> str:
+    import jax
+    devs = jax.devices()
+    return "\n".join(f"Device {i}: {d.device_kind} ({d.platform})"
+                     for i, d in enumerate(devs))
+
+
+def _all_plugins():
+    out = []
+    for lmp in _instances.values():
+        sc = getattr(lmp.sim, "script", None)
+        out.extend(getattr(sc, "_plugins", {}) if sc else [])
+    return out
+
+
+def plugin_count() -> int:
+    return len(_all_plugins())
+
+
+def plugin_name(idx: int):
+    """(style, name) of the idx-th loaded plugin."""
+    plugins = _all_plugins()
+    if not 0 <= idx < len(plugins):
+        return ("", "")
+    return ("python", plugins[idx])
+
+
+# last_thermo: {step,num,keyword,type,data} views over the cached thermo
+# row (src/library.cpp:857 lammps_last_thermo)
+def last_thermo(h: int, what: str, idx: int):
+    sim = _instances[h].sim
+    row = getattr(sim, "last_thermo", None) or {}
+    keys = [k for k in row if np.isscalar(row[k]) or np.ndim(row[k]) == 0]
+    if what == "step":
+        return _pin(h, np.asarray([int(sim.step)], np.int64))
+    if what == "num":
+        return _pin(h, np.asarray([len(keys)], np.int32))
+    if what == "keyword":
+        return keys[idx] if 0 <= idx < len(keys) else None
+    if what == "type":
+        if not 0 <= idx < len(keys):
+            return None
+        isint = keys[idx] in ("step", "elapsed", "atoms")
+        return _pin(h, np.asarray(
+            [LAMMPS_INT64 if isint else LAMMPS_DOUBLE], np.int32))
+    if what == "data":
+        if not 0 <= idx < len(keys):
+            return None
+        val = row[keys[idx]]
+        if keys[idx] in ("step", "elapsed", "atoms"):
+            return _pin(h, np.asarray([int(val)], np.int64))
+        return _pin(h, np.asarray([float(val)], np.float64))
+    return None
+
+
+# generic gather/scatter: same per-atom properties as gather_atoms (the
+# reference's lammps_gather family also handles fix/compute/custom
+# properties; per-atom extras registered through the AtomVec field
+# registry are resolved by gather_atoms already)
+def gather(h: int, name: str):
+    return gather_atoms(h, name)
+
+
+def gather_concat(h: int, name: str):
+    return gather_atoms(h, name)
+
+
+def gather_subset(h: int, name: str, ids):
+    return gather_atoms_subset(h, name, ids)
+
+
+def scatter(h: int, name: str, arr):
+    scatter_atoms(h, name, arr)
+
+
+def scatter_subset(h: int, name: str, ids, arr):
+    scatter_atoms_subset(h, name, ids, arr)
+
+
+# ------------------------------------------------- neighbor-list access
+_neigh_cache: dict = {}
+
+
+def _neighlist(h: int):
+    sim = _instances[h].sim
+    key = (h, int(sim.step), int(np.asarray(sim.natoms)))
+    cached = _neigh_cache.get(h)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    lists = _instances[h].neighlist_half()
+    _neigh_cache[h] = (key, lists)
+    return lists
+
+
+def find_pair_neighlist(h: int, style: str, exact: int, nsub: int,
+                        request: int) -> int:
+    sim = _instances[h].sim
+    if sim.pair is None:
+        return -1
+    pname = getattr(sim.pair, "style_name", "")
+    if exact:
+        ok = pname == style
+    else:
+        ok = style in pname
+    return 0 if ok else -1
+
+
+def find_fix_neighlist(h: int, fid: str, request: int) -> int:
+    return -1   # no fix owns a separate request here
+
+
+def find_compute_neighlist(h: int, cid: str, request: int) -> int:
+    return -1
+
+
+def neighlist_num_elements(h: int, idx: int) -> int:
+    if idx != 0:
+        return -1
+    return len(_neighlist(h))
+
+
+def neighlist_element_neighbors(h: int, idx: int, element: int):
+    """(iatom, pinned int32 neighbor array) or (-1, empty)."""
+    lists = _neighlist(h)
+    if idx != 0 or not 0 <= element < len(lists):
+        return (-1, _pin(h, np.zeros((0,), np.int32)))
+    i, js = lists[element]
+    return (int(i), _pin(h, np.ascontiguousarray(js, np.int32)))
+
+
+# -------------------------------------------- fix external wave-4 extras
+def fix_external_set_energy_peratom(h: int, fid: str, eatom):
+    _instances[h].fix_external_set_energy_peratom(fid, eatom)
+
+
+def fix_external_set_virial_peratom(h: int, fid: str, vatom):
+    _instances[h].fix_external_set_virial_peratom(fid, vatom)
+
+
+def fix_external_set_vector_length(h: int, fid: str, n: int):
+    _instances[h].fix_external_set_vector_length(fid, n)
+
+
+def fix_external_set_vector(h: int, fid: str, idx: int, val: float):
+    _instances[h].fix_external_set_vector(fid, idx, val)
+
+
 def gather_atoms_subset(h: int, name: str, ids):
     _ready(h)
     a = np.asarray(gather_atoms(h, name))   # tag order; (n,3) or (n,)

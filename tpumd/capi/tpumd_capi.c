@@ -823,3 +823,298 @@ void lammps_error(void *handle, int error_type, const char *error_text) {
     (void)handle; (void)error_type;
     fprintf(stderr, "tpumd error: %s\n", error_text);
 }
+
+/* ---------------------------------------------------------------------
+ * wave 4: extract_global + datatype queries, neighbor-list access,
+ * generic gather/scatter, last_thermo, plugin info, fix-external
+ * per-atom/vector channels (src/library.h:152-300 contracts)
+ * ------------------------------------------------------------------- */
+
+void *lammps_extract_global(void *handle, const char *name) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    void *result = NULL;
+    ENTER;
+    PyObject *out = callb("extract_global_typed", "(ls)", h->handle, name);
+    if (out) {
+        Py_ssize_t n0 = 0;
+        result = array_data(out, &n0, NULL);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+static int datatype_query(void *handle, const char *fn, const char *name) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int result = -1;
+    ENTER;
+    PyObject *out = callb(fn, "(ls)", h->handle, name);
+    if (out) {
+        result = (int)PyLong_AsLong(out);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+int lammps_extract_global_datatype(void *handle, const char *name) {
+    return datatype_query(handle, "extract_global_datatype", name);
+}
+
+int lammps_extract_atom_datatype(void *handle, const char *name) {
+    return datatype_query(handle, "extract_atom_datatype", name);
+}
+
+int lammps_extract_variable_datatype(void *handle, const char *name) {
+    return datatype_query(handle, "extract_variable_datatype", name);
+}
+
+void *lammps_last_thermo(void *handle, const char *what, int index) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    void *result = NULL;
+    ENTER;
+    PyObject *out = callb("last_thermo", "(lsi)", h->handle, what, index);
+    if (out && out != Py_None) {
+        if (PyUnicode_Check(out)) {
+            /* keyword: hand out a handle-owned copy of the string */
+            const char *s = PyUnicode_AsUTF8(out);
+            char *copy = strdup(s ? s : "");
+            result = remember_rowtab(h, copy);
+        } else {
+            Py_ssize_t n0 = 0;
+            result = array_data(out, &n0, NULL);
+        }
+    }
+    Py_XDECREF(out);
+    LEAVE;
+    return result;
+}
+
+/* generic gather/scatter family: same properties as the _atoms family */
+void lammps_gather(void *handle, const char *name, int type, int count,
+                   void *data) {
+    lammps_gather_atoms(handle, name, type, count, data);
+}
+
+void lammps_gather_concat(void *handle, const char *name, int type,
+                          int count, void *data) {
+    lammps_gather_atoms(handle, name, type, count, data);
+}
+
+void lammps_gather_subset(void *handle, const char *name, int type,
+                          int count, int ndata, int *ids, void *data) {
+    lammps_gather_atoms_subset(handle, name, type, count, ndata, ids,
+                               data);
+}
+
+void lammps_scatter(void *handle, const char *name, int type, int count,
+                    void *data) {
+    lammps_scatter_atoms(handle, name, type, count, data);
+}
+
+void lammps_scatter_subset(void *handle, const char *name, int type,
+                           int count, int ndata, int *ids, void *data) {
+    lammps_scatter_atoms_subset(handle, name, type, count, ndata, ids,
+                                data);
+}
+
+/* ------------------------------------------------ neighbor-list access */
+int lammps_find_pair_neighlist(void *handle, const char *style, int exact,
+                               int nsub, int request) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int result = -1;
+    ENTER;
+    PyObject *out = callb("find_pair_neighlist", "(lsiii)", h->handle,
+                          style, exact, nsub, request);
+    if (out) {
+        result = (int)PyLong_AsLong(out);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+int lammps_find_fix_neighlist(void *handle, const char *id, int request) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int result = -1;
+    ENTER;
+    PyObject *out = callb("find_fix_neighlist", "(lsi)", h->handle, id,
+                          request);
+    if (out) {
+        result = (int)PyLong_AsLong(out);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+int lammps_find_compute_neighlist(void *handle, const char *id,
+                                  int request) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int result = -1;
+    ENTER;
+    PyObject *out = callb("find_compute_neighlist", "(lsi)", h->handle,
+                          id, request);
+    if (out) {
+        result = (int)PyLong_AsLong(out);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+int lammps_neighlist_num_elements(void *handle, int idx) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    int result = -1;
+    ENTER;
+    PyObject *out = callb("neighlist_num_elements", "(li)", h->handle,
+                          idx);
+    if (out) {
+        result = (int)PyLong_AsLong(out);
+        Py_DECREF(out);
+    }
+    LEAVE;
+    return result;
+}
+
+void lammps_neighlist_element_neighbors(void *handle, int idx, int element,
+                                        int *iatom, int *numneigh,
+                                        int **neighbors) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    *iatom = -1;
+    *numneigh = 0;
+    *neighbors = NULL;
+    ENTER;
+    PyObject *out = callb("neighlist_element_neighbors", "(lii)",
+                          h->handle, idx, element);
+    if (out && PyTuple_Check(out)) {
+        *iatom = (int)PyLong_AsLong(PyTuple_GET_ITEM(out, 0));
+        PyObject *arr = PyTuple_GET_ITEM(out, 1);
+        Py_ssize_t n0 = 0;
+        void *data = array_data(arr, &n0, NULL);
+        if (data) {
+            *numneigh = (int)n0;
+            *neighbors = (int *)data;
+        }
+    }
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+/* ------------------------------------------ fix external wave-4 extras */
+void lammps_fix_external_set_energy_peratom(void *handle, const char *id,
+                                            double *eng) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    double n = 0.0;
+    {
+        PyObject *nat = callb("get_natoms", "(l)", h->handle);
+        if (nat) { n = PyFloat_AsDouble(nat); Py_DECREF(nat); }
+    }
+    int nn = (int)n;
+    PyObject *vals = PyList_New(nn);
+    for (int i = 0; i < nn; i++)
+        PyList_SET_ITEM(vals, i, PyFloat_FromDouble(eng[i]));
+    PyObject *out = callb("fix_external_set_energy_peratom", "(lsO)",
+                          h->handle, id, vals);
+    Py_DECREF(vals);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+void lammps_fix_external_set_virial_peratom(void *handle, const char *id,
+                                            double **virial) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    double n = 0.0;
+    {
+        PyObject *nat = callb("get_natoms", "(l)", h->handle);
+        if (nat) { n = PyFloat_AsDouble(nat); Py_DECREF(nat); }
+    }
+    int nn = (int)n;
+    PyObject *vals = PyList_New((Py_ssize_t)nn * 6);
+    for (int i = 0; i < nn; i++)
+        for (int c = 0; c < 6; c++)
+            PyList_SET_ITEM(vals, (Py_ssize_t)i * 6 + c,
+                            PyFloat_FromDouble(virial[i][c]));
+    PyObject *out = callb("fix_external_set_virial_peratom", "(lsO)",
+                          h->handle, id, vals);
+    Py_DECREF(vals);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+void lammps_fix_external_set_vector_length(void *handle, const char *id,
+                                           int len) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("fix_external_set_vector_length", "(lsi)",
+                          h->handle, id, len);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+void lammps_fix_external_set_vector(void *handle, const char *id, int idx,
+                                    double val) {
+    tpumd_handle *h = (tpumd_handle *)handle;
+    ENTER;
+    PyObject *out = callb("fix_external_set_vector", "(lsid)", h->handle,
+                          id, idx, val);
+    Py_XDECREF(out);
+    LEAVE;
+}
+
+/* ----------------------------------------------------- misc wave-4 info */
+int lammps_python_api_version(void) { return 2; }
+
+int lammps_get_mpi_comm(void *handle) { (void)handle; return -1; }
+
+int lammps_has_gpu_device(void) {
+    ENTER;
+    int result = 0;
+    PyObject *out = callb("has_gpu_device", "()");
+    if (out) { result = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return result;
+}
+
+void lammps_get_gpu_device_info(char *buffer, int buf_size) {
+    ENTER;
+    PyObject *out = callb("get_gpu_device_info", "()");
+    if (out) {
+        const char *s = PyUnicode_AsUTF8(out);
+        if (s) { strncpy(buffer, s, buf_size - 1); buffer[buf_size - 1] = 0; }
+        Py_DECREF(out);
+    }
+    LEAVE;
+}
+
+int lammps_plugin_count(void) {
+    ENTER;
+    int result = 0;
+    PyObject *out = callb("plugin_count", "()");
+    if (out) { result = (int)PyLong_AsLong(out); Py_DECREF(out); }
+    LEAVE;
+    return result;
+}
+
+int lammps_plugin_name(int idx, char *stylebuf, char *namebuf,
+                       int buf_size) {
+    ENTER;
+    int result = 0;
+    PyObject *out = callb("plugin_name", "(i)", idx);
+    if (out && PyTuple_Check(out)) {
+        const char *st = PyUnicode_AsUTF8(PyTuple_GET_ITEM(out, 0));
+        const char *nm = PyUnicode_AsUTF8(PyTuple_GET_ITEM(out, 1));
+        if (st && nm && st[0]) {
+            strncpy(stylebuf, st, buf_size - 1);
+            stylebuf[buf_size - 1] = 0;
+            strncpy(namebuf, nm, buf_size - 1);
+            namebuf[buf_size - 1] = 0;
+            result = 1;
+        }
+    }
+    Py_XDECREF(out);
+    LEAVE;
+    return result;
+}

@@ -49,6 +49,12 @@ class FixExternal(Fix):
         self.energy_global = 0.0
         self.virial_global = np.zeros(6)
         self._fext_host = None      # numpy staging buffer for the driver
+        # driver-supplied per-atom tallies + global vector
+        # (src/fix_external.cpp set_energy_peratom/set_virial_peratom/
+        # set_vector_length/set_vector)
+        self.energy_peratom = None   # (N,) tag-order doubles
+        self.virial_peratom = None   # (N, 6)
+        self._vector = None          # global vector for extract_fix
 
     # ------------------------------------------------------------ state
     def init_state(self, s, ctx):
@@ -128,3 +134,22 @@ class FixExternal(Fix):
     def scalar(self, sim):
         """fix_modify energy contribution (compute_scalar)."""
         return self.energy_global
+
+    def set_vector_length(self, n: int):
+        """Declare the caller-provided global vector's length BEFORE any
+        set_vector call (lammps_fix_external_set_vector_length)."""
+        self._vector = np.zeros(int(n), dtype=np.float64)
+
+    def set_vector(self, idx: int, val: float):
+        """1-based element store (lammps_fix_external_set_vector)."""
+        if self._vector is None:
+            raise ValueError("fix external: set_vector before "
+                             "set_vector_length")
+        if not 1 <= idx <= self._vector.shape[0]:
+            raise IndexError(f"fix external vector index {idx} out of "
+                             f"range 1..{self._vector.shape[0]}")
+        self._vector[idx - 1] = float(val)
+
+    @property
+    def vector(self):
+        return self._vector

@@ -37,6 +37,18 @@ class FixSetForce(Fix):
                 f = f.at[:, d].set(jnp.where(self.group_sel(s), val, f[:, d]))
         return s.replace(f=f), fstate
 
+    def post_force_respa_lower(self, s, fstate, ctx):
+        """Inner respa levels: zero the constrained components so inner
+        kicks don't reintroduce force (FixSetForce::post_force_respa,
+        src/fix_setforce.cpp: non-top levels set the group's force to
+        zero regardless of the target values)."""
+        f = s.f
+        for d, val in enumerate(self.target):
+            if val is not None:
+                f = f.at[:, d].set(jnp.where(self.group_sel(s), 0.0,
+                                             f[:, d]))
+        return s.replace(f=f), fstate
+
 
 class FixAddForce(Fix):
     name = "addforce"

@@ -63,6 +63,7 @@ class Simulation:
         self.thermo_norm = units == "lj"
         self.lost_policy = "error"     # thermo_modify lost error/warn/ignore
         self.log_lines: list[str] = []
+        self.thermo_rows: list[dict] = []   # structured thermo history
         self.dimension = 3
         # per-dim boundary tokens (p periodic / f fixed / s shrink / m min)
         self.boundary = ("p", "p", "p")
@@ -709,11 +710,8 @@ class Simulation:
         self._carry = (s, neigh, tuple(fstates),
                        jnp.asarray(self.step, jnp.int32))
         if self.respa is not None:
-            if any(not isinstance(fx, __import__(
-                    "tpumd.md.fixes", fromlist=["FixNVE"]).FixNVE)
-                   for fx in self.fixes):
-                raise ValueError("run_style respa currently integrates "
-                                 "NVE only")
+            from tpumd.md.verlet import respa_hook_fixes
+            respa_hook_fixes(ctx)   # validates the fix set for respa
             from tpumd.md.verlet import compute_forces_cats
             flev = tuple(compute_forces_cats(s, neigh, ctx, c, self._consts)
                          for c in self.respa[1])
@@ -1600,6 +1598,8 @@ class Simulation:
         self._emit_vals(vals)
 
     def _emit_vals(self, vals):
+        # structured thermo history (PyLammps.runs reads this back)
+        self.thermo_rows.append(dict(vals))
         if self.thermo_multi:
             return self._thermo_line_multi(vals)
         parts = []

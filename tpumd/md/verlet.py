@@ -217,19 +217,27 @@ def compute_forces(s: MDState, neigh: nb.NeighborState, ctx: StepContext,
         # once per re-bin, not per eval), the view is ONE packed gather
         # (x/type/q bitcast together), and the result returns to grid
         # order with ONE n-row scatter instead of a capacity-row gather.
+        # The fused table is INT32: TPU vector datapaths flush f32
+        # denormals to zero, so int32 values bitcast into a float table
+        # (bit patterns 1..2^23 are denormal) can be silently zeroed when
+        # XLA fuses the gather with arithmetic consumers.  Bits moved
+        # through integer ops are always preserved.
         n = ctx.natoms
         row2slot = neigh.row2slot
-        cols = [s.x, jax.lax.bitcast_convert_type(
-            s.type.reshape(-1, 1), s.x.dtype)] if s.x.dtype == jnp.float32 \
+        i32 = jnp.int32
+        cols = [jax.lax.bitcast_convert_type(s.x, i32),
+                s.type.reshape(-1, 1)] if s.x.dtype == jnp.float32 \
             else None
         if cols is not None:
             if s.q is not None:
-                cols.append(s.q.reshape(-1, 1))
+                cols.append(jax.lax.bitcast_convert_type(
+                    s.q.reshape(-1, 1), i32))
             packed = jnp.concatenate(cols, axis=1)[row2slot]
-            x_v = packed[:, :3]
-            t_v = jax.lax.bitcast_convert_type(
-                packed[:, 3:4], jnp.int32).reshape(-1)
-            q_v = packed[:, 4] if s.q is not None else None
+            x_v = jax.lax.bitcast_convert_type(packed[:, :3], s.x.dtype)
+            t_v = packed[:, 3]
+            q_v = (jax.lax.bitcast_convert_type(
+                packed[:, 4:5], s.x.dtype).reshape(-1)
+                if s.q is not None else None)
         else:
             x_v = s.x[row2slot]
             t_v = s.type[row2slot]
@@ -637,13 +645,52 @@ def compute_forces_cats(s, neigh, ctx, cats, consts=None):
     return f
 
 
+def respa_hook_fixes(ctx):
+    """Split ctx.fixes for the respa pipeline: (integrators, hook fixes).
+
+    The reference runs the FULL fix pipeline per level
+    (Modify::post_force_respa etc., src/respa.cpp:380-470); fixes
+    register at a level (default: outermost, src/fix.cpp ilevel_respa).
+    Here the velocity-Verlet integration itself is hand-rolled (NVE
+    family), and every non-integrating fix runs through its post_force /
+    end_of_step hooks at the outermost level, exactly where the
+    reference's defaults put it."""
+    from tpumd.md.fixes import Fix, FixNVE
+    integ, hooks = [], []
+    for i, fx in enumerate(ctx.fixes):
+        if isinstance(fx, FixNVE):
+            integ.append((i, fx))
+            continue
+        cls = type(fx)
+        overrides_integration = (
+            cls.initial_integrate is not Fix.initial_integrate
+            or cls.post_integrate is not Fix.post_integrate
+            or cls.final_integrate is not Fix.final_integrate)
+        if overrides_integration or getattr(fx, "needs_virial", False):
+            raise ValueError(
+                f"run_style respa: fix {getattr(fx, 'id', fx.name)!r} "
+                f"({fx.name}) integrates or needs the virial — only NVE "
+                "integrators plus post_force/end_of_step fixes are "
+                "supported under respa")
+        hooks.append((i, fx))
+    if not integ:
+        raise ValueError("run_style respa requires a fix nve integrator")
+    return integ, hooks
+
+
 def make_respa_step(ctx: StepContext, consts=None):
     """One OUTER rRESPA step (Respa::recurse, src/respa.cpp): per-level
     half kicks with per-level forces carried between steps; innermost
     level drifts positions.  Unrolled statically over the (small) loop
-    factors.  v1 integrates with NVE only (fix hooks restricted)."""
+    factors.  Integration is hand-rolled velocity Verlet (NVE family);
+    non-integrating fixes run their post_force at the OUTERMOST level
+    (the reference's default fix level, src/fix.cpp ilevel_respa) on
+    that level's force bank, `post_force_respa_lower` (setforce-style
+    zeroing, src/fix_setforce.cpp:post_force_respa) at inner levels,
+    and end_of_step once per outer step."""
     loops, cats = ctx.respa
     L = len(cats)
+    _, hooks = respa_hook_fixes(ctx)
     # step_respa (Respa::init): step[L-1] = dt, step[l] = step[l+1]/loop[l]
     dt_lvl = [0.0] * L
     dt_lvl[L - 1] = ctx.dt
@@ -652,31 +699,57 @@ def make_respa_step(ctx: StepContext, consts=None):
 
     def step(carry, xs):
         s, neigh, fstates, istep, flev = carry
+        if xs is None:
+            xs = tuple(None for _ in ctx.fixes)
         flev = list(flev)
+        fstates = list(fstates)
+        for i, fx in enumerate(ctx.fixes):
+            if getattr(fx, "needs_step", False):
+                fstates[i] = fx.set_step(fstates[i], istep + 1)
         # reneighbor decision once per outer step
         neigh = neigh.replace(ago=neigh.ago + 1)
         do_build = decide_rebuild(s, neigh, ctx)
         s, neigh, fstates = jax.lax.cond(
             do_build, lambda sn: _rebuild(sn[0], sn[1], ctx, sn[2]),
             lambda sn: sn, (s, neigh, tuple(fstates)))
+        fstates = list(fstates)
 
         m3 = ctx.mass_per_atom(s)[:, None]
 
-        def recurse(lvl, s, flev):
+        def level_post_force(lvl, s, flev, fstates):
+            """Fix hooks on this level's freshly computed force bank."""
+            fsave = s.f
+            s = s.replace(f=flev[lvl])
+            for i, fx in hooks:
+                if lvl == L - 1:
+                    s, fstates[i] = fx.post_force(s, fstates[i], ctx,
+                                                  xs[i])
+                elif hasattr(fx, "post_force_respa_lower"):
+                    s, fstates[i] = fx.post_force_respa_lower(
+                        s, fstates[i], ctx)
+            flev[lvl] = s.f
+            return s.replace(f=fsave), flev, fstates
+
+        def recurse(lvl, s, flev, fstates):
             dtf = 0.5 * dt_lvl[lvl] * ctx.units.ftm2v
             for _ in range(loops[lvl]):
                 s = s.replace(v=s.v + dtf * flev[lvl] / m3)
                 if lvl > 0:
-                    s, flev = recurse(lvl - 1, s, flev)
+                    s, flev, fstates = recurse(lvl - 1, s, flev, fstates)
                 else:
                     s = s.replace(x=s.x + dt_lvl[0] * s.v)
                 flev[lvl] = compute_forces_cats(s, neigh, ctx, cats[lvl],
                                                 consts)
+                if hooks:
+                    s, flev, fstates = level_post_force(
+                        lvl, s, flev, fstates)
                 s = s.replace(v=s.v + dtf * flev[lvl] / m3)
-            return s, flev
+            return s, flev, fstates
 
-        s, flev = recurse(L - 1, s, flev)
+        s, flev, fstates = recurse(L - 1, s, flev, fstates)
         s = s.replace(f=sum(flev))
-        return (s, neigh, fstates, istep + 1, tuple(flev)), None
+        for i, fx in hooks:
+            s, fstates[i] = fx.end_of_step(s, fstates[i], ctx)
+        return (s, neigh, tuple(fstates), istep + 1, tuple(flev)), None
 
     return step

@@ -35,6 +35,7 @@ def create_pair_style(name: str, ntypes: int, args, units=None):
     if name not in _PAIR_STYLES:
         raise ValueError(f"Unknown pair style {name!r}")
     style = _PAIR_STYLES[name](ntypes)
+    style.style_name = name          # queried by the C API neighlist find
     if units is not None:
         style.units = units
     style.settings(*[_num(a) for a in args])

@@ -198,14 +198,18 @@ def apply_permutation_compact(state: MDState, src, dst,
     counterpart of apply_permutation; empty slots zeroed).
 
     TPU row ops cost ~1.7 ms per CALL at 32k rows nearly independent of
-    width, so in f32 mode the int32 fields are bitcast into the float
-    table and the whole state moves in ONE gather + ONE scatter."""
+    width, so in f32 mode the f32 fields are bitcast into the INT32
+    table and the whole state moves in ONE gather + ONE scatter.  The
+    fused table must be integer-typed: TPU vector ops flush f32
+    denormals, so int32 values (tags/types — denormal bit patterns)
+    bitcast into a float table can be silently zeroed if XLA routes the
+    copy through an arithmetic fusion; int32 moves are always exact."""
     from tpumd.core.state import iter_per_atom, replace_per_atom
     fdt = state.x.dtype
     fuse_ints = fdt == jnp.float32
     groups: dict = {}
     for name, a in iter_per_atom(state):
-        key = fdt if (fuse_ints and a.dtype == jnp.int32) else a.dtype
+        key = jnp.int32 if (fuse_ints and a.dtype == fdt) else a.dtype
         groups.setdefault(key, []).append((name, a))
     updates = {}
     for dt_, fields in groups.items():

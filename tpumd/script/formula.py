@@ -264,6 +264,8 @@ class SimFormulaContext:
                 return float(sim.step * sim.dt)
             if name == "step":
                 return float(sim.step)
+            if name in ("atoms", "natoms"):
+                return float(sim.natoms)
         if sim is None or sim._ctx is None:
             return None  # pre-setup: only non-thermo names resolve
         vals = sim.thermo_values()
