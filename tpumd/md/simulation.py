@@ -712,9 +712,11 @@ class Simulation:
         if self.respa is not None:
             from tpumd.md.verlet import respa_hook_fixes
             respa_hook_fixes(ctx)   # validates the fix set for respa
-            from tpumd.md.verlet import compute_forces_cats
+            from tpumd.md.verlet import (compute_forces_cats,
+                                         respa_setup_hooks)
             flev = tuple(compute_forces_cats(s, neigh, ctx, c, self._consts)
                          for c in self.respa[1])
+            flev, fstates = respa_setup_hooks(s, flev, tuple(fstates), ctx)
             s = s.replace(f=sum(flev))
             self._carry = self._carry[:1] + (neigh, tuple(fstates),
                                              self._carry[3], flev)
@@ -1304,10 +1306,12 @@ class Simulation:
         self._check_overflow(neigh)
         self._carry = (s0, neigh, fstates, istep)
         if self.respa is not None:
-            from tpumd.md.verlet import compute_forces_cats
+            from tpumd.md.verlet import (compute_forces_cats,
+                                         respa_setup_hooks)
             flev = tuple(compute_forces_cats(s0, neigh, ctx, c, self._consts)
                          for c in self.respa[1])
-            self._carry = self._carry + (flev,)
+            flev, fstates = respa_setup_hooks(s0, flev, fstates, ctx)
+            self._carry = (s0, neigh, fstates, istep, flev)
         return ctx
 
     def _regrow(self, snapshot):

@@ -678,6 +678,31 @@ def respa_hook_fixes(ctx):
     return integ, hooks
 
 
+def respa_setup_hooks(s, flev, fstates, ctx):
+    """Run fix post-force hooks over freshly computed per-level force
+    banks at SETUP time: Respa::setup evaluates every level's forces and
+    calls modify->post_force_respa(level) before the first outer step
+    (src/respa.cpp:setup), so e.g. a setforce'd group's very first
+    half-kick already sees a zeroed bank."""
+    _, hooks = respa_hook_fixes(ctx)
+    if not hooks:
+        return flev, fstates
+    L = len(flev)
+    flev = list(flev)
+    fstates = list(fstates)
+    fsave = s.f
+    for lvl in range(L):
+        s = s.replace(f=flev[lvl])
+        for i, fx in hooks:
+            if lvl == L - 1:
+                s, fstates[i] = fx.post_force(s, fstates[i], ctx, None)
+            elif hasattr(fx, "post_force_respa_lower"):
+                s, fstates[i] = fx.post_force_respa_lower(
+                    s, fstates[i], ctx)
+        flev[lvl] = s.f
+    return tuple(flev), tuple(fstates)
+
+
 def make_respa_step(ctx: StepContext, consts=None):
     """One OUTER rRESPA step (Respa::recurse, src/respa.cpp): per-level
     half kicks with per-level forces carried between steps; innermost

@@ -56,6 +56,25 @@ def _factorable(n: int) -> bool:
     return n == 1
 
 
+def _fft_safe(n: int) -> int:
+    """FFT-safe grid dim for the active backend.
+
+    The reference accepts any 2/3/5-factorable mesh (src/KSPACE/pppm.cpp
+    factorable()), and so does XLA:CPU.  The TPU FFT, however,
+    mis-evaluates odd-radix sizes: 27^3 grids produce NaN field values
+    and 27x27x54 faults the TPU worker outright (observed on v5e).  On
+    TPU we therefore snap every grid dim UP to the next power of two —
+    a finer mesh only increases kspace accuracy, and pow2 FFTs are the
+    fast path on the hardware anyway."""
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        return n
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _rho_coeff(order: int):
     """compute_rho_coeff (src/KSPACE/pppm.cpp): returns (rho (order, order),
     drho (order, order)) coefficient tables indexed [l][kidx]."""
@@ -372,6 +391,7 @@ class PPPM:
             for d in range(3):
                 if not _factorable(n[d]):
                     raise ValueError("kspace_modify mesh not factorable")
+                n[d] = _fft_safe(n[d])
             self.nx, self.ny, self.nz = n
             self.h = [p / ni for p, ni in zip(self.prd, n)]
             return
@@ -405,6 +425,7 @@ class PPPM:
         for d in range(3):
             while not _factorable(n[d]):
                 n[d] += 1
+            n[d] = _fft_safe(n[d])
             h[d] = self.prd[d] / n[d]
         self.nx, self.ny, self.nz = n
         self.h = h

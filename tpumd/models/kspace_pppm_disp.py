@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from scipy.special import erfc as _erfc
 
-from tpumd.models.kspace_pppm import PPPM, MY_PIS, _factorable, _rho_coeff
+from tpumd.models.kspace_pppm import (PPPM, MY_PIS, _factorable, _fft_safe,
+                                       _rho_coeff)
 
 SMALL = 0.00001
 MY_PI = np.pi
@@ -93,12 +94,14 @@ class PPPMDisp(PPPM):
             for d in range(3):
                 if not _factorable(n6[d]):
                     raise ValueError("kspace_modify mesh/disp not factorable")
+                n6[d] = _fft_safe(n6[d])
             self.n6 = n6
         else:
             self._set_n_pppm_6()
             for d in range(3):
                 while not _factorable(self.n6[d]):
                     self.n6[d] += 1
+                self.n6[d] = _fft_safe(self.n6[d])
         if not self.gewald6_override:
             self._adjust_gewald_6()
         self._setup_coeffs_6()
@@ -140,6 +143,7 @@ class PPPMDisp(PPPM):
             for d in range(3):
                 if not _factorable(n[d]):
                     raise ValueError("kspace_modify mesh not factorable")
+                n[d] = _fft_safe(n[d])
             self.nx, self.ny, self.nz = n
             self.h = [p / ni for p, ni in zip(self.prd, n)]
             return
@@ -157,6 +161,7 @@ class PPPMDisp(PPPM):
         for d in range(3):
             while not _factorable(n[d]):
                 n[d] += 1
+            n[d] = _fft_safe(n[d])
         self.nx, self.ny, self.nz = n
         self.h = [p / ni for p, ni in zip(self.prd, n)]
 
