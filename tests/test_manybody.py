@@ -110,3 +110,35 @@ def test_manybody_variants(case, tmp_path):
     assert v["epair"] == pytest.approx(want["epair"], rel=1e-6)
     assert v["etotal"] == pytest.approx(want["etotal"], rel=1e-6)
     assert v["press"] == pytest.approx(want["press"], rel=1e-5)
+
+
+def test_atm_golden():
+    """pair_style atm under hybrid/overlay with lj/cut on an fcc LJ
+    crystal (the reference's examples/atm/in.atm at 6^3 cells), 10 NVE
+    steps vs the locally built binary — exact to all printed digits.
+    Also exercises manybody sub-styles inside pair_style hybrid."""
+    deck = """
+units           lj
+atom_style      atomic
+lattice         fcc 0.65
+region          box block 0 6 0 6 0 6
+create_box      1 box
+create_atoms    1 box
+pair_style      hybrid/overlay lj/cut 4.5 atm 4.5 2.5
+pair_coeff      * * lj/cut 1.0 1.0
+pair_coeff      * * atm * 0.072
+mass            * 1.0
+velocity        all create 1.033 12345678 loop geom
+neighbor        0.3 bin
+neigh_modify    every 1 delay 5 check yes
+fix             1 all nve
+timestep        0.002
+run             10
+"""
+    script = LammpsScript()
+    script.run_string(deck)
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(1.0356248, rel=1e-6)
+    assert v["epair"] == pytest.approx(-4.8425038, rel=1e-6)
+    assert v["etotal"] == pytest.approx(-3.2908645, rel=1e-6)
+    assert v["press"] == pytest.approx(-4.0872055, rel=1e-5)

@@ -53,7 +53,12 @@ def host_cache_dir(base: str = "/tmp/jax_cache") -> str:
         ver = f"{_jax.__version__}/{jaxlib.__version__}"
     except ImportError:
         ver = _jax.__version__
-    key = hashlib.sha1(f"{ver}|{feats}".encode()).hexdigest()[:12]
+    # generation bump: entries written before jax_persistent_cache_enable_
+    # xla_caches="none" embed XLA:CPU AOT kernel blobs whose LLVM feature
+    # sets are finer than /proc/cpuinfo — loading one from a near-identical
+    # host SIGSEGVs (observed killing the test suite mid-run).  A new
+    # generation makes every pre-fix directory invisible.
+    key = hashlib.sha1(f"{ver}|{feats}|gen3-noxla".encode()).hexdigest()[:12]
     return f"{base}-{key}"
 
 

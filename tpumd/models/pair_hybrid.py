@@ -126,18 +126,41 @@ class PairHybrid(PairStyle):
                 e = e + scale * m.style.ecoul_self(q)
         return e
 
+    @staticmethod
+    def _sub_compute(m, x, type_, box, idx, sbits, special_lj,
+                     special_coul, eflag, vflag, q, ext):
+        """One sub-style's (f, evdwl, ecoul, virial6).
+
+        Manybody sub-styles (EnergyPairStyle: sw/tersoff/atm/...) run
+        their own autodiff compute on a masked neighbor view: candidates
+        whose (i,j) type pair is inactive are redirected to self, which
+        the energy kernels already exclude (the analog of the
+        reference's per-sub-style neighbor sublists,
+        src/pair_hybrid.cpp:init_style skip lists)."""
+        if hasattr(m.style, "energy"):
+            act = jnp.asarray(m.active)
+            self_idx = jnp.arange(x.shape[0], dtype=idx.dtype)[:, None]
+            pairact = act[type_[:, None], type_[idx]]
+            idx_sub = jnp.where(pairact, idx, self_idx)
+            return m.style.compute(
+                x, type_, box, idx_sub, sbits, special_lj, special_coul,
+                eflag, vflag, q=q, ext=ext)
+        from tpumd.ops.pairwise import pair_sums
+        fn, fn_ex = m.wrap_pair_fn()
+        return pair_sums(
+            x, type_, box, idx, sbits, fn, special_lj, special_coul,
+            eflag, vflag, q=q, pair_fn_ex=fn_ex, ext=ext)
+
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
                 eflag: bool, vflag: bool, q=None, ext=None):
-        from tpumd.ops.pairwise import pair_sums
         f = jnp.zeros_like(x)
         ev = jnp.zeros((), x.dtype)
         ec = jnp.zeros((), x.dtype)
         vir = jnp.zeros((6,), x.dtype) if vflag else None
         for m in self.subs:
-            fn, fn_ex = m.wrap_pair_fn()
-            fs, e1, e2, v6 = pair_sums(
-                x, type_, box, idx, sbits, fn, special_lj, special_coul,
-                eflag, vflag, q=q, pair_fn_ex=fn_ex, ext=ext)
+            fs, e1, e2, v6 = self._sub_compute(
+                m, x, type_, box, idx, sbits, special_lj, special_coul,
+                eflag, vflag, q, ext)
             f = f + fs
             if eflag:
                 if e1 is not None:
@@ -190,16 +213,14 @@ class PairHybridScaled(PairHybrid):
 
     def compute(self, x, type_, box, idx, sbits, special_lj, special_coul,
                 eflag: bool, vflag: bool, q=None, ext=None):
-        from tpumd.ops.pairwise import pair_sums
         f = jnp.zeros_like(x)
         ev = jnp.zeros((), x.dtype)
         ec = jnp.zeros((), x.dtype)
         vir = jnp.zeros((6,), x.dtype) if vflag else None
         for scale, m in zip(self.scales, self.subs):
-            fn, fn_ex = m.wrap_pair_fn()
-            fs, e1, e2, v6 = pair_sums(
-                x, type_, box, idx, sbits, fn, special_lj, special_coul,
-                eflag, vflag, q=q, pair_fn_ex=fn_ex, ext=ext)
+            fs, e1, e2, v6 = self._sub_compute(
+                m, x, type_, box, idx, sbits, special_lj, special_coul,
+                eflag, vflag, q, ext)
             f = f + scale * fs
             if eflag:
                 if e1 is not None:

@@ -632,3 +632,87 @@ class PairVashishta(EnergyPairStyle):
         e3 = P["B"][i3, j3, k3] * expg[:, :, None] * expg[:, None, :] * pcs
         # each (j,k) pair counted twice in the ordered double sum
         return e + 0.5 * jnp.sum(jnp.where(zmask, e3, 0.0))
+
+
+@register_pair("atm")
+class PairATM(EnergyPairStyle):
+    """Axilrod-Teller-Muto triple-dipole dispersion
+    (src/MANYBODY/pair_atm.cpp:353-375).
+
+    Per triangle (i,j,k): E = nu * (r6 - 3 (rik.rij)(rij.rjk)(rjk.rik))
+    / r6^{5/2} with r6 = rij^2 rjk^2 rik^2, counted when every pair
+    distance <= cutoff AND r6 <= cut_triple^6 (settings: pair_style atm
+    cutoff cut_triple; src/pair_atm.cpp:210-216).  The reference walks
+    each triangle once via min-x ownership; here the central-atom
+    ordered double sum visits it 6x (3 centers x 2 leg orders), so the
+    total divides by 6 — bitwise-independent of rank layout by
+    construction.  nu[i][j][k] is symmetrized over all 6 type
+    permutations exactly like init_one (src/pair_atm.cpp:270-279)."""
+
+    name = "atm"
+
+    def settings(self, cut_global, cut_triple):
+        self.cut_global = float(cut_global)
+        self.cut_triple = float(cut_triple)
+        self.nu = np.zeros((self.ntypes + 1,) * 3)
+
+    def coeff(self, ilo, ihi, jlo, jhi, kspec, nu_one):
+        nt = self.ntypes
+        ks = str(kspec)
+        if ks == "*":
+            klo, khi = 1, nt
+        elif ks.endswith("*"):
+            klo, khi = int(float(ks[:-1])), nt
+        elif ks.startswith("*"):
+            klo, khi = 1, int(float(ks[1:]))
+        else:
+            klo = khi = int(float(ks))
+        v = float(nu_one)
+        from itertools import permutations
+        for i in range(ilo, ihi + 1):
+            for j in range(max(jlo, i), jhi + 1):
+                for k in range(max(klo, j), khi + 1):
+                    for p in permutations((i, j, k)):
+                        self.nu[p] = v
+
+    def init(self):
+        pass
+
+    @property
+    def max_cutoff(self):
+        return self.cut_global
+
+    def energy(self, x, type_, ell, idx):
+        dt_ = x.dtype
+        n, K = idx.shape
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        nmask = idx != self_idx
+        d = x[:, None, :] - x[idx]          # r_ij = x_j - x_i sign conv
+        d = d - ell * jnp.round(d / ell)
+        r2 = jnp.sum(d * d, -1)
+        c2 = self.cut_global * self.cut_global
+        leg = nmask & (r2 < c2)
+
+        # triangle legs: ij from slot a, ik from slot b, jk = d_b - d_a
+        djk = d[:, None, :, :] - d[:, :, None, :]    # (n, a=j, b=k, 3)
+        rjk2 = jnp.sum(djk * djk, -1)
+        samej = idx[:, :, None] == idx[:, None, :]
+        tmask = leg[:, :, None] & leg[:, None, :] & ~samej & (rjk2 < c2)
+        rij2 = r2[:, :, None]
+        rik2 = r2[:, None, :]
+        r6 = rij2 * rjk2 * rik2
+        ct3 = self.cut_triple ** 3
+        tmask = tmask & (r6 <= ct3 * ct3)
+        nu3 = jnp.asarray(self.nu, dt_)[
+            type_[:, None, None], type_[idx][:, :, None],
+            type_[idx][:, None, :]]
+        tmask = tmask & (nu3 != 0.0)
+
+        r6s = jnp.where(tmask, r6, 1.0)
+        r5inv = nu3 / (r6s * r6s * jnp.sqrt(r6s))
+        rri = jnp.einsum("nbc,nac->nab", d, d)       # rik . rij
+        rrj = jnp.sum(d[:, :, None, :] * djk, -1)    # rij . rjk
+        rrk = jnp.sum(djk * d[:, None, :, :], -1)    # rjk . rik
+        rrr = 5.0 * rri * rrj * rrk
+        eng = (r6s - 0.6 * rrr) * r5inv
+        return jnp.sum(jnp.where(tmask, eng, 0.0)) / 6.0
