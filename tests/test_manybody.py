@@ -142,3 +142,51 @@ run             10
     assert v["epair"] == pytest.approx(-4.8425038, rel=1e-6)
     assert v["etotal"] == pytest.approx(-3.2908645, rel=1e-6)
     assert v["press"] == pytest.approx(-4.0872055, rel=1e-5)
+
+
+ALCU_DECK = """
+units           metal
+atom_style      atomic
+lattice         fcc 4.05
+region          box block 0 4 0 4 0 4
+create_box      2 box
+create_atoms    1 box
+region          half block 0 2 0 4 0 4
+group           cu region half
+set             group cu type 2
+pair_style      {style}
+pair_coeff      * * /root/reference/potentials/{pot} Al Cu
+velocity        all create 600.0 376847 loop geom
+neighbor        1.0 bin
+neigh_modify    every 1 delay 5 check yes
+fix             1 all nve
+timestep        0.001
+run             10
+"""
+
+
+def test_eam_alloy_two_element_golden():
+    """Two-element eam/alloy vs the reference binary — regression for the
+    transposed type2rhor provider/receiver mapping (density of neighbor
+    j at i must use j's element table, PairEAMAlloy::file2array)."""
+    script = LammpsScript()
+    script.run_string(ALCU_DECK.format(style="eam/alloy",
+                                       pot="AlCu.eam.alloy"))
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(598.4307, rel=1e-6)
+    assert v["epair"] == pytest.approx(-838.93772, rel=1e-7)
+    assert v["etotal"] == pytest.approx(-819.21264, rel=1e-7)
+    assert v["press"] == pytest.approx(-129885.05, rel=1e-6)
+
+
+def test_adp_golden():
+    """pair_style adp (angular-dependent EAM with dipole/quadrupole
+    densities) on an Al/Cu bicrystal, 10 NVE steps vs the reference
+    binary — exact to all printed digits."""
+    script = LammpsScript()
+    script.run_string(ALCU_DECK.format(style="adp", pot="AlCu.adp"))
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(1105.1068, rel=1e-6)
+    assert v["epair"] == pytest.approx(-830.96506, rel=1e-7)
+    assert v["etotal"] == pytest.approx(-794.53926, rel=1e-7)
+    assert v["press"] == pytest.approx(-199338.34, rel=1e-6)

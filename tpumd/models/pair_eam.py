@@ -396,13 +396,16 @@ class PairEAM(PairStyle):
         for t in range(1, self.ntypes + 1):
             t2f[t] = fidx[id(self.funcfl[t])]
         self.type2frho = t2f
-        # type2rhor[i][j] = file of type j (density of j felt by i uses j's rho)
+        # type2rhor[i][j] = density function ATOM OF TYPE i CONTRIBUTES
+        # (reference file2array: type2rhor[i][j] = map[i], pair_eam.cpp);
+        # compute() reads [jtype, itype] for rho_i and [itype, jtype]
+        # for rhoip, so the PROVIDER is the first index
         self.type2rhor = np.zeros((self.ntypes + 1, self.ntypes + 1),
                                   dtype=np.int32)
         self.type2z2r = np.zeros_like(self.type2rhor)
         for i in range(1, self.ntypes + 1):
             for j in range(1, self.ntypes + 1):
-                self.type2rhor[i, j] = t2f[j]
+                self.type2rhor[i, j] = t2f[i]
                 self.type2z2r[i, j] = z2r_index[t2f[i], t2f[j]]
 
         self.frho_spline = np.stack(
@@ -585,7 +588,9 @@ class PairEAMAlloy(PairEAM):
         for i in range(1, self.ntypes + 1):
             self.type2frho[i] = self._typemap[i]
             for j in range(1, self.ntypes + 1):
-                self.type2rhor[i, j] = self._typemap[j]
+                # provider is the FIRST index (reference
+                # PairEAMAlloy::file2array: type2rhor[i][j] = map[i])
+                self.type2rhor[i, j] = self._typemap[i]
                 self.type2z2r[i, j] = zidx[self._typemap[i],
                                            self._typemap[j]]
         self.frho_spline = np.stack(

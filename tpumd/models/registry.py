@@ -71,6 +71,7 @@ def _ensure_imports():
     import tpumd.models.bonded  # noqa: F401
     import tpumd.models.pair_misc  # noqa: F401
     import tpumd.models.pair_manybody  # noqa: F401
+    import tpumd.models.pair_adp  # noqa: F401
     import tpumd.models.pair_meam  # noqa: F401
     import tpumd.models.pair_hybrid  # noqa: F401
     import tpumd.models.pair_gran  # noqa: F401
