@@ -475,13 +475,13 @@ class PairLJCutCoulMSM(PairLJCutCoulCut):
 
     def pair_fn_ex(self, r2, it, jt, w_lj, w_coul, qi, qj):
         dt_ = r2.dtype
-        in_lj = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
+        in_lj = r2 < self.coef(self.cutsq, it, jt, dt_)
         r2inv = 1.0 / r2
         r6inv = r2inv ** 3
-        lj1 = jnp.asarray(self.lj1, dt_)[it, jt]
-        lj2 = jnp.asarray(self.lj2, dt_)[it, jt]
-        lj3 = jnp.asarray(self.lj3, dt_)[it, jt]
-        lj4 = jnp.asarray(self.lj4, dt_)[it, jt]
+        lj1 = self.coef(self.lj1, it, jt, dt_)
+        lj2 = self.coef(self.lj2, it, jt, dt_)
+        lj3 = self.coef(self.lj3, it, jt, dt_)
+        lj4 = self.coef(self.lj4, it, jt, dt_)
         forcelj = r6inv * (lj1 * r6inv - lj2)
         fpair = jnp.where(in_lj, w_lj * forcelj * r2inv, 0.0)
         e = jnp.where(in_lj, w_lj * r6inv * (lj3 * r6inv - lj4), 0.0)
@@ -545,11 +545,11 @@ class PairLJLongCoulLong(PairLJCutCoulCut):
         fcoul = jnp.where(in_c, forcecoul * r2inv, 0.0)
         # dispersion: long-range split (compute :79-93 series branch):
         # repulsion stays real-space, -C/r^6 splits via g_ewald_6
-        in_lj = r2 < jnp.asarray(self.cutsq, dt_)[it, jt]
-        lj1 = jnp.asarray(self.lj1, dt_)[it, jt]
-        lj2 = jnp.asarray(self.lj2, dt_)[it, jt]
-        lj3 = jnp.asarray(self.lj3, dt_)[it, jt]
-        lj4 = jnp.asarray(self.lj4, dt_)[it, jt]
+        in_lj = r2 < self.coef(self.cutsq, it, jt, dt_)
+        lj1 = self.coef(self.lj1, it, jt, dt_)
+        lj2 = self.coef(self.lj2, it, jt, dt_)
+        lj3 = self.coef(self.lj3, it, jt, dt_)
+        lj4 = self.coef(self.lj4, it, jt, dt_)
         g2 = self.g_ewald_6 ** 2
         g6 = g2 ** 3
         g8 = g6 * g2
