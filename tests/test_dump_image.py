@@ -38,3 +38,21 @@ def test_dump_image_renders_ppm(tmp_path):
     lit = (pix.sum(-1) > 30)
     assert 0.05 < lit.mean() < 0.95
     assert pix[..., 0].sum() > pix[..., 2].sum()  # red dominates
+
+
+def test_dump_movie_streams_frames(tmp_path):
+    """dump movie appends every frame to ONE P6 stream file — the exact
+    bytes src/dump_movie.cpp would feed ffmpeg's image2pipe."""
+    deck = DECK.replace("dump            1 all image 2 img.*.ppm type type "
+                        "size 128 128 zoom 1.4",
+                        "dump            1 all movie 2 mov.ppm type type "
+                        "size 64 64 zoom 1.4")
+    script = LammpsScript(data_dir=str(tmp_path))
+    script.run_string(deck)
+    p = os.path.join(tmp_path, "mov.ppm")
+    assert os.path.exists(p)
+    data = open(p, "rb").read()
+    # frames at steps 0 and 2: two P6 headers in one stream
+    assert data.count(b"P6\n64 64\n255\n") == 2
+    framelen = len(b"P6\n64 64\n255\n") + 64 * 64 * 3
+    assert len(data) == 2 * framelen

@@ -40,3 +40,32 @@ def test_create_atoms_region_subset():
     x, _ = create_atoms_lattice(lat, reg, np.zeros(3), hi, 1, fill_box=False)
     assert 0 < x.shape[0] < 32000
     assert (x <= hi / 2).all()
+
+
+def test_lattice_custom_fcc_equivalent():
+    """lattice custom reproducing fcc: bit-exact thermo vs the reference
+    binary through 10 NVE steps (velocity loop geom hashes positions, so
+    the a/basis arithmetic must match src/lattice.cpp:469-485 exactly)."""
+    from tpumd.script.parser import LammpsScript
+    deck = """
+units           lj
+atom_style      atomic
+lattice         custom 0.8442 a1 1.0 0.0 0.0 a2 0.0 1.0 0.0 a3 0.0 0.0 1.0 basis 0.0 0.0 0.0 basis 0.5 0.5 0.0 basis 0.5 0.0 0.5 basis 0.0 0.5 0.5
+region          box block 0 6 0 6 0 6
+create_box      1 box
+create_atoms    1 box
+mass            1 1.0
+velocity        all create 1.44 87287 loop geom
+pair_style      lj/cut 2.5
+pair_coeff      1 1 1.0 1.0 2.5
+neighbor        0.3 bin
+fix             1 all nve
+run             10
+"""
+    s = LammpsScript()
+    s.run_string(deck)
+    v = s.sim.last_thermo
+    import pytest as _pytest
+    assert v["temp"] == _pytest.approx(1.1318629, rel=1e-6)
+    assert v["epair"] == _pytest.approx(-6.3103405, rel=1e-7)
+    assert v["etotal"] == _pytest.approx(-4.6145113, rel=1e-7)

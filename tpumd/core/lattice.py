@@ -35,11 +35,10 @@ class Lattice:
     """A Bravais lattice with basis, scaled to box units."""
 
     def __init__(self, style: str, scale: float, units: str = "lj",
-                 dimension: int = 3):
-        if style not in _BASES:
+                 dimension: int = 3, args=()):
+        if style != "custom" and style not in _BASES:
             raise ValueError(f"Unknown lattice style {style!r}")
         self.style = style
-        self.basis = _BASES[style].copy()
         dim = 2 if style in _2D_STYLES else dimension
 
         # primitive cell: unit cube, except hcp/hex stretch a2/a3
@@ -51,6 +50,55 @@ class Lattice:
         if style == "hcp":
             self.a2[1] = np.sqrt(3.0)
             self.a3[2] = np.sqrt(8.0 / 3.0)
+
+        self.origin = np.zeros(3)
+        self._spacing_override = None
+        if style == "custom":
+            # lattice custom scale a1 x y z a2 ... a3 ... basis bx by bz
+            # [basis ...] [origin ox oy oz] (src/lattice.cpp options)
+            basis_rows = []
+            toks = list(args)
+            i = 0
+            while i < len(toks):
+                key = toks[i]
+                if key in ("a1", "a2", "a3", "origin"):
+                    vec = np.array([float(v) for v in toks[i + 1:i + 4]])
+                    setattr(self, key if key != "origin" else "origin", vec)
+                    i += 4
+                elif key == "basis":
+                    basis_rows.append([float(v) for v in toks[i + 1:i + 4]])
+                    i += 4
+                elif key == "spacing":
+                    self._spacing_override = np.array(
+                        [float(v) for v in toks[i + 1:i + 4]])
+                    i += 4
+                elif key in ("orient", "triclinic/general"):
+                    # orient: only the identity orientation is supported
+                    i += 5 if key == "orient" else 1
+                else:
+                    raise ValueError(f"lattice custom keyword {key!r}")
+            if not basis_rows:
+                raise ValueError("lattice custom requires at least one basis")
+            self.basis = np.array(basis_rows)
+        else:
+            self.basis = _BASES[style].copy()
+            # shared keyword parse for the standard styles
+            toks = list(args)
+            i = 0
+            while i < len(toks):
+                key = toks[i]
+                if key == "origin":
+                    self.origin = np.array(
+                        [float(v) for v in toks[i + 1:i + 4]])
+                    i += 4
+                elif key == "spacing":
+                    self._spacing_override = np.array(
+                        [float(v) for v in toks[i + 1:i + 4]])
+                    i += 4
+                elif key == "orient":
+                    i += 5
+                else:
+                    raise ValueError(f"lattice keyword {key!r} unsupported")
 
         nbasis = self.basis.shape[0]
         if units == "lj" and style != "none":
@@ -68,6 +116,8 @@ class Lattice:
         self.spacing = pts.max(axis=0) - pts.min(axis=0)
         if style == "none":
             self.spacing = np.array([self.scale] * 3)
+        if self._spacing_override is not None:
+            self.spacing = self._spacing_override.copy()
 
     @property
     def nbasis(self) -> int:
@@ -80,6 +130,8 @@ class Lattice:
         then multiply by scale componentwise (origin assumed 0).
         """
         pts = np.asarray(pts, dtype=np.float64)
+        if self.origin.any():
+            pts = pts + self.origin
         x1 = self.a1[0] * pts[:, 0] + self.a2[0] * pts[:, 1] + self.a3[0] * pts[:, 2]
         y1 = self.a1[1] * pts[:, 0] + self.a2[1] * pts[:, 1] + self.a3[1] * pts[:, 2]
         z1 = self.a1[2] * pts[:, 0] + self.a2[2] * pts[:, 1] + self.a3[2] * pts[:, 2]

@@ -139,9 +139,36 @@ class DumpImage(Dump):
             patchz[win] = zval[win]
             patchc[win] = shade[win]
 
-        path = self.path.replace("*", str(sim.step))
+        self._emit(img, W, H, sim.step)
+
+    def _emit(self, img, W, H, step):
+        path = self.path.replace("*", str(step))
         if not path.endswith(".ppm"):
             path = os.path.splitext(path)[0] + ".ppm"
         with open(path, "wb") as fh:
             fh.write(b"P6\n%d %d\n255\n" % (W, H))
             fh.write((img * 255).astype(np.uint8).tobytes())
+
+
+class DumpMovie(DumpImage):
+    """dump movie: every frame appended to ONE file as a raw P6 stream.
+
+    The reference (src/dump_movie.cpp) pipes PPM frames into an ffmpeg
+    child process; this image has no ffmpeg, so the stream itself is the
+    artifact — the exact bytes the reference would feed the encoder.
+    Convert offline with e.g.
+    ``ffmpeg -f image2pipe -vcodec ppm -i dump.ppm out.mp4``.
+    """
+
+    def __init__(self, dump_id, group, style, every, path, args=()):
+        super().__init__(dump_id, group, every=every, path=path,
+                         style="movie", args=args)
+        self._fh = None
+
+    def _emit(self, img, W, H, step):
+        if self._fh is None:
+            path = self.path
+            self._fh = open(path, "wb")
+        self._fh.write(b"P6\n%d %d\n255\n" % (W, H))
+        self._fh.write((img * 255).astype(np.uint8).tobytes())
+        self._fh.flush()

@@ -508,7 +508,7 @@ class LammpsScript:
     def cmd_lattice(self, a):
         sim = self._require_sim()
         self.lattice = Lattice(a[0], float(a[1]), units=sim.units.name,
-                               dimension=sim.dimension)
+                               dimension=sim.dimension, args=a[2:])
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
@@ -2126,6 +2126,11 @@ class LammpsScript:
         if style == "image":
             from tpumd.io.dump_image import DumpImage
             sim.dumps.append(DumpImage(did, group, style, every, path,
+                                       args=a[5:]))
+            return
+        if style == "movie":
+            from tpumd.io.dump_image import DumpMovie
+            sim.dumps.append(DumpMovie(did, group, style, every, path,
                                        args=a[5:]))
             return
         if style == "local":
