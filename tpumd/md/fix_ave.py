@@ -525,3 +525,61 @@ class FixAveGrid(_AveBase):
 
     def output(self, sim):
         return self.grid_data("data")
+
+
+class FixTuneKspace(Fix):
+    """fix tune/kspace N (src/KSPACE/fix_tune_kspace.cpp): time the
+    long-range solvers in place and keep the fastest.
+
+    The reference cycles ewald -> pppm -> msm (swapping the pair style
+    to its msm variant, fix_tune_kspace.cpp:101-195) and Newton-adjusts
+    the coulomb cutoff between trials.  This build times ewald vs pppm
+    on the SAME pair style — msm needs a different real-space kernel —
+    and installs the winner; cutoff adjustment is out of scope.  Each
+    trial window is N steps; the swap itself re-runs setup(), exactly
+    like the reference's kspace re-init."""
+
+    name = "tune/kspace"
+
+    def __init__(self, nevery):
+        self.host_every = int(nevery)
+        self._t_last = None
+        self._times = {}
+        self._phase = 0        # 0: timing current, 1: timing alt, 2: done
+
+    @staticmethod
+    def _make(style, accuracy):
+        if style == "pppm":
+            from tpumd.models.kspace_pppm import PPPM
+            return PPPM(accuracy)
+        from tpumd.models.kspace_ewald import Ewald
+        return Ewald(accuracy)
+
+    def host_end_of_step(self, sim):
+        import time as _time
+        if self._phase == 2 or sim.kspace is None:
+            return
+        now = _time.perf_counter()
+        cur = ("pppm" if type(sim.kspace).__name__.startswith("PPPM")
+               else "ewald")
+        if self._t_last is None:
+            self._t_last = now
+            return
+        self._times[cur] = now - self._t_last
+        acc = sim.kspace.accuracy_relative
+        if self._phase == 0:
+            other = "ewald" if cur == "pppm" else "pppm"
+            sim.kspace = self._make(other, acc)
+            sim._ctx = None          # force re-setup with the new solver
+            self._phase = 1
+            self._t_last = None      # first window after a swap includes
+            # compile time — restart the clock at the next boundary
+            sim._log(f"fix tune/kspace: timing {other}")
+        else:
+            best = min(self._times, key=self._times.get)
+            if best != cur:
+                sim.kspace = self._make(best, acc)
+                sim._ctx = None
+            self._phase = 2
+            t = {k: round(v, 3) for k, v in self._times.items()}
+            sim._log(f"fix tune/kspace: times {t} -> keeping {best}")

@@ -1560,6 +1560,9 @@ class LammpsScript:
         elif style == "halt":
             from tpumd.md.fix_ave import FixHalt
             sim.fixes.append(FixHalt(args[0], args[1], args[2], args[3]))
+        elif style == "tune/kspace":
+            from tpumd.md.fix_ave import FixTuneKspace
+            sim.fixes.append(FixTuneKspace(args[0]))
         elif style == "deposit":
             from tpumd.md.fix_particle import FixDeposit
             kw = {}
