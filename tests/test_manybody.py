@@ -190,3 +190,34 @@ def test_adp_golden():
     assert v["epair"] == pytest.approx(-830.96506, rel=1e-7)
     assert v["etotal"] == pytest.approx(-794.53926, rel=1e-7)
     assert v["press"] == pytest.approx(-199338.34, rel=1e-6)
+
+
+def test_edip_golden():
+    """pair_style edip on diamond Si, 10 NVE steps vs the reference
+    binary.  The reference interpolates 8000/A linear grids; we evaluate
+    the same functions analytically, so agreement is ~1e-7 rather than
+    bit-exact (pair_edip.cpp initGrids)."""
+    deck = """
+units           metal
+atom_style      atomic
+lattice         diamond 5.431
+region          box block 0 3 0 3 0 3
+create_box      1 box
+create_atoms    1 box
+mass            1 28.06
+velocity        all create 1200.0 376847 loop geom
+pair_style      edip
+pair_coeff      * * /root/reference/potentials/Si.edip Si
+neighbor        1.0 bin
+neigh_modify    every 1 delay 5 check yes
+fix             1 all nve
+timestep        0.001
+run             10
+"""
+    script = LammpsScript()
+    script.run_string(deck)
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(602.46745, rel=1e-6)
+    assert v["epair"] == pytest.approx(-987.74501, rel=1e-7)
+    assert v["etotal"] == pytest.approx(-971.00187, rel=1e-7)
+    assert v["press"] == pytest.approx(-160.22024, rel=1e-2, abs=1e-2)

@@ -716,3 +716,109 @@ class PairATM(EnergyPairStyle):
         rrr = 5.0 * rri * rrj * rrk
         eng = (r6s - 0.6 * rrr) * r5inv
         return jnp.sum(jnp.where(tmask, eng, 0.0)) / 6.0
+
+
+def _read_edip_file(path: str, elements):
+    """EDIP parameter entries: el1 el2 el3 + 17 values
+    (PairEDIP::read_file, src/MANYBODY/pair_edip.cpp:783-840)."""
+    names = ["A", "B", "cutoffA", "cutoffC", "alpha", "beta", "eta",
+             "gamma", "lambda", "mu", "rho", "sigma", "Q0",
+             "u1", "u2", "u3", "u4"]
+    toks = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                toks.extend(line.split())
+    i = 0
+    while i + 20 <= len(toks):
+        e1, e2, e3 = toks[i:i + 3]
+        vals = dict(zip(names, (float(v) for v in toks[i + 3:i + 20])))
+        i += 20
+        if (e1, e2, e3) == (elements[0],) * 3:
+            return vals
+    raise ValueError(f"EDIP entry for {elements[0]} not found in {path}")
+
+
+@register_pair("edip")
+class PairEDIP(EnergyPairStyle):
+    """EDIP (environment-dependent interatomic potential, Justo et al.)
+    for single-element systems (src/MANYBODY/pair_edip.cpp).
+
+    E = sum over ordered pairs  A e^{sigma/(r-a)} [(B/r)^rho - e^{-beta Z_i^2}]
+      + sum_i sum_{j<k} e^{gamma/(r_ij-a)} e^{gamma/(r_ik-a)} h(cos, Z_i)
+    with h(c,Z) = lambda[(1 - e^{-Q (c+tau)^2}) + eta Q (c+tau)^2],
+    Q(Z) = Q0 e^{-mu Z}, tau(Z) = u1 + u2 u3 e^{-u4 Z} - u2 e^{-2 u4 Z},
+    and coordination Z_i = sum f_c(r): 1 below cutoffC, exp(alpha/(1-x^-3))
+    with x=(r-C)/(A-C) between, 0 beyond (initGrids, pair_edip.cpp:
+    670-760 — the reference linearly interpolates 8000/A grids; here the
+    same functions are evaluated analytically, which agrees to ~1e-9).
+    Forces are the autodiff gradient of this energy, including the
+    environment (Z) terms the reference carries via forceModCoord."""
+
+    name = "edip"
+
+    def settings(self):
+        pass
+
+    def coeff(self, ilo, ihi, jlo, jhi, filename, *elems):
+        if self.ntypes != 1 or len(set(elems)) != 1:
+            raise ValueError("pair_style edip: single element only "
+                             "(the reference's pair_edip has the same "
+                             "limit; edip/multi is not implemented)")
+        self.p = _read_edip_file(str(filename), [str(elems[0])])
+
+    def init(self):
+        pass
+
+    @property
+    def max_cutoff(self):
+        return float(self.p["cutoffA"])
+
+    def energy(self, x, type_, ell, idx):
+        p = self.p
+        dt_ = x.dtype
+        a_cut = p["cutoffA"]
+        c_cut = p["cutoffC"]
+        n, K = idx.shape
+        self_idx = jnp.arange(n, dtype=idx.dtype)[:, None]
+        nmask = idx != self_idx
+        d = x[:, None, :] - x[idx]
+        d = d - ell * jnp.round(d / ell)
+        r2 = jnp.sum(d * d, -1)
+        inside = nmask & (r2 < a_cut * a_cut)
+        r = jnp.sqrt(jnp.where(inside, r2, 1.0))
+        rs = jnp.where(inside, r, a_cut + 1.0)
+
+        # coordination Z_i (cutoffFunction grid, analytic)
+        frac = jnp.clip((rs - c_cut) / (a_cut - c_cut), 1e-12, None)
+        x3 = frac ** (-3.0)
+        fcut = jnp.where(rs < c_cut, 1.0,
+                         jnp.where(inside & (rs < a_cut),
+                                   jnp.exp(p["alpha"] / (1.0 - x3)), 0.0))
+        Z = jnp.sum(jnp.where(inside, fcut, 0.0), axis=1)        # (N,)
+
+        tau = (p["u1"] + p["u2"] * p["u3"] * jnp.exp(-p["u4"] * Z)
+               - p["u2"] * jnp.exp(-2.0 * p["u4"] * Z))
+        Q = p["Q0"] * jnp.exp(-p["mu"] * Z)
+        embz = jnp.exp(-p["beta"] * Z * Z)
+
+        # two-body (ordered pairs, Z of the CENTRAL atom)
+        exp2b = p["A"] * jnp.exp(p["sigma"] / (rs - a_cut))
+        pow2b = (p["B"] / rs) ** p["rho"]
+        e2 = jnp.sum(jnp.where(inside,
+                               exp2b * (pow2b - embz[:, None]), 0.0))
+
+        # three-body over neighbor pairs (j, k) of i, ordered/2
+        exp3b = jnp.where(inside, jnp.exp(p["gamma"] / (rs - a_cut)), 0.0)
+        rinv = jnp.where(inside, 1.0 / rs, 0.0)
+        dot = jnp.einsum("nkc,nlc->nkl", d, d)
+        cs = dot * rinv[:, :, None] * rinv[:, None, :]
+        ctd = cs + tau[:, None, None]
+        qc2 = Q[:, None, None] * ctd * ctd
+        h = p["lambda"] * ((1.0 - jnp.exp(-qc2)) + p["eta"] * qc2)
+        samej = idx[:, :, None] == idx[:, None, :]
+        tmask = inside[:, :, None] & inside[:, None, :] & ~samej
+        e3 = 0.5 * jnp.sum(jnp.where(
+            tmask, exp3b[:, :, None] * exp3b[:, None, :] * h, 0.0))
+        return e2 + e3
