@@ -25,7 +25,7 @@ def main():
 
     decks = os.environ.get(
         "TPUMD_BENCH_DECKS",
-        "lj chain eam chute rhodo_class lj864").split()
+        "lj chain eam chute rhodo_class lj864 drift").split()
     nsteps = 500
     import jax
     if jax.default_backend() == "cpu":
@@ -48,12 +48,15 @@ def main():
         "vs_baseline": round(lj.get("matom_steps_per_s", 0.0)
                              / bench_all.BASELINES["lj"], 3),
         "decks": {
-            r["deck"]: ({"error": r["error"]} if "error" in r else {
+            r["deck"]: ({"error": r["error"]} if "error" in r else
+                        ({"rel_drift": r["rel_drift"],
+                          "sanity_ok": r["sanity_ok"]}
+                         if r["deck"] == "drift" else {
                 "matom_steps_per_s": r["matom_steps_per_s"],
                 "vs_baseline": r["vs_baseline"],
                 "engine": r["engine"],
                 "sanity_ok": r["sanity_ok"],
-            }) for r in results
+            })) for r in results
         },
     }
     print(json.dumps(out), flush=True)

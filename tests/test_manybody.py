@@ -221,3 +221,30 @@ run             10
     assert v["epair"] == pytest.approx(-987.74501, rel=1e-7)
     assert v["etotal"] == pytest.approx(-971.00187, rel=1e-7)
     assert v["press"] == pytest.approx(-160.22024, rel=1e-2, abs=1e-2)
+
+
+def test_eim_golden():
+    """pair_style eim (embedded-ion method) on the reference's molten
+    NaCl example, 10 NVE steps vs the binary — exact to all printed
+    digits (grids sampled from the same analytic ffield forms)."""
+    deck = """
+units           metal
+atom_style      atomic
+boundary        p p p
+read_data       /root/reference/examples/eim/data.eim
+pair_style      eim
+pair_coeff      * * Na Cl /root/reference/examples/eim/ffield.eim Na Cl
+neighbor        0.3 bin
+neigh_modify    delay 0
+timestep        0.001
+velocity        all create 1400.0 43454 loop geom
+fix             1 all nve
+run             10
+"""
+    script = LammpsScript()
+    script.run_string(deck)
+    v = script.sim.last_thermo
+    assert v["temp"] == pytest.approx(1205.7081, rel=1e-6)
+    assert v["epair"] == pytest.approx(-5610.249, rel=1e-7)
+    assert v["etotal"] == pytest.approx(-5298.7049, rel=1e-7)
+    assert v["press"] == pytest.approx(-113418.46, rel=1e-6)

@@ -180,7 +180,34 @@ def check_step0(name, sim):
     return fails
 
 
+def bench_drift(nsteps=1000, every=100):
+    """North-star conservation metric (BASELINE.md): relative total-
+    energy drift of the 32k LJ melt over ``nsteps`` NVE steps at the
+    benchmark precision (f32 on TPU).  The reference's own f64 runs
+    hold |dE/E| ~ 1e-6 over this window (bench/log.6Oct16.lj.fixed
+    thermo tables); this measures what our engine holds on the chip."""
+    sim = build("lj")
+    sim.run(500)                 # equilibrate past the violent melt
+    sim.run(0)
+    e0 = float(sim.last_thermo["etotal"])
+    emax = 0.0
+    for _ in range(nsteps // every):
+        sim.run(every)
+        emax = max(emax, abs(float(sim.last_thermo["etotal"]) - e0))
+    drift = emax / abs(e0)
+    # f32 on the chip holds ~1e-4..1e-5 over 1k steps; the f64 CPU path
+    # (conftest precision) holds the reference's ~1e-6 north star
+    tol = 2e-4 if jax.default_backend() != "cpu" else 3e-6
+    return {"deck": "drift", "natoms": sim.natoms, "steps": nsteps,
+            "etotal0": round(e0, 8), "max_abs_dE": round(emax, 9),
+            "rel_drift": float(f"{drift:.3e}"),
+            "sanity_ok": bool(drift < tol),
+            "backend": jax.default_backend()}
+
+
 def bench_deck(name, nsteps):
+    if name == "drift":
+        return bench_drift()
     sim = build(name)
     sim.run(0)                   # setup + step-0 thermo
     fails0 = check_step0(name, sim)

@@ -72,6 +72,7 @@ def _ensure_imports():
     import tpumd.models.pair_misc  # noqa: F401
     import tpumd.models.pair_manybody  # noqa: F401
     import tpumd.models.pair_adp  # noqa: F401
+    import tpumd.models.pair_eim  # noqa: F401
     import tpumd.models.pair_meam  # noqa: F401
     import tpumd.models.pair_hybrid  # noqa: F401
     import tpumd.models.pair_gran  # noqa: F401
