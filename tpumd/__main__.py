@@ -20,6 +20,14 @@ def main(argv=None):
     ap.add_argument("-log", dest="logfile", default=None)
     ap.add_argument("-echo", dest="echo", default=None)
     ap.add_argument("-sf", dest="suffix", default=None)  # accepted, unused
+    ap.add_argument("-partition", "-p", dest="partition", default=None,
+                    help="PxM universe partitions (src/universe.cpp): "
+                    "the deck runs once per world with the matching "
+                    "world-variable values; M (procs per world) is "
+                    "accepted and ignored — worlds share the one chip "
+                    "and run sequentially, which is result-identical "
+                    "for independent worlds")
+    ap.add_argument("-plog", dest="plog", default="log.lammps")
     ap.add_argument("--dtype", choices=["f32", "f64"], default=None)
     args = ap.parse_args(argv)
 
@@ -34,6 +42,18 @@ def main(argv=None):
         dtype = jnp.float32
 
     from tpumd.script.parser import LammpsScript
+    if args.partition:
+        nworld = int(str(args.partition).split("x")[0])
+        for p in range(nworld):
+            script = LammpsScript(dtype=dtype,
+                                  var_overrides=dict(args.vars) or None)
+            script._world_index = p
+            script.nworlds = nworld
+            script.run_file(args.infile)
+            if script.sim is not None:
+                with open(f"{args.plog}.{p}", "w") as fh:
+                    fh.write("\n".join(script.sim.log_lines) + "\n")
+        return 0
     script = LammpsScript(dtype=dtype,
                           var_overrides=dict(args.vars) or None)
     script.run_file(args.infile)
