@@ -60,3 +60,35 @@ def test_balance_command_runs(tmp_path):
         vols.append(np.prod(blk.max(0) - blk.min(0)))
     assert np.mean(vols) < 0.5 * vol_full
     assert sim.last_thermo["epair"] < 0.0  # system still evaluates
+
+
+def test_fix_balance_dynamic():
+    """fix balance N thresh rcb: periodic host-side rebalancing — after
+    atoms drift, the row blocks are re-permuted mid-run when imbalance
+    exceeds the threshold, and the run continues with correct physics
+    (src/fix_balance.cpp analog)."""
+    from tpumd.script.parser import LammpsScript
+    s = LammpsScript()
+    s.run_string("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 4 0 4 0 4
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 1.44 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+neighbor 0.3 bin
+fix 1 all nve
+fix 2 all balance 10 1.0 rcb
+thermo 10
+""")
+    s._finalize_atoms()
+    s.sim.neighbor_mode = "matrix"
+    s.sim.invalidate_ctx()
+    s.sim.run(20)
+    import numpy as np
+    assert np.isfinite(float(s.sim.last_thermo["etotal"]))
+    assert s.sim.step == 20

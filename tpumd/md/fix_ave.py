@@ -583,3 +583,41 @@ class FixTuneKspace(Fix):
             self._phase = 2
             t = {k: round(v, 3) for k, v in self._times.items()}
             sim._log(f"fix tune/kspace: times {t} -> keeping {best}")
+
+
+class FixBalance(Fix):
+    """fix balance N thresh rcb|shift|x|y|z (src/fix_balance.cpp):
+    periodic dynamic rebalancing.  Every N steps the current imbalance
+    of the equal-count row blocks is measured; above ``thresh`` the
+    state rows are re-permuted with the same RCB / dim-sort machinery
+    as the `balance` command and the simulation re-sets-up (the analog
+    of Balance::balance + Irregular::migrate_atoms mid-run).  On the
+    cell-grid engine this is a no-op by construction (equal slots =
+    equal dense compute)."""
+
+    name = "balance"
+
+    def __init__(self, nevery, thresh, style, dims=""):
+        self.host_every = int(nevery)
+        self.thresh = float(thresh)
+        self.style = "shift" if style in ("x", "y", "z") else str(style)
+        self.dims = dims or (style if style in ("x", "y", "z") else "")
+        self.last = (None, None)
+
+    def host_end_of_step(self, sim):
+        if sim.step % self.host_every:
+            return
+        if sim._ctx is not None and sim._ctx.is_cellgrid:
+            return                      # balanced by construction
+        from tpumd.parallel.balance import slab_imbalance
+        import numpy as np
+        import jax
+        x = np.asarray(jax.device_get(sim.state.x), np.float64)
+        nparts = max(len(jax.devices()), 1)
+        cur = slab_imbalance(x, np.arange(len(x)), nparts)
+        if cur <= self.thresh:
+            return
+        from tpumd.parallel.balance import balance_atoms
+        before, after = balance_atoms(sim, self.style, dims=self.dims)
+        self.last = (before, after)
+        sim._log(f"fix balance: imbalance {before:.4g} -> {after:.4g}")

@@ -1563,6 +1563,10 @@ class LammpsScript:
         elif style == "tune/kspace":
             from tpumd.md.fix_ave import FixTuneKspace
             sim.fixes.append(FixTuneKspace(args[0]))
+        elif style == "balance":
+            from tpumd.md.fix_ave import FixBalance
+            dims = args[3] if len(args) > 3 and args[2] == "shift" else ""
+            sim.fixes.append(FixBalance(args[0], args[1], args[2], dims))
         elif style == "deposit":
             from tpumd.md.fix_particle import FixDeposit
             kw = {}
