@@ -27,3 +27,20 @@ from tpumd import host_cache_dir  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of live XLA:CPU executables in
+    one process; late in the run that state has produced segfaults
+    (observed in test_eam_he at ~30% through the suite, cache on or
+    off, while the same file passes standalone).  Dropping the
+    in-memory executable cache per module bounds the accumulation; the
+    persistent disk cache makes re-compiles cheap."""
+    yield
+    jax.clear_caches()
