@@ -621,3 +621,99 @@ class FixBalance(Fix):
         before, after = balance_atoms(sim, self.style, dims=self.dims)
         self.last = (before, after)
         sim._log(f"fix balance: imbalance {before:.4g} -> {after:.4g}")
+
+
+class FixAveCorrelate(Fix):
+    """fix ave/correlate Nevery Nrepeat Nfreq v1 v2 ... [type auto|
+    upper|auto/upper] [ave one|running] [file f]
+    (src/fix_ave_correlate.cpp): time correlations of global scalars.
+
+    Samples every Nevery steps; at each sample the newest value vector
+    is multiplied against the previous Nrepeat stored samples to
+    accumulate C_jk(m*Nevery*dt); every Nfreq the correlation table is
+    written (Index TimeDelta Ncount columns) and, with ave one,
+    reset."""
+
+    name = "ave/correlate"
+
+    def __init__(self, nevery, nrepeat, nfreq, inputs, ctype="auto",
+                 ave="one", file=None):
+        self.host_every = int(nevery)
+        self.nevery = int(nevery)
+        self.nrepeat = int(nrepeat)
+        self.nfreq = int(nfreq)
+        self.inputs = list(inputs)
+        self.ctype = ctype
+        self.ave = ave
+        self.file = file
+        self._fh = None
+        nv = len(self.inputs)
+        if ctype == "auto":
+            self.pairs = [(i, i) for i in range(nv)]
+        elif ctype == "upper":
+            self.pairs = [(i, j) for i in range(nv)
+                          for j in range(i + 1, nv)]
+        else:                       # auto/upper
+            self.pairs = [(i, j) for i in range(nv)
+                          for j in range(i, nv)]
+        self._reset()
+
+    def _reset(self):
+        self._hist = []            # newest first
+        self._corr = np.zeros((self.nrepeat, len(self.pairs)))
+        self._count = np.zeros(self.nrepeat, dtype=np.int64)
+
+    def _sample(self, vals):
+        self._hist.insert(0, vals)
+        del self._hist[self.nrepeat:]
+        for m, old in enumerate(self._hist):
+            for c, (i, j) in enumerate(self.pairs):
+                # accumulate v_i(t-m) * v_j(t): the OLDER sample takes
+                # the first index (fix_ave_correlate.cpp accumulate)
+                self._corr[m, c] += old[i] * vals[j]
+            self._count[m] += 1
+
+    def _step_sample(self, sim):
+        vals = np.array(
+            [float(np.asarray(_resolve_input(sim, nm),
+                              np.float64).ravel()[0])
+             for nm in self.inputs])
+        self._sample(vals)
+        if self.nfreq and sim.step % self.nfreq == 0:
+            self._emit(sim)
+            if self.ave == "one":
+                # the window-closing sample seeds the next window
+                # (FixAveCorrelate ave one: nsample=1 keeps the current
+                # values as the first entry after an output)
+                self._reset()
+                self._sample(vals)
+
+    def host_setup_sample(self, sim):
+        # Reference setup(): the step-0 sample + first output block
+        self._step_sample(sim)
+
+    def host_end_of_step(self, sim):
+        if sim.step % self.nevery:
+            return
+        self._step_sample(sim)
+
+    def _emit(self, sim):
+        cnt = np.maximum(self._count, 1)
+        table = self._corr / cnt[:, None]
+        self._result = table
+        if not self.file:
+            return
+        if self._fh is None:
+            self._fh = open(self.file, "w")
+            self._fh.write("# Time-correlated data for fix "
+                           f"{getattr(self, 'id', '')}\n")
+            self._fh.write("# Timestep Number-of-time-windows\n")
+            self._fh.write("# Index TimeDelta Ncount "
+                           + " ".join(f"{self.inputs[i]}*{self.inputs[j]}"
+                                      for i, j in self.pairs) + "\n")
+        self._fh.write(f"{sim.step} {self.nrepeat}\n")
+        for m in range(self.nrepeat):
+            self._fh.write(
+                f"{m + 1} {m * self.nevery} {int(self._count[m])} "
+                + " ".join(f"{v:g}" for v in table[m]) + "\n")
+        self._fh.flush()

@@ -837,6 +837,13 @@ class Simulation:
                     and not getattr(fx, "_setup_invoked", False):
                 fx.host_end_of_step(self)
                 fx._setup_invoked = True
+        # setup-time sampling hooks (FixAveCorrelate: the reference's
+        # setup() takes the step-0 sample and emits a first block)
+        for fx in self.fixes:
+            if hasattr(fx, "host_setup_sample") \
+                    and not getattr(fx, "_setup_sampled", False):
+                fx.host_setup_sample(self)
+                fx._setup_sampled = True
         target = self.step + nsteps
         # run begin/end steps for fixes with start->stop target ramps
         # (Update::beginstep/endstep, used by FixNH::compute_temp_target)

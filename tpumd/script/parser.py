@@ -1501,6 +1501,20 @@ class LammpsScript:
         elif style == "ave/atom":
             from tpumd.md.fix_ave import FixAveAtom
             sim.fixes.append(FixAveAtom(args[0], args[1], args[2], args[3:]))
+        elif style == "ave/correlate":
+            from tpumd.md.fix_ave import FixAveCorrelate
+            kw = {}
+            vals = list(args[3:])
+            for key in ("file", "type", "ave"):
+                if key in vals:
+                    i = vals.index(key)
+                    v = vals[i + 1]
+                    if key == "file" and not os.path.isabs(v):
+                        v = os.path.join(self.data_dir, v)
+                    kw["ctype" if key == "type" else key] = v
+                    vals = vals[:i] + vals[i + 2:]
+            sim.fixes.append(
+                FixAveCorrelate(args[0], args[1], args[2], vals, **kw))
         elif style == "ave/histo":
             from tpumd.md.fix_ave import FixAveHisto
             kw = {}
