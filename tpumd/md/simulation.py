@@ -244,7 +244,25 @@ class Simulation:
                 scl = np.array([1.0, 0.0, 0.0, 0.0])
         sl = None if slj is None else jnp.asarray(slj, dtype=self.dtype)
         sc = None if scl is None else jnp.asarray(scl, dtype=self.dtype)
+        # hostbuild (run_segment_hostbuild): the in-scan rebuild branch
+        # faults the TPU worker on molecular/charged cell-grid decks
+        # (observed: 32k CHARMM peptide, 9x4x4 grid, S=18 special
+        # tables) — segment on the host around rebuilds there.  CPU and
+        # the simple decks keep the on-device rebuild (faster and
+        # bitwise-covered by the golden suite).  Override with
+        # TPUMD_HOSTBUILD=0/1.
+        hb_env = os.environ.get("TPUMD_HOSTBUILD")
+        if hb_env is not None:
+            hostbuild = hb_env == "1"
+        else:
+            hostbuild = (jax.default_backend() != "cpu"
+                         and mode == "cellgrid"
+                         and self.pair is not None
+                         and getattr(self.pair, "pair_fn_ex", None)
+                         is not None
+                         and self.state.q is not None)
         return StepContext(
+            hostbuild=hostbuild,
             units=self.units, dt=self.dt, neigh_cfg=cfg,
             pair=self.pair,
             bonded=tuple(b for b in self.bonded
@@ -896,9 +914,11 @@ class Simulation:
                 if cb_fixes:
                     carry = self._advance_with_callbacks(seg, ctx, cb_fixes)
                 elif xs is None or nmain == 0:
-                    from tpumd.md.verlet import run_segment_dyn
                     carry = self._carry
-                    if nmain > 0:
+                    if nmain > 0 and ctx.hostbuild:
+                        carry = self._advance_hostbuild(carry, ctx, nmain)
+                    elif nmain > 0:
+                        from tpumd.md.verlet import run_segment_dyn
                         carry = run_segment_dyn(carry, ctx,
                                                 jnp.int32(nmain),
                                                 consts=self._consts)
@@ -1004,6 +1024,10 @@ class Simulation:
         if not (L and L > 0 and self.step % L == 0 and nsteps % L == 0
                 and nsteps >= 2 * L):
             return False
+        if ctx.hostbuild:
+            # hostbuild decks segment around rebuilds on the host; the
+            # banked-stop stream has the faulting in-scan rebuild branch
+            return False
         if any(d.every and d.every > 0 for d in self.dumps):
             return False
         for fx in self.fixes:
@@ -1086,6 +1110,34 @@ class Simulation:
         self.loop_time += elapsed
         self.loop_steps += nsteps
         self._finish_report(elapsed, nsteps)
+
+    def _advance_hostbuild(self, carry, ctx, nsteps: int):
+        """Advance nsteps with host-driven rebuild segmentation: the
+        device loop exits before each rebuild (run_segment_hostbuild)
+        and the re-bin runs as its own dispatch (rebuild_eager).  One
+        host round trip per rebuild (~every `delay` steps) instead of
+        an in-scan cond whose branch faults the TPU worker on the
+        molecular deck shapes."""
+        from tpumd.md.verlet import rebuild_eager, run_segment_hostbuild
+        left = nsteps
+        stall = 0
+        while left > 0:
+            carry, done = run_segment_hostbuild(
+                carry, ctx, jnp.int32(left), consts=self._consts)
+            done = int(jax.device_get(done))
+            left -= done
+            if left > 0:
+                carry = rebuild_eager(carry, ctx)
+                if bool(jax.device_get(carry[1].overflow)):
+                    # caller's overflow check snapshots + regrows
+                    return carry
+                stall = stall + 1 if done == 0 else 0
+                if stall > 2:
+                    raise RuntimeError(
+                        "hostbuild segmentation stalled: Neighbor::decide"
+                        " fires every step (use every/delay > 1 or "
+                        "TPUMD_HOSTBUILD=0)")
+        return carry
 
     def _finish_report(self, elapsed: float, nsteps: int):
         """End-of-run report (Finish::end, src/finish.cpp:130-160)."""

@@ -11,6 +11,7 @@ output steps, where we re-evaluate forces once with eflag on).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Sequence
 
@@ -56,6 +57,11 @@ class StepContext:
     # found by tag matching over the 27-stencil (ops/cellgrid_tuples.py)
     # instead of global incidence gathers — O(halo) comm under z-slabs
     bonded_grid: bool = False
+    # host-driven rebuild segmentation (run_segment_hostbuild): the
+    # segment while_loop exits before a rebuild and the host re-bins
+    # eagerly.  Enabled on TPU for the molecular/charged cell-grid
+    # decks whose in-scan rebuild branch faults the worker.
+    hostbuild: bool = False
 
     def mass_per_atom(self, s: MDState):
         if s.rmass is not None:
@@ -401,11 +407,12 @@ def decide_rebuild(s: MDState, neigh, ctx: StepContext):
     return sched
 
 
-def make_step_fn(ctx: StepContext, consts=None):
+def make_step_fn(ctx: StepContext, consts=None, no_rebuild: bool = False):
     """Returns step(carry, xs) for lax.scan; carry = (s, neigh, fix_states,
     step); xs = per-step per-fix host-generated inputs (e.g. exact RanMars
     streams), or a tuple of Nones.  consts: traced per-style constants
-    (see compute_forces)."""
+    (see compute_forces).  no_rebuild: omit the in-graph rebuild branch
+    (hostbuild segmentation, see run_segment_hostbuild)."""
 
     def step_pre(carry, xs=None):
         """First half: integrate positions, rebuild, compute forces."""
@@ -428,14 +435,21 @@ def make_step_fn(ctx: StepContext, consts=None):
             s, fstates[i] = fx.post_integrate(s, fstates[i], ctx)
 
         neigh = neigh.replace(ago=neigh.ago + 1)
-        do_build = decide_rebuild(s, neigh, ctx)
-        s, neigh, fstates = jax.lax.cond(
-            do_build,
-            lambda sn: _rebuild(sn[0], sn[1], ctx, sn[2]),
-            lambda sn: sn,
-            (s, neigh, tuple(fstates)),
-        )
-        fstates = list(fstates)
+        if no_rebuild or os.environ.get("TPUMD_SCAN_NO_REBUILD") == "1":
+            # hostbuild mode: the segment loop exits BEFORE a step whose
+            # Neighbor::decide would fire and the caller rebuilds
+            # eagerly (run_segment_hostbuild) — the rebuild cond inside
+            # scan faults the TPU worker at molecular-deck shapes
+            pass
+        else:
+            do_build = decide_rebuild(s, neigh, ctx)
+            s, neigh, fstates = jax.lax.cond(
+                do_build,
+                lambda sn: _rebuild(sn[0], sn[1], ctx, sn[2]),
+                lambda sn: sn,
+                (s, neigh, tuple(fstates)),
+            )
+            fstates = list(fstates)
 
         need_virial = any(getattr(fx, "needs_virial", False)
                           for fx in ctx.fixes)
@@ -511,6 +525,67 @@ def step_post_half(mid, ctx: StepContext, consts=None, xs=None):
     """Second half of one step (post_force onward)."""
     carry, _ = make_step_fn(ctx, consts).post(mid, xs)
     return carry
+
+
+def decide_rebuild_peek(s, neigh, ctx: StepContext):
+    """Neighbor::decide for the NEXT step, evaluated before it runs:
+    the step would bump ago first, so schedule on ago+1; displacement
+    uses the current (pre-integrate) positions — at most one drift
+    (v*dt << skin/2) later than the reference's post-integrate check,
+    inside the half-skin safety margin."""
+    cfg = ctx.neigh_cfg
+    ago = neigh.ago + 1
+    sched = (ago >= cfg.delay) & (ago % cfg.every == 0)
+    if cfg.check:
+        if ctx.is_cellgrid:
+            moved = cg.displacement_exceeded(
+                s.x, neigh.xhold, neigh.valid, s.box, cfg.skin)
+        else:
+            moved = nb.displacement_exceeded(
+                s.x, neigh.xhold, s.box, cfg.skin)
+        sched = sched & moved
+    if "mc_rebuild" in s.extras:
+        sched = sched | jnp.any(s.extras["mc_rebuild"] > 0)
+    return sched
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def run_segment_hostbuild(carry, ctx: StepContext, nsteps, consts=None):
+    """Dynamic segment with NO in-graph rebuild: a while_loop that exits
+    EARLY (returning steps_done < nsteps) when Neighbor::decide fires,
+    so the caller can run the re-bin eagerly (rebuild_eager) and
+    re-enter.  Used on TPU for decks whose rebuild branch faults the
+    worker when compiled inside scan (observed at the 32k molecular
+    CHARMM shape); also ~halves the segment's compile time by keeping
+    the sort/scatter re-bin graph out of the loop body."""
+    if ctx.respa is not None:
+        step = make_respa_step(ctx, consts)
+    else:
+        step = make_step_fn(ctx, consts, no_rebuild=True)
+
+    def cond_fn(ic):
+        i, c = ic
+        return (i < nsteps) & ~decide_rebuild_peek(c[0], c[1], ctx)
+
+    def body(ic):
+        i, c = ic
+        c2, _ = step(c, None)
+        return (i + 1, c2)
+
+    i, carry = jax.lax.while_loop(
+        cond_fn, body, (jnp.zeros((), jnp.int32), carry))
+    return carry, i
+
+
+@partial(jax.jit, static_argnames=("ctx",))
+def rebuild_eager(carry, ctx: StepContext):
+    """One re-bin outside any loop (the hostbuild counterpart of the
+    in-scan cond branch).  Positions are pre-integrate rather than the
+    reference's post-integrate — binning differs by < v*dt, well inside
+    the skin margin."""
+    s, neigh, fstates = carry[0], carry[1], carry[2]
+    s, neigh, fstates = _rebuild(s, neigh, ctx, fstates)
+    return (s, neigh, fstates) + tuple(carry[3:])
 
 
 @partial(jax.jit, static_argnames=("ctx",))
