@@ -26,6 +26,7 @@ better physics; exact-parity tests use the matrix path).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -365,6 +366,15 @@ def cellgrid_pair_sums(x, type_, valid, box: Box, cfg: CellGridConfig,
     # lane dimension (small cells); at large cap the narrow fold is
     # cheaper on HBM
     foldy = 3 * cap < 128
+    if special is not None and pair_fn_ex is not None:
+        # heavy kernels (charged + in-kernel special matching): folding
+        # y cuts the unrolled shift count 9 -> 3, which is the dominant
+        # compile-size lever (the rhodo-class segment otherwise unrolls
+        # 9 copies of the S-wide matching chain); runtime is within
+        # noise of the narrow fold at these block sizes
+        foldy = True
+    if os.environ.get("TPUMD_FOLDY"):
+        foldy = os.environ["TPUMD_FOLDY"] == "1"
     yoffs = _offs(cfg.ny) if foldy else (0,)
     Lx, Ly, Lz = box.lengths[0], box.lengths[1], box.lengths[2]
 
