@@ -308,12 +308,14 @@ def _remap_shear(old_idx, new_idx, shear):
     match = (new_idx[:, :, None] == old_idx[:, None, :]) \
         & old_valid[:, None, :]                       # (N, Knew, Kold)
     # each (i, j) appears at most once per old row, so the matched slot's
-    # history is a masked SUM over old slots — a batched (Knew, Kold) x
-    # (Kold, 3) matmul, ~10x cheaper than the take_along_axis row gather
-    # (gather cost is per row: N*Knew rows ~ 3.5 ms at chute scale)
-    out = jax.lax.dot_general(
-        match.astype(shear.dtype), shear,
-        (((2,), (1,)), ((0,), (0,))))                 # (N, Knew, 3)
+    # history is a masked SUM over old slots.  Keep it on the VPU as a
+    # broadcast-multiply + reduce: the batched (Knew, Kold) x (Kold, 3)
+    # dot_general pads each tiny 16x16 batch onto 128-lane MXU tiles and
+    # measured 37 ms of the chute rebuild's 46 ms; the elementwise form
+    # is HBM-bound at ~100 MB (and the take_along_axis row gather is
+    # worse still: N*Knew serialized rows).
+    out = jnp.sum(match[..., None].astype(shear.dtype)
+                  * shear[:, None, :, :], axis=2)     # (N, Knew, 3)
     new_valid = new_idx != self_idx
     return jnp.where(new_valid[..., None], out, 0.0)
 

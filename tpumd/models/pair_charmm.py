@@ -106,6 +106,37 @@ class PairLJCharmmCoulLong(PairStyle):
     def max_cutoff(self) -> float:
         return max(self.cut_lj, self.cut_coul)
 
+    def compute_cellgrid(self, x, type_, valid, box, cfg,
+                         eflag: bool, vflag: bool, q=None, special=None,
+                         bond=None):
+        import os as _os
+        import jax as _jax
+        if (self.name == "lj/charmm/coul/long"
+                and not eflag and bond is None and special is not None
+                and q is not None and _jax.default_backend() != "cpu"
+                and cfg.nz >= 3 and cfg.ny >= 3 and cfg.nx >= 3
+                and _os.environ.get("TPUMD_PALLAS_CHARMM", "1") != "0"):
+            # per-step force eval rides the fused VMEM kernel (energies
+            # are evaluated on the XLA path once per thermo stop)
+            from tpumd.ops.pallas_charmm import (
+                charmm_cellgrid_forces_pallas)
+            atag, stags, swl, swc = special
+            if swc is None:
+                swc = swl
+            tables = jnp.stack(
+                [jnp.asarray(t, jnp.float32)
+                 for t in (self.lj1, self.lj2, self.lj3, self.lj4)])
+            f, vir = charmm_cellgrid_forces_pallas(
+                x, q, type_, atag, valid, stags, swl, swc, box, cfg,
+                tables, float(self.units.qqr2e), float(self.g_ewald),
+                float(self.cut_coulsq), float(self.cut_ljsq),
+                float(self.cut_lj_innersq), float(self.denom_lj),
+                int(self.ntypes))
+            return f, None, None, (vir if vflag else None)
+        return super().compute_cellgrid(
+            x, type_, valid, box, cfg, eflag, vflag, q=q,
+            special=special, bond=bond)
+
     def pair_fn_ex(self, r2, itype, jtype, w_lj, w_coul, qi, qj):
         dt_ = r2.dtype
         qqrd2e = self.units.qqr2e
